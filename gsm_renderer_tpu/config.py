@@ -1,0 +1,130 @@
+"""Renderer configuration.
+
+TPU-native equivalent of the reference's ``RendererConfig`` value struct
+(reference: Sources/Renderer/Shared/GaussianRendererProtocol.swift:195-228) and the
+renderer-specific init parameters (DepthFirstRenderer.swift:45-50,
+HardwareRenderer.swift:267-272).  Where the reference uses Metal function constants
+for compile-time kernel specialization (SH degree, precision, depth-key width), we
+use static (hashable) dataclass fields passed as ``static_argnums`` to ``jax.jit``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+
+class Precision(enum.Enum):
+    """World-gaussian input precision.
+
+    ``FLOAT32`` corresponds to the 48-byte ``PackedWorldGaussian`` layout and float32
+    spherical harmonics; ``FLOAT16`` to the 32-byte ``PackedWorldGaussianHalf`` layout
+    and float16 harmonics (reference: BridgingTypes.h:57-73).
+    """
+
+    FLOAT32 = "float32"
+    FLOAT16 = "float16"
+
+
+class GaussianColorSpace(enum.Enum):
+    """Color space of the SH-decoded gaussian color (GaussianRendererProtocol.swift:204-212)."""
+
+    LINEAR = "linear"
+    SRGB = "srgb"
+
+
+class DepthSortKeyPrecision(enum.Enum):
+    """Depth radix-sort key width (reference: DepthRadixSortEncoder.swift:13-25).
+
+    ``BITS16`` re-quantizes depth keys to 16 bits (half bits, sign-flipped) before the
+    depth sort; ``BITS32`` keeps the full sortable-uint32 float key.
+    """
+
+    BITS16 = 16
+    BITS32 = 32
+
+
+class TileIdPrecision(enum.Enum):
+    """Instance tile-id width for the stable tile sort (DepthFirstRenderer.swift:45-50)."""
+
+    BITS16 = 16
+    BITS32 = 32
+
+
+class HardwareBackend(enum.Enum):
+    """Hardware-renderer backend selector (HardwareRenderer.swift:267-272).
+
+    There is no rasterizer on a TPU; both backends share a depth-sorted splatting
+    compute path.  ``MESH_SHADERS`` and ``INSTANCED`` are kept for API parity and
+    select minor scheduling variants.
+    """
+
+    MESH_SHADERS = "meshShaders"
+    INSTANCED = "instanced"
+
+
+# Hard constants mirrored from the reference (values, not code):
+#   alpha threshold 1/200 = 0.005 (GlobalRenderer.swift:48)
+#   total-ink threshold 2.0 (GlobalRenderer.swift:49)
+#   max 2048 gaussians per tile for the Local renderer (LocalRenderer.swift:5-9)
+DEFAULT_ALPHA_THRESHOLD = 0.005
+DEFAULT_TOTAL_INK_THRESHOLD = 2.0
+LOCAL_MAX_PER_TILE = 2048
+
+# Instance capacity multiplier.  The reference uses maxInstances = 4 x
+# maxGaussians (DepthFirstResources.swift:80-81) counting only exact-tested
+# touched tiles; our expansion enumerates the full clamped tile rect (the exact
+# test is applied as a post-sort zero-alpha mask), which inflates instance counts
+# by ~1.5-2.5x on typical scenes, so the default factor is doubled to 8.
+INSTANCE_CAPACITY_FACTOR = 8
+
+
+@dataclasses.dataclass(frozen=True)
+class RendererConfig:
+    """Static configuration; hashable so it can be a ``jax.jit`` static argument.
+
+    Defaults mirror the reference config: 6M gaussians, 1920x1080, fp16 input,
+    sRGB decode off... see GaussianRendererProtocol.swift:195-228.
+    """
+
+    max_gaussians: int = 6_000_000
+    max_width: int = 1920
+    max_height: int = 1080
+    precision: Precision = Precision.FLOAT16
+    gaussian_color_space: GaussianColorSpace = GaussianColorSpace.LINEAR
+    back_to_front: bool = False
+
+    # Per-renderer tuning (function-constant equivalents).
+    sh_degree: int = 3  # 0..3; selects the SH evaluation specialization
+    alpha_threshold: float = DEFAULT_ALPHA_THRESHOLD
+    total_ink_threshold: float = DEFAULT_TOTAL_INK_THRESHOLD
+    depth_sort_key_precision: DepthSortKeyPrecision = DepthSortKeyPrecision.BITS32
+    tile_id_precision: TileIdPrecision = TileIdPrecision.BITS16
+    hardware_backend: HardwareBackend = HardwareBackend.MESH_SHADERS
+
+    # Static instance capacity (defaults to INSTANCE_CAPACITY_FACTOR * gaussian count
+    # at trace time when 0 — see pipelines).
+    max_instances: int = 0
+
+    def __post_init__(self):
+        if not (0 <= self.sh_degree <= 3):
+            raise ValueError(f"sh_degree must be in [0, 3], got {self.sh_degree}")
+        if self.max_gaussians <= 0 or self.max_width <= 0 or self.max_height <= 0:
+            raise ValueError("max_gaussians/max_width/max_height must be positive")
+
+
+def sh_components(sh_degree: int) -> int:
+    """Number of SH coefficients per channel for a degree (1, 4, 9 or 16)."""
+    return (sh_degree + 1) ** 2
+
+
+def tiles_for(width: int, height: int, tile_w: int, tile_h: int) -> tuple[int, int]:
+    """Tile grid dimensions covering a ``width`` x ``height`` surface."""
+    return (-(-width // tile_w), -(-height // tile_h))
+
+
+# Tile shapes per pipeline (reference: GlobalRenderer.swift:74-75 uses 32x16;
+# Local and DepthFirst use 16x16).
+GLOBAL_TILE = (32, 16)  # (w, h)
+LOCAL_TILE = (16, 16)
+DEPTH_FIRST_TILE = (16, 16)

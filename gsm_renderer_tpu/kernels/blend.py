@@ -1,0 +1,321 @@
+"""Tile blending (alpha compositing) — the render stage.
+
+TPU-native equivalent of ``depthFirstRender`` / ``globalRender``
+(DepthFirstShaders.metal:1703-1811, GlobalShaders.metal:1030-1187): front-to-back
+alpha compositing of depth-ordered per-tile instance lists into color+depth.
+
+Two implementations:
+
+* :func:`blend_tiles_xla` — pure-XLA reference (used for tests and as the
+  numerical oracle for the Pallas kernel).
+* :func:`blend_tiles_pallas` — the production Pallas kernel.  One grid step per
+  tile **row**; within a step it walks the row's tiles, DMA-ing each tile's
+  instance span from the blend table in HBM and compositing 128 instances at a
+  time:
+
+    - the Mahalanobis quadratic is evaluated on the MXU as two (128,3)x(3,P)
+      matmuls (q = u^2 + v^2 — a sum of squared linear forms, no cancellation),
+    - transmittance is a multiplicative Hillis-Steele scan over the instance
+      (sublane) axis,
+    - weighted color/depth accumulation is a (128,P)x(128,4) MXU contraction,
+    - per-tile early exit once every pixel's transmittance < 1/255, mirroring
+      the reference's saturation break (DepthFirstShaders.metal:1745-1747).
+
+The blend table layout is (CB, 16, 128) float32: instance i lives at block i//128,
+lane i%128, with 16 attribute rows:
+  0..2  a1, b1, c1   (linear form u; absolute pixel coords)
+  3..5  a2, b2, c2   (linear form v)
+  6..8  r, g, b      color in [0, 1]
+  9     depth
+  10    opacity      (0 for dead/masked instances)
+  11..15 spare (zero)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = Any
+
+ATTR_ROWS = 16
+LANES = 128
+# Default tile shape (DepthFirst/Local use 16x16; Global uses 32x16 —
+# GlobalRenderer.swift:74-75).  All entry points take (tile_w, tile_h).
+DEFAULT_TILE = (16, 16)
+
+# attribute row indices
+A1, B1, C1, A2, B2, C2, CR, CG, CB_, CD, COP = range(11)
+
+MIN_TRANSMITTANCE = 1.0 / 255.0
+ALPHA_CLAMP = 0.99
+
+# "First significant hit" alpha threshold for the Local renderer's depth output
+# (LocalShaders.metal:529-537).
+FIRST_HIT_ALPHA = 0.1
+
+
+def build_blend_table(attrs: dict, capacity: int):
+    """Pack per-instance attribute dict (arrays of length C) into the
+    (CB, 16, 128) HBM blend-table layout."""
+    cb = -(-capacity // LANES)
+    rows = [attrs["a1"], attrs["b1"], attrs["c1"],
+            attrs["a2"], attrs["b2"], attrs["c2"],
+            attrs["r"], attrs["g"], attrs["b"],
+            attrs["depth"], attrs["op"]]
+    z = jnp.zeros_like(rows[0])
+    rows += [z] * (ATTR_ROWS - len(rows))
+    table = jnp.stack(rows, axis=0).astype(jnp.float32)  # (16, C)
+    pad = cb * LANES - capacity
+    if pad:
+        table = jnp.pad(table, ((0, 0), (0, pad)))
+    # (16, CB, 128) -> (CB, 16, 128)
+    return jnp.transpose(table.reshape(ATTR_ROWS, cb, LANES), (1, 0, 2))
+
+
+# ---------------------------------------------------------------------------------
+# Pure-XLA reference blend
+# ---------------------------------------------------------------------------------
+
+def blend_tiles_xla(table, starts, counts, *, tiles_x: int, tiles_y: int,
+                    max_per_tile: int, tile_w: int = 16, tile_h: int = 16,
+                    tile_chunk: int = 64):
+    """Reference blend: same math as the Pallas kernel, O(T * max_per_tile) memory.
+
+    ``table``: (CB, 16, 128) blend table; ``starts``/``counts``: (T,) int32.
+    Returns (color (T, P, 4) with alpha, depth (T, P)) with P = tile_w * tile_h.
+    Intended for tests and small scenes.
+    """
+    pix = tile_w * tile_h
+    flat = jnp.transpose(table, (1, 0, 2)).reshape(ATTR_ROWS, -1)  # (16, C)
+    cmax = flat.shape[1]
+
+    px = (jnp.arange(pix, dtype=jnp.float32) % tile_w)
+    py = (jnp.arange(pix, dtype=jnp.float32) // tile_w)
+
+    t_iota = jnp.arange(tiles_x * tiles_y, dtype=jnp.int32)
+    origin_x = (t_iota % tiles_x).astype(jnp.float32) * tile_w
+    origin_y = (t_iota // tiles_x).astype(jnp.float32) * tile_h
+
+    def tile_block(start, count, ox, oy):
+        k = jnp.arange(max_per_tile, dtype=jnp.int32)
+        idx = jnp.clip(start + k, 0, cmax - 1)
+        valid = k < count
+        get = lambda r: jnp.where(valid, flat[r][idx], 0.0)  # (K,)
+        a1, b1, c1 = get(A1), get(B1), get(C1)
+        a2, b2, c2 = get(A2), get(B2), get(C2)
+        r, g, b = get(CR), get(CG), get(CB_)
+        d, op = get(CD), get(COP)
+
+        pxa = ox + px[None, :]  # (1, P) absolute pixel x
+        pya = oy + py[None, :]
+        u = a1[:, None] * pxa + b1[:, None] * pya + c1[:, None]
+        v = a2[:, None] * pxa + b2[:, None] * pya + c2[:, None]
+        q = u * u + v * v
+        alpha = jnp.minimum(op[:, None] * jnp.exp(-0.5 * q), ALPHA_CLAMP)
+        alpha = jnp.where(valid[:, None], alpha, 0.0)
+
+        om = 1.0 - alpha
+        trans = jnp.cumprod(om, axis=0)
+        trans_excl = jnp.concatenate([jnp.ones((1, pix)), trans[:-1]], axis=0)
+        w = alpha * trans_excl  # (K, P)
+        col = jnp.stack(
+            [jnp.sum(w * r[:, None], 0), jnp.sum(w * g[:, None], 0),
+             jnp.sum(w * b[:, None], 0), 1.0 - trans[-1]], axis=-1)  # (P, 4)
+        depth = jnp.sum(w * d[:, None], 0)
+        return col, depth
+
+    def chunk_fn(args):
+        return jax.vmap(tile_block)(*args)
+
+    n_t = tiles_x * tiles_y
+    pad = -(-n_t // tile_chunk) * tile_chunk - n_t
+    args = tuple(jnp.pad(x, (0, pad)).reshape(-1, tile_chunk)
+                 for x in (starts, counts, origin_x, origin_y))
+    col, depth = jax.lax.map(chunk_fn, args)
+    return col.reshape(-1, pix, 4)[:n_t], depth.reshape(-1, pix)[:n_t]
+
+
+def assemble_image(tile_color, tile_depth, *, tiles_x: int, tiles_y: int,
+                   width: int, height: int, tile_w: int = 16, tile_h: int = 16):
+    """(T, P, C) tile rasters -> (H, W, C) image + (H, W) depth."""
+    def unpack(t, ch):
+        x = t.reshape(tiles_y, tiles_x, tile_h, tile_w, ch)
+        x = jnp.transpose(x, (0, 2, 1, 3, 4))
+        return x.reshape(tiles_y * tile_h, tiles_x * tile_w, ch)[:height, :width]
+
+    color = unpack(tile_color, 4)
+    depth = unpack(tile_depth[..., None], 1)[..., 0]
+    return color, depth
+
+
+# ---------------------------------------------------------------------------------
+# Pallas production kernel
+# ---------------------------------------------------------------------------------
+
+def _mult_scan_exclusive(om):
+    """Multiplicative Hillis-Steele scan over axis 0 of (G, P).
+
+    Returns (exclusive_products, total_product_row) where
+    exclusive[i] = prod(om[:i]) and total = prod(om)."""
+    g = om.shape[0]
+    y = om
+    k = 1
+    while k < g:
+        shifted = jnp.pad(y, ((k, 0), (0, 0)), constant_values=1.0)[:g, :]
+        y = y * shifted
+        k *= 2
+    excl = jnp.pad(y, ((1, 0), (0, 0)), constant_values=1.0)[:g, :]
+    return excl, y[g - 1:g, :]
+
+
+def _row_blend_kernel(starts_ref, counts_ref, table_ref, out_ref, *,
+                      tiles_x: int, tile_w: int, tile_h: int,
+                      blocks_per_dma: int):
+    """One grid step = one tile row.  See module docstring."""
+    r_dma = blocks_per_dma
+    pix = tile_w * tile_h
+    ty = pl.program_id(0)
+
+    pidx = jax.lax.broadcasted_iota(jnp.int32, (1, pix), 1)
+    px = (pidx % tile_w).astype(jnp.float32)
+    py = (pidx // tile_w).astype(jnp.float32)
+    p3 = jnp.concatenate([px, py, jnp.ones((1, pix), jnp.float32)], axis=0)
+
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (LANES, 1), 0)
+
+    def body(scr, sem):
+        def tile_loop(tx, _):
+            tid = ty * tiles_x + tx
+            start = starts_ref[tid]
+            count = counts_ref[tid]
+            end = start + count
+            blk0 = start // LANES
+            n_chunks = jax.lax.div(end - blk0 * LANES + (r_dma * LANES - 1),
+                                   r_dma * LANES)
+
+            ox = (tx * tile_w).astype(jnp.float32)
+            oy = (ty * tile_h).astype(jnp.float32)
+
+            def chunk_cond(carry):
+                c, acc, trans = carry
+                return jnp.logical_and(c < n_chunks,
+                                       jnp.max(trans) >= MIN_TRANSMITTANCE)
+
+            def chunk_body(carry):
+                c, acc, trans = carry
+                cp = pltpu.make_async_copy(
+                    table_ref.at[pl.ds(blk0 + c * r_dma, r_dma)], scr, sem)
+                cp.start()
+                cp.wait()
+
+                def sub_block(rb, carry2):
+                    acc2, trans2 = carry2
+                    g0 = (blk0 + c * r_dma + rb) * LANES
+                    xt = jnp.transpose(scr[rb])      # (128, 16)
+
+                    a1 = xt[:, A1:A1 + 1]
+                    b1 = xt[:, B1:B1 + 1]
+                    a2 = xt[:, A2:A2 + 1]
+                    b2 = xt[:, B2:B2 + 1]
+                    # shift the linear-form constants to tile-local pixel coords
+                    c1l = xt[:, C1:C1 + 1] + a1 * ox + b1 * oy
+                    c2l = xt[:, C2:C2 + 1] + a2 * ox + b2 * oy
+                    af1 = jnp.concatenate([a1, b1, c1l], axis=1)  # (128, 3)
+                    af2 = jnp.concatenate([a2, b2, c2l], axis=1)
+
+                    u = jax.lax.dot_general(
+                        af1, p3, (((1,), (0,)), ((), ())),
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32)
+                    v = jax.lax.dot_general(
+                        af2, p3, (((1,), (0,)), ((), ())),
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32)
+                    q = u * u + v * v                # (128, P)
+
+                    gidx = g0 + lane_iota            # (128, 1) global instance id
+                    in_range = jnp.logical_and(gidx >= start, gidx < end)
+                    op = jnp.where(in_range, xt[:, COP:COP + 1], 0.0)
+                    alpha = jnp.minimum(op * jnp.exp(-0.5 * q), ALPHA_CLAMP)
+
+                    om = 1.0 - alpha
+                    texcl, ttot = _mult_scan_exclusive(om)
+                    w = alpha * (trans2 * texcl)     # (128, P)
+
+                    cols = xt[:, CR:CR + 4]          # (128, 4): r, g, b, depth
+                    contrib = jax.lax.dot_general(
+                        w, cols, (((0,), (0,)), ((), ())),
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32)  # (P, 4)
+                    return acc2 + contrib, trans2 * ttot
+
+                acc, trans = jax.lax.fori_loop(0, r_dma, sub_block, (acc, trans))
+                return c + 1, acc, trans
+
+            acc0 = jnp.zeros((pix, 4), jnp.float32)
+            trans0 = jnp.ones((1, pix), jnp.float32)
+            _, acc, trans = jax.lax.while_loop(
+                chunk_cond, chunk_body, (jnp.int32(0), acc0, trans0))
+
+            acc_t = jnp.transpose(acc)               # (4, P)
+            out_ref[0, 0, tx, :] = acc_t[0]
+            out_ref[0, 1, tx, :] = acc_t[1]
+            out_ref[0, 2, tx, :] = acc_t[2]
+            out_ref[0, 3, tx, :] = 1.0 - trans[0]
+            out_ref[0, 4, tx, :] = acc_t[3]
+            return 0
+
+        jax.lax.fori_loop(0, tiles_x, tile_loop, 0)
+
+    pl.run_scoped(
+        body,
+        scr=pltpu.VMEM((r_dma, ATTR_ROWS, LANES), jnp.float32),
+        sem=pltpu.SemaphoreType.DMA,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("tiles_x", "tiles_y", "tile_w",
+                                             "tile_h", "blocks_per_dma",
+                                             "interpret"))
+def blend_tiles_pallas(table, starts, counts, *, tiles_x: int, tiles_y: int,
+                       tile_w: int = 16, tile_h: int = 16,
+                       blocks_per_dma: int = 4, interpret: bool = False):
+    """Production blend.  Returns (tile_color (T, P, 4), tile_depth (T, P)).
+
+    ``table``: (CB, 16, 128) f32 blend table with instances depth-ordered within
+    each tile's [start, start+count) span.
+    """
+    pix = tile_w * tile_h
+    n_t = tiles_x * tiles_y
+    txp = -(-tiles_x // 8) * 8
+
+    # fixed-size DMA windows may overrun the last blocks: pad the table.
+    table = jnp.pad(table, ((0, blocks_per_dma), (0, 0), (0, 0)))
+
+    kernel = functools.partial(_row_blend_kernel, tiles_x=tiles_x, tile_w=tile_w,
+                               tile_h=tile_h, blocks_per_dma=blocks_per_dma)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((tiles_y, 8, txp, pix), jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(tiles_y,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec((1, 8, txp, pix),
+                                   lambda ty, *_: (ty, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(starts.astype(jnp.int32), counts.astype(jnp.int32), table)
+
+    # (TY, 8, TXP, P) -> (T, P, ch)
+    out = out[:, :, :tiles_x, :]                      # (TY, 8, TX, P)
+    out = jnp.transpose(out, (0, 2, 3, 1))            # (TY, TX, P, 8)
+    out = out.reshape(n_t, pix, 8)
+    return out[..., 0:4], out[..., 4]

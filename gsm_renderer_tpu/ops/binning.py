@@ -1,0 +1,181 @@
+"""Instance expansion, sorting and tile-range extraction.
+
+TPU-native replacement for the reference's scatter/sort middle stages:
+
+* visibility compaction + depth radix sort      (DepthFirstShaders.metal:516-621, 1387-1696)
+* instance-offset prefix sum + createInstances  (DepthFirstShaders.metal:642-788, 2036-2139)
+* stable tile radix sort                        (DepthFirstShaders.metal:866-1256)
+* tile range extraction                         (DepthFirstShaders.metal:1258-1369)
+
+Design (idiomatic TPU, not a port): TPUs abhor scatter, so instead of the
+reference's "each gaussian sequentially writes its (tile, idx) pairs at its prefix
+offset", we build the *inverse* mapping slot -> (gaussian rank, within-rect index)
+with two tiny scatters and two cumulative ops:
+
+  1. counts are the full clamped tile-rect sizes (closed form, no loops);
+  2. ``offsets = exclusive_cumsum(counts)`` over gaussians (in depth order for the
+     DepthFirst pipeline, in input order for the Global pipeline);
+  3. scatter a mark at each gaussian's offset into the slot axis; a cumulative sum
+     then yields ``rank(s)`` (which gaussian owns slot s) and a cumulative max of
+     scattered offsets yields ``j(s) = s - offset[rank(s)]`` — all O(C) vector work;
+  4. the slot's tile is closed-form from the rect geometry: no per-tile loops, no
+     atomics, no indirect dispatch;
+  5. one stable ``lax.sort`` by tile key then replaces the whole multi-pass radix
+     pipeline (stability preserves depth order within a tile — the correctness
+     property the reference builds its stable tile sort around).
+
+The FlashGS-style exact ellipse/tile test is applied *after* the sort as a
+zero-alpha mask on the gathered blend table (reference applies it before instance
+creation — the rendered output is identical because excluded instances contribute
+exactly zero; only the instance-list occupancy differs).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+Array = Any
+
+# Sentinel tile key for dead slots (sorts after every real tile).
+SENTINEL_KEY = jnp.uint32(0xFFFFFFFF)
+
+
+def pack_rect_word(min_tx, min_ty, rect_w):
+    """Pack (min_tx, min_ty, rect_w) into one uint32 (10 | 10 | 10 bits).
+
+    Supports tile grids up to 1024x1024 and rect widths up to 1023 (the clamped
+    rect width is bounded by the tile-grid width).
+    """
+    return (
+        min_tx.astype(jnp.uint32)
+        | (min_ty.astype(jnp.uint32) << 10)
+        | (rect_w.astype(jnp.uint32) << 20)
+    )
+
+
+def unpack_rect_word(word):
+    min_tx = (word & jnp.uint32(0x3FF)).astype(jnp.int32)
+    min_ty = ((word >> 10) & jnp.uint32(0x3FF)).astype(jnp.int32)
+    rect_w = ((word >> 20) & jnp.uint32(0x3FF)).astype(jnp.int32)
+    return min_tx, min_ty, rect_w
+
+
+def depth_order(depth_key):
+    """Stable depth sort of gaussians; culled keys (0xFFFFFFFF) sink to the end.
+
+    Returns (sorted_key, order) where ``order[i]`` is the gaussian index at depth
+    rank i.  Equivalent of visibility compaction + depth radix sort
+    (DepthFirstShaders.metal:516-621, 1387-1696) in one stable sort.
+    """
+    n = depth_key.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    sorted_key, order = jax.lax.sort((depth_key, iota), num_keys=1)
+    return sorted_key, order
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SlotMap:
+    """Inverse expansion mapping over the static instance capacity C."""
+
+    rank: Array        # (C,) int32 — owning gaussian rank; -1 for dead slots
+    j: Array           # (C,) int32 — within-rect index (row-major)
+    slot_valid: Array  # (C,) bool  — slot < total emitted instances
+    total: Array       # () int32   — total instances (pre-clamp)
+    overflow: Array    # () int32   — 1 if total exceeded capacity
+
+
+def build_slot_map(counts, capacity: int) -> SlotMap:
+    """Invert per-gaussian instance counts into per-slot (rank, j).
+
+    ``counts``: (N,) int32 instance counts in emission order (depth order for the
+    DepthFirst pipeline).  ``capacity``: static slot count C.
+
+    Replaces the reference's prefix-sum + sequential per-gaussian writes
+    (InstanceExpansionEncoder.swift:83-249) with scatter-free closed forms:
+    two 1-element-per-gaussian scatters plus a cumulative sum / max over C.
+    """
+    counts = counts.astype(jnp.int32)
+    offsets = jnp.cumsum(counts) - counts  # exclusive
+    total = offsets[-1] + counts[-1]
+    overflow = (total > capacity).astype(jnp.int32)
+
+    n = counts.shape[0]
+    has = counts > 0
+    # Drop-out-of-range scatter (XLA drops OOB updates with mode=drop).
+    offs_valid = jnp.where(has & (offsets < capacity), offsets, capacity)
+
+    marks = jnp.zeros((capacity,), jnp.int32)
+    marks = marks.at[offs_valid].add(1, mode="drop")
+    rank = jnp.cumsum(marks) - 1  # (C,) owning gaussian rank (among count>0 set)
+
+    # rank above counts only gaussians with count > 0; map back to the dense rank
+    # axis: scatter the dense index at each offset and cummax.
+    dense_idx = jnp.arange(n, dtype=jnp.int32)
+    rank_at = jnp.zeros((capacity,), jnp.int32)
+    rank_at = rank_at.at[offs_valid].max(dense_idx, mode="drop")
+    rank_dense = jax.lax.cummax(rank_at)
+
+    off_at = jnp.zeros((capacity,), jnp.int32)
+    off_at = off_at.at[offs_valid].max(offsets, mode="drop")
+    off_run = jax.lax.cummax(off_at)
+
+    slot_iota = jnp.arange(capacity, dtype=jnp.int32)
+    j = slot_iota - off_run
+    slot_valid = (slot_iota < total) & (rank >= 0)
+    return SlotMap(rank=jnp.where(slot_valid, rank_dense, -1),
+                   j=jnp.where(slot_valid, j, 0),
+                   slot_valid=slot_valid, total=total, overflow=overflow)
+
+
+def slot_tile_ids(slot_map: SlotMap, rect_word_by_rank, tiles_x: int):
+    """Closed-form tile id per slot.
+
+    ``rect_word_by_rank``: (N,) uint32 packed rects aligned with the emission
+    order used for ``counts``.  Returns (C,) uint32 tile keys with dead slots at
+    SENTINEL_KEY.  Equivalent of ``createInstancesKernel`` writing (tileId, idx)
+    pairs (DepthFirstShaders.metal:642-788), minus the per-tile test (applied
+    later as a zero-alpha mask).
+    """
+    safe_rank = jnp.maximum(slot_map.rank, 0)
+    word = rect_word_by_rank[safe_rank]
+    min_tx, min_ty, rect_w = unpack_rect_word(word)
+    rw = jnp.maximum(rect_w, 1)
+    ty = min_ty + slot_map.j // rw
+    tx = min_tx + slot_map.j % rw
+    tile = (ty * tiles_x + tx).astype(jnp.uint32)
+    return jnp.where(slot_map.slot_valid, tile, SENTINEL_KEY)
+
+
+def stable_sort_by_tile(tile_key, payload):
+    """Stable sort of instances by tile key; stability preserves emission (depth)
+    order within each tile — the linchpin correctness property of the reference's
+    stable tile radix sort (DepthFirstShaders.metal:866-1256)."""
+    return jax.lax.sort((tile_key, payload), num_keys=1)
+
+
+def extract_tile_ranges(sorted_tile_key, num_tiles: int):
+    """Per-tile (offset, count) headers via vectorized binary search.
+
+    Equivalent of ``extractTileRangesKernel`` (DepthFirstShaders.metal:1258-1369),
+    which also binary-searches the sorted keys per tile.
+    """
+    tiles = jnp.arange(num_tiles, dtype=jnp.uint32)
+    starts = jnp.searchsorted(sorted_tile_key, tiles, side="left").astype(jnp.int32)
+    ends = jnp.searchsorted(sorted_tile_key, tiles, side="right").astype(jnp.int32)
+    return starts, ends - starts
+
+
+def gather_sorted_records(sorted_payload, record_words):
+    """Gather quantized record words into sorted-instance order.
+
+    ``sorted_payload``: (C,) int32 indices into the emission-order table;
+    ``record_words``: (N, K) uint32 packed record words.  One row-gather — the
+    equivalent of the reference's reorder-into-sorted-order pass
+    (HardwareGaussianShaders.metal:348-363).
+    """
+    return record_words[jnp.maximum(sorted_payload, 0)]

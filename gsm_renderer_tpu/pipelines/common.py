@@ -1,0 +1,121 @@
+"""Shared pipeline machinery: record word packing, sorted-instance attribute
+derivation (including the exact per-tile ellipse test), and the core frame
+assembly used by every renderer variant."""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from .. import mathlib as M
+from ..types import RenderRecord
+
+Array = Any
+
+
+def pack_record_words(record: RenderRecord):
+    """Pack the quantized render record into (N, 4) uint32 words — the SoA
+    equivalent of the 16-byte ``GaussianRenderData`` (BridgingTypes.h:75-84):
+
+      word0 = mean_x.f16 | mean_y.f16 << 16
+      word1 = theta.u16  | sigma1.f16 << 16
+      word2 = sigma2.f16 | depth.f16 << 16
+      word3 = r | g << 8 | b << 16 | opacity << 24
+    """
+    def f16b(x):
+        return x.view(jnp.uint16).astype(jnp.uint32)
+
+    w0 = f16b(record.mean_x) | (f16b(record.mean_y) << 16)
+    w1 = record.theta.astype(jnp.uint32) | (f16b(record.sigma1) << 16)
+    w2 = f16b(record.sigma2) | (f16b(record.depth) << 16)
+    w3 = (record.color[:, 0].astype(jnp.uint32)
+          | (record.color[:, 1].astype(jnp.uint32) << 8)
+          | (record.color[:, 2].astype(jnp.uint32) << 16)
+          | (record.opacity.astype(jnp.uint32) << 24))
+    return jnp.stack([w0, w1, w2, w3], axis=-1)
+
+
+def unpack_record_words(words):
+    """Inverse of :func:`pack_record_words`; returns a dict of f32 fields."""
+    def lo16(w):
+        return (w & jnp.uint32(0xFFFF)).astype(jnp.uint16)
+
+    def hi16(w):
+        return (w >> 16).astype(jnp.uint16)
+
+    w0, w1, w2, w3 = (words[..., i] for i in range(4))
+    return {
+        "mean_x": lo16(w0).view(jnp.float16).astype(jnp.float32),
+        "mean_y": hi16(w0).view(jnp.float16).astype(jnp.float32),
+        "theta": M.unpack_theta_u16(lo16(w1)),
+        "sigma1": hi16(w1).view(jnp.float16).astype(jnp.float32),
+        "sigma2": lo16(w2).view(jnp.float16).astype(jnp.float32),
+        "depth": hi16(w2).view(jnp.float16).astype(jnp.float32),
+        "r": (w3 & 0xFF).astype(jnp.float32) * (1.0 / 255.0),
+        "g": ((w3 >> 8) & 0xFF).astype(jnp.float32) * (1.0 / 255.0),
+        "b": ((w3 >> 16) & 0xFF).astype(jnp.float32) * (1.0 / 255.0),
+        "op": ((w3 >> 24) & 0xFF).astype(jnp.float32) * (1.0 / 255.0),
+    }
+
+
+def sorted_instance_attrs(sorted_words, sorted_tile_key, *, tiles_x: int,
+                          tile_w: int, tile_h: int, alpha_threshold: float,
+                          exact_tile_test: bool, r2_cutoff: float | None = None):
+    """Blend attributes for sorted instances, with the exact per-tile ellipse test
+    applied as a zero-alpha mask.
+
+    ``sorted_words``: (C, 4) uint32 quantized records in sorted-instance order;
+    ``sorted_tile_key``: (C,) uint32 tile ids (sentinel 0xFFFFFFFF for dead slots).
+
+    The exact test reproduces the reference mono path's per-tile filter
+    (DepthFirstShaders.metal:181-205): conic rebuilt from the *quantized* record,
+    ``minQuadRect <= d2Cutoff`` over the tile rect relative to the quantized mean.
+    Instances failing it get opacity 0 (the reference never emits them; a
+    zero-alpha instance contributes identically nothing to the blend).
+
+    ``r2_cutoff``: if set (HardwareRenderer parity: fragment discard at r^2 > 9,
+    HardwareGaussianShaders.metal:771-780), skips the exact test and instead
+    leaves per-pixel cutoff to the blend (no list-level mask).
+    """
+    f = unpack_record_words(sorted_words)
+    theta, s1, s2 = f["theta"], jnp.maximum(f["sigma1"], 1e-4), jnp.maximum(f["sigma2"], 1e-4)
+    c = jnp.cos(theta)
+    s = jnp.sin(theta)
+    inv1 = 1.0 / s1
+    inv2 = 1.0 / s2
+    mx, my = f["mean_x"], f["mean_y"]
+
+    a1 = c * inv1
+    b1 = s * inv1
+    c1 = -(mx * c + my * s) * inv1
+    a2 = -s * inv2
+    b2 = c * inv2
+    c2 = (mx * s - my * c) * inv2
+
+    live = sorted_tile_key != jnp.uint32(0xFFFFFFFF)
+    op = jnp.where(live, f["op"], 0.0)
+
+    if exact_tile_test:
+        # conic (A, B, C) consistent with the linear forms: q = u^2 + v^2
+        conic_a = a1 * a1 + a2 * a2
+        conic_b = a1 * b1 + a2 * b2
+        conic_c = b1 * b1 + b2 * b2
+        tile = jnp.where(live, sorted_tile_key, 0).astype(jnp.int32)
+        tx = (tile % tiles_x).astype(jnp.float32)
+        ty = (tile // tiles_x).astype(jnp.float32)
+        xmin = tx * tile_w - mx
+        xmax = xmin + tile_w
+        ymin = ty * tile_h - my
+        ymax = ymin + tile_h
+        d2min = M.min_quad_rect(xmin, xmax, ymin, ymax, conic_a, conic_b, conic_c)
+        tau = max(alpha_threshold, 1e-12)
+        cutoff = M.compute_d2_cutoff(op, tau)
+        op = jnp.where(d2min <= cutoff, op, 0.0)
+
+    return {
+        "a1": a1, "b1": b1, "c1": c1, "a2": a2, "b2": b2, "c2": c2,
+        "r": f["r"], "g": f["g"], "b": f["b"],
+        "depth": f["depth"], "op": op,
+    }

@@ -1,0 +1,139 @@
+"""GlobalRenderer — single global (tile, depth) radix sort pipeline, tile 32x16.
+
+Reference call stack (GlobalRenderer.swift:281-370): projectCull -> two-pass tile
+assignment -> sort-key gen [tileId:16 | depthHalf^0x8000:16] -> global radix sort
+-> headers + active tiles -> 32x16-tile render.
+
+TPU-native flow: identical to the DepthFirst machinery except there is **no depth
+pre-sort** — instances are emitted in input order and one sort over the fused
+32-bit key [tile:16 | depth16:16] (SortKeyGenEncoder.swift:1-44,
+GlobalShaders.metal:266-300) establishes (tile, depth) order directly.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from .. import config as cfg
+from .. import mathlib as M
+from ..camera import CameraParams
+from ..kernels import blend as K
+from ..ops import binning as B
+from ..ops.project import project_and_cull
+from ..types import FrameHeader, GaussianInput, RenderOutput
+from .base import GaussianRenderer, instance_capacity
+from .common import pack_record_words, sorted_instance_attrs
+
+Array = Any
+
+
+def global_frame(
+    gi: GaussianInput,
+    view: Array, proj: Array, center: Array,
+    *,
+    width: int, height: int, capacity: int,
+    sh_degree: int, alpha_threshold: float, total_ink_threshold: float,
+    near_plane: float, far_plane: float, input_is_srgb: bool,
+    tile_w: int = 32, tile_h: int = 16,
+    exact_tile_test: bool = True,
+    back_to_front: bool = False,
+    use_xla_blend: bool = False,
+    interpret: bool = False,
+):
+    tiles_x, tiles_y = cfg.tiles_for(width, height, tile_w, tile_h)
+    num_tiles = tiles_x * tiles_y
+    if num_tiles > 0xFFFF:
+        raise ValueError("GlobalRenderer tile id must fit 16 bits "
+                         f"({num_tiles} tiles)")
+
+    pr = project_and_cull(
+        gi, view, proj, center,
+        width=width, height=height, tile_w=tile_w, tile_h=tile_h,
+        sh_degree=sh_degree, near_plane=near_plane, far_plane=far_plane,
+        alpha_threshold=alpha_threshold, total_ink_threshold=total_ink_threshold,
+        input_is_srgb=input_is_srgb,
+    )
+
+    rect_word = B.pack_rect_word(pr.min_tx, pr.min_ty, (pr.max_tx - pr.min_tx + 1))
+    words = pack_record_words(pr.record)
+
+    # Emission in input order (no depth pre-sort).
+    sm = B.build_slot_map(pr.rect_count, capacity)
+    tile_id = B.slot_tile_ids(sm, rect_word, tiles_x)
+
+    # 16-bit half depth key per gaussian (GlobalShaders.metal:266-300).
+    depth16 = M.half_depth_key16(pr.record.depth.astype(jnp.float32))
+    if back_to_front:
+        depth16 = jnp.uint32(0xFFFF) - depth16
+    slot_depth16 = depth16[jnp.maximum(sm.rank, 0)]
+
+    live = tile_id != B.SENTINEL_KEY
+    key = jnp.where(live, (tile_id << 16) | slot_depth16, B.SENTINEL_KEY)
+
+    sorted_key, sorted_rank = B.stable_sort_by_tile(key, sm.rank)
+    sorted_tile = jnp.where(sorted_key == B.SENTINEL_KEY, B.SENTINEL_KEY,
+                            sorted_key >> 16)
+    sorted_words = words[jnp.maximum(sorted_rank, 0)]
+
+    attrs = sorted_instance_attrs(
+        sorted_words, sorted_tile, tiles_x=tiles_x, tile_w=tile_w, tile_h=tile_h,
+        alpha_threshold=alpha_threshold, exact_tile_test=exact_tile_test)
+
+    starts, counts = B.extract_tile_ranges(sorted_tile, num_tiles)
+
+    table = K.build_blend_table(attrs, capacity)
+    if use_xla_blend:
+        tc, td = K.blend_tiles_xla(table, starts, counts, tiles_x=tiles_x,
+                                   tiles_y=tiles_y,
+                                   max_per_tile=min(capacity, 4096),
+                                   tile_w=tile_w, tile_h=tile_h)
+    else:
+        tc, td = K.blend_tiles_pallas(table, starts, counts, tiles_x=tiles_x,
+                                      tiles_y=tiles_y, tile_w=tile_w,
+                                      tile_h=tile_h, interpret=interpret)
+    color, depth = K.assemble_image(tc, td, tiles_x=tiles_x, tiles_y=tiles_y,
+                                    width=width, height=height,
+                                    tile_w=tile_w, tile_h=tile_h)
+
+    header = FrameHeader(
+        visible_count=jnp.sum(pr.visible).astype(jnp.int32),
+        total_instances=sm.total,
+        overflow=sm.overflow,
+    )
+    return RenderOutput(color=color, depth=depth, header=header)
+
+
+class GlobalRenderer(GaussianRenderer):
+    """Global (tile, depth16) single-sort renderer, 32x16 tiles."""
+
+    def render(self, gi: GaussianInput, camera: CameraParams,
+               width: int, height: int) -> RenderOutput:
+        gi.validate()
+        n = gi.count
+        c = self.config
+        key = ("global", n, gi.sh_n_coeffs, width, height, c, self.use_xla_blend,
+               camera.near_plane, camera.far_plane)
+
+        def build():
+            capacity = instance_capacity(c, n)
+            fn = functools.partial(
+                global_frame,
+                width=width, height=height, capacity=capacity,
+                sh_degree=min(c.sh_degree, {1: 0, 4: 1, 9: 2, 16: 3}[gi.sh_n_coeffs]),
+                alpha_threshold=c.alpha_threshold,
+                total_ink_threshold=c.total_ink_threshold,
+                near_plane=camera.near_plane, far_plane=camera.far_plane,
+                input_is_srgb=(c.gaussian_color_space == cfg.GaussianColorSpace.SRGB),
+                tile_w=cfg.GLOBAL_TILE[0], tile_h=cfg.GLOBAL_TILE[1],
+                back_to_front=c.back_to_front,
+                use_xla_blend=self.use_xla_blend,
+            )
+            return jax.jit(fn)
+
+        prog = self._program(key, build)
+        view, proj, center = camera.astuple_jax()
+        return prog(gi, view, proj, center)
