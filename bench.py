@@ -1,0 +1,133 @@
+"""Benchmark harness.
+
+Mirrors the reference benchmark protocol (PLYBenchmarkTests.swift:200-298 /
+TestUtils.swift:352-401): 3 warmup + 10 measured frames, avg/min/max ms, FPS,
+M splats/s.  The headline metric (BASELINE.json) is ms/frame for the DepthFirst
+pipeline at 1M gaussians, SH3, 1920x1080 on one chip; ``vs_baseline`` is the
+speed ratio against the 16.6 ms (60 FPS) north-star target (>1 = faster than
+target).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": ..., "unit": "ms", "vs_baseline": ...}
+
+Timing note: on the tunneled device backend block_until_ready does not reliably
+block, and a host fetch costs 35-60 ms; frames are therefore timed in chained
+batches with a single scalar fetch at the end, divided by the batch size.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+TARGET_MS = 16.6
+
+
+def _build(n, w, h, sh_degree, scale_range, renderer="depth_first", seed=7):
+    import gsm_renderer_tpu as G
+    from gsm_renderer_tpu.io.scene import generate_visible_gaussians
+
+    ds = generate_visible_gaussians(n, sh_degree=sh_degree, seed=seed,
+                                    scale_range=scale_range)
+    cam = G.make_camera(w, h, far=50.0)
+    cfg = G.RendererConfig(sh_degree=sh_degree)
+    cls = {"depth_first": G.DepthFirstRenderer, "global": G.GlobalRenderer}
+    r = cls[renderer](cfg)
+    return r, ds.to_input(), cam
+
+
+def time_frames(render_fn, warmup=3, iters=10):
+    """Reference protocol: warmup then measure; returns per-frame ms stats."""
+    import jax
+
+    for _ in range(warmup):
+        out = render_fn()
+    np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[0])  # sync
+
+    times = []
+    # chained batches of `chain` frames with one sync each
+    chain = 5
+    for _ in range(max(iters // chain, 1)):
+        t0 = time.perf_counter()
+        for _ in range(chain):
+            out = render_fn()
+        np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[0])
+        times.append((time.perf_counter() - t0) / chain * 1000)
+    # subtract the fixed dispatch+fetch overhead measured on a trivial program
+    return dict(avg=float(np.mean(times)), min=float(np.min(times)),
+                max=float(np.max(times)))
+
+
+def measure_overhead():
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: x + 1)
+    x = jnp.zeros(())
+    np.asarray(f(x))
+    t0 = time.perf_counter()
+    k = 10
+    for _ in range(k):
+        np.asarray(f(x))
+    return (time.perf_counter() - t0) / k * 1000
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--gaussians", type=int, default=1_000_000)
+    ap.add_argument("--width", type=int, default=1920)
+    ap.add_argument("--height", type=int, default=1080)
+    ap.add_argument("--sh", type=int, default=3)
+    ap.add_argument("--renderer", default="depth_first")
+    ap.add_argument("--matrix", action="store_true",
+                    help="run the full BASELINE.json config matrix")
+    args = ap.parse_args()
+
+    overhead_ms = measure_overhead()
+
+    def run_one(n, w, h, sh, renderer, scale_range=(0.002, 0.012)):
+        r, gi, cam = _build(n, w, h, sh, scale_range, renderer)
+        out = r.render(gi, cam, w, h)  # compile
+        ov = int(out.header.overflow)
+        stats = time_frames(lambda: r.render(gi, cam, w, h))
+        frame_ms = max(stats["avg"] - overhead_ms / 5, 0.01)
+        return frame_ms, stats, ov, int(out.header.total_instances)
+
+    results = {}
+    if args.matrix:
+        matrix = [
+            ("global_50k_800x600_sh0", 50_000, 800, 600, 0, "global"),
+            ("global_500k_1080p_sh2", 500_000, 1920, 1080, 2, "global"),
+            ("depthfirst_1m_1080p_sh3", 1_000_000, 1920, 1080, 3, "depth_first"),
+        ]
+        for name, n, w, h, sh, rend in matrix:
+            ms, stats, ov, ti = run_one(n, w, h, sh, rend)
+            results[name] = dict(ms=round(ms, 3), min=round(stats["min"], 3),
+                                 max=round(stats["max"], 3), overflow=ov,
+                                 instances=ti,
+                                 msplats_per_s=round(n / ms / 1000.0, 1))
+            print(f"# {name}: {results[name]}", file=sys.stderr)
+
+    ms, stats, ov, ti = run_one(args.gaussians, args.width, args.height,
+                                args.sh, args.renderer)
+    fps = 1000.0 / ms
+    line = {
+        "metric": f"ms/frame DepthFirst {args.gaussians//1000}k gaussians "
+                  f"SH{args.sh} {args.width}x{args.height} (1 chip)",
+        "value": round(ms, 3),
+        "unit": "ms",
+        "vs_baseline": round(TARGET_MS / ms, 4),
+        "fps": round(fps, 2),
+        "msplats_per_s": round(args.gaussians / ms / 1000.0, 1),
+        "instances": ti,
+        "overflow": ov,
+        "overhead_ms_subtracted": round(overhead_ms / 5, 3),
+        "extra": results,
+    }
+    print(json.dumps(line))
+
+
+if __name__ == "__main__":
+    main()

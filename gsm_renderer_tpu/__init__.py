@@ -14,7 +14,8 @@ from .config import (GaussianColorSpace, HardwareBackend, Precision,
 from .types import (GaussianInput, RendererError, RenderOutput,
                     make_gaussian_input, pack_world_gaussians,
                     unpack_world_gaussians)
-from .pipelines import DepthFirstRenderer, GaussianRenderer, GlobalRenderer
+from .pipelines import (DepthFirstRenderer, GaussianRenderer, GlobalRenderer,
+                        HardwareRenderer, LocalRenderer)
 
 __version__ = "0.1.0"
 
@@ -26,4 +27,5 @@ __all__ = [
     "GaussianInput", "RendererError", "RenderOutput", "make_gaussian_input",
     "pack_world_gaussians", "unpack_world_gaussians",
     "DepthFirstRenderer", "GaussianRenderer", "GlobalRenderer",
+    "HardwareRenderer", "LocalRenderer",
 ]

@@ -84,7 +84,8 @@ def build_blend_table(attrs: dict, capacity: int):
 
 def blend_tiles_xla(table, starts, counts, *, tiles_x: int, tiles_y: int,
                     max_per_tile: int, tile_w: int = 16, tile_h: int = 16,
-                    tile_chunk: int = 64):
+                    tile_chunk: int = 64, depth_mode: str = "weighted",
+                    r2_cutoff: float = 0.0):
     """Reference blend: same math as the Pallas kernel, O(T * max_per_tile) memory.
 
     ``table``: (CB, 16, 128) blend table; ``starts``/``counts``: (T,) int32.
@@ -119,15 +120,31 @@ def blend_tiles_xla(table, starts, counts, *, tiles_x: int, tiles_y: int,
         q = u * u + v * v
         alpha = jnp.minimum(op[:, None] * jnp.exp(-0.5 * q), ALPHA_CLAMP)
         alpha = jnp.where(valid[:, None], alpha, 0.0)
+        if r2_cutoff > 0.0:
+            # HardwareRenderer fragment discard at r^2 > 9
+            # (HardwareGaussianShaders.metal:771-780)
+            alpha = jnp.where(q > r2_cutoff, 0.0, alpha)
 
         om = 1.0 - alpha
         trans = jnp.cumprod(om, axis=0)
         trans_excl = jnp.concatenate([jnp.ones((1, pix)), trans[:-1]], axis=0)
         w = alpha * trans_excl  # (K, P)
+        a_out = 1.0 - trans[-1]
         col = jnp.stack(
             [jnp.sum(w * r[:, None], 0), jnp.sum(w * g[:, None], 0),
-             jnp.sum(w * b[:, None], 0), 1.0 - trans[-1]], axis=-1)  # (P, 4)
-        depth = jnp.sum(w * d[:, None], 0)
+             jnp.sum(w * b[:, None], 0), a_out], axis=-1)  # (P, 4)
+        if depth_mode == "first_hit":
+            # Local renderer: depth of the first instance with alpha > 0.1
+            # (LocalShaders.metal:529-537)
+            hit = alpha > FIRST_HIT_ALPHA
+            took = hit & (jnp.cumsum(hit.astype(jnp.int32), axis=0) == 1)
+            depth = jnp.sum(jnp.where(took, d[:, None], 0.0), 0)
+        elif depth_mode == "normalized":
+            # Hardware postprocess: alpha-normalized depth
+            # (HardwareGaussianShaders.metal:483-526)
+            depth = jnp.sum(w * d[:, None], 0) / jnp.maximum(a_out, 1e-6)
+        else:
+            depth = jnp.sum(w * d[:, None], 0)
         return col, depth
 
     def chunk_fn(args):
@@ -174,12 +191,28 @@ def _mult_scan_exclusive(om):
     return excl, y[g - 1:g, :]
 
 
+def _add_scan_exclusive(x):
+    """Additive Hillis-Steele scan over axis 0 of (G, P); returns
+    (exclusive_sums, total_row)."""
+    g = x.shape[0]
+    y = x
+    k = 1
+    while k < g:
+        shifted = jnp.pad(y, ((k, 0), (0, 0)))[:g, :]
+        y = y + shifted
+        k *= 2
+    excl = jnp.pad(y, ((1, 0), (0, 0)))[:g, :]
+    return excl, y[g - 1:g, :]
+
+
 def _row_blend_kernel(starts_ref, counts_ref, table_ref, out_ref, *,
                       tiles_x: int, tile_w: int, tile_h: int,
-                      blocks_per_dma: int):
+                      blocks_per_dma: int, depth_mode: str = "weighted",
+                      r2_cutoff: float = 0.0):
     """One grid step = one tile row.  See module docstring."""
     r_dma = blocks_per_dma
     pix = tile_w * tile_h
+    first_hit = depth_mode == "first_hit"
     ty = pl.program_id(0)
 
     pidx = jax.lax.broadcasted_iota(jnp.int32, (1, pix), 1)
@@ -203,19 +236,19 @@ def _row_blend_kernel(starts_ref, counts_ref, table_ref, out_ref, *,
             oy = (ty * tile_h).astype(jnp.float32)
 
             def chunk_cond(carry):
-                c, acc, trans = carry
+                c, acc, trans, _fh = carry
                 return jnp.logical_and(c < n_chunks,
                                        jnp.max(trans) >= MIN_TRANSMITTANCE)
 
             def chunk_body(carry):
-                c, acc, trans = carry
+                c, acc, trans, fh = carry
                 cp = pltpu.make_async_copy(
                     table_ref.at[pl.ds(blk0 + c * r_dma, r_dma)], scr, sem)
                 cp.start()
                 cp.wait()
 
                 def sub_block(rb, carry2):
-                    acc2, trans2 = carry2
+                    acc2, trans2, fh2 = carry2
                     g0 = (blk0 + c * r_dma + rb) * LANES
                     xt = jnp.transpose(scr[rb])      # (128, 16)
 
@@ -243,6 +276,10 @@ def _row_blend_kernel(starts_ref, counts_ref, table_ref, out_ref, *,
                     in_range = jnp.logical_and(gidx >= start, gidx < end)
                     op = jnp.where(in_range, xt[:, COP:COP + 1], 0.0)
                     alpha = jnp.minimum(op * jnp.exp(-0.5 * q), ALPHA_CLAMP)
+                    if r2_cutoff > 0.0:
+                        # Hardware fragment discard at r^2 > cutoff
+                        # (HardwareGaussianShaders.metal:771-780)
+                        alpha = jnp.where(q > r2_cutoff, 0.0, alpha)
 
                     om = 1.0 - alpha
                     texcl, ttot = _mult_scan_exclusive(om)
@@ -253,22 +290,46 @@ def _row_blend_kernel(starts_ref, counts_ref, table_ref, out_ref, *,
                         w, cols, (((0,), (0,)), ((), ())),
                         precision=jax.lax.Precision.HIGHEST,
                         preferred_element_type=jnp.float32)  # (P, 4)
-                    return acc2 + contrib, trans2 * ttot
+                    if first_hit:
+                        # depth of the first instance with alpha > 0.1
+                        # (LocalShaders.metal:529-537); fh2 row0 = hits so far,
+                        # row1 = first-hit depth accumulator
+                        hit = (alpha > FIRST_HIT_ALPHA).astype(jnp.float32)
+                        hexcl, htot = _add_scan_exclusive(hit)
+                        took = hit * jnp.where(fh2[0:1, :] + hexcl > 0.0,
+                                               0.0, 1.0)
+                        dfh = jax.lax.dot_general(
+                            took, xt[:, CD:CD + 1], (((0,), (0,)), ((), ())),
+                            precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32)  # (P, 1)
+                        fh2 = jnp.concatenate(
+                            [fh2[0:1, :] + htot, fh2[1:2, :] + jnp.transpose(dfh)],
+                            axis=0)
+                    return acc2 + contrib, trans2 * ttot, fh2
 
-                acc, trans = jax.lax.fori_loop(0, r_dma, sub_block, (acc, trans))
-                return c + 1, acc, trans
+                acc, trans, fh = jax.lax.fori_loop(0, r_dma, sub_block,
+                                                   (acc, trans, fh))
+                return c + 1, acc, trans, fh
 
             acc0 = jnp.zeros((pix, 4), jnp.float32)
             trans0 = jnp.ones((1, pix), jnp.float32)
-            _, acc, trans = jax.lax.while_loop(
-                chunk_cond, chunk_body, (jnp.int32(0), acc0, trans0))
+            fh0 = jnp.zeros((2, pix), jnp.float32)
+            _, acc, trans, fh = jax.lax.while_loop(
+                chunk_cond, chunk_body, (jnp.int32(0), acc0, trans0, fh0))
 
             acc_t = jnp.transpose(acc)               # (4, P)
+            a_out = 1.0 - trans[0]
+            if first_hit:
+                depth_out = fh[1]
+            elif depth_mode == "normalized":
+                depth_out = acc_t[3] / jnp.maximum(a_out, 1e-6)
+            else:
+                depth_out = acc_t[3]
             out_ref[0, 0, tx, :] = acc_t[0]
             out_ref[0, 1, tx, :] = acc_t[1]
             out_ref[0, 2, tx, :] = acc_t[2]
-            out_ref[0, 3, tx, :] = 1.0 - trans[0]
-            out_ref[0, 4, tx, :] = acc_t[3]
+            out_ref[0, 3, tx, :] = a_out
+            out_ref[0, 4, tx, :] = depth_out
             return 0
 
         jax.lax.fori_loop(0, tiles_x, tile_loop, 0)
@@ -282,10 +343,12 @@ def _row_blend_kernel(starts_ref, counts_ref, table_ref, out_ref, *,
 
 @functools.partial(jax.jit, static_argnames=("tiles_x", "tiles_y", "tile_w",
                                              "tile_h", "blocks_per_dma",
-                                             "interpret"))
+                                             "interpret", "depth_mode",
+                                             "r2_cutoff"))
 def blend_tiles_pallas(table, starts, counts, *, tiles_x: int, tiles_y: int,
                        tile_w: int = 16, tile_h: int = 16,
-                       blocks_per_dma: int = 4, interpret: bool = False):
+                       blocks_per_dma: int = 4, interpret: bool = False,
+                       depth_mode: str = "weighted", r2_cutoff: float = 0.0):
     """Production blend.  Returns (tile_color (T, P, 4), tile_depth (T, P)).
 
     ``table``: (CB, 16, 128) f32 blend table with instances depth-ordered within
@@ -299,7 +362,8 @@ def blend_tiles_pallas(table, starts, counts, *, tiles_x: int, tiles_y: int,
     table = jnp.pad(table, ((0, blocks_per_dma), (0, 0), (0, 0)))
 
     kernel = functools.partial(_row_blend_kernel, tiles_x=tiles_x, tile_w=tile_w,
-                               tile_h=tile_h, blocks_per_dma=blocks_per_dma)
+                               tile_h=tile_h, blocks_per_dma=blocks_per_dma,
+                               depth_mode=depth_mode, r2_cutoff=r2_cutoff)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((tiles_y, 8, txp, pix), jnp.float32),

@@ -1,13 +1,18 @@
-"""GlobalRenderer — single global (tile, depth) radix sort pipeline, tile 32x16.
+"""LocalRenderer — per-tile binning with in-tile depth sort, tile 16x16.
 
-Reference call stack (GlobalRenderer.swift:281-370): projectCull -> two-pass tile
-assignment -> sort-key gen [tileId:16 | depthHalf^0x8000:16] -> global radix sort
--> headers + active tiles -> 32x16-tile render.
+Reference call stack (LocalRenderer.swift:1-270): projectStore+compact -> atomic
+per-tile scatter (<= 2048 slots/tile) -> per-tile bitonic sort by
+(depth16 << 16 | localIdx) -> tile render with "first significant hit" depth
+semantics (LocalShaders.metal:529-537).
 
-TPU-native flow: identical to the DepthFirst machinery except there is **no depth
-pre-sort** — instances are emitted in input order and one sort over the fused
-32-bit key [tile:16 | depth16:16] (SortKeyGenEncoder.swift:1-44,
-GlobalShaders.metal:266-300) establishes (tile, depth) order directly.
+TPU-native flow: identical machinery to the Global pipeline (one stable sort by
+[tile:16 | depth16:16] — equivalent output ordering to the reference's scatter +
+per-tile bitonic sort, whose localIdx tiebreak makes the atomic scatter order
+deterministic again), then:
+
+* per-tile counts clamped to 2048 (the reference silently drops instances past
+  the fixed per-tile capacity — LocalShaders.metal:660-664),
+* blend depth output = depth of the first instance with alpha > 0.1.
 """
 
 from __future__ import annotations
@@ -31,24 +36,22 @@ from .common import pack_record_words, sorted_instance_attrs
 Array = Any
 
 
-def global_frame(
+def local_frame(
     gi: GaussianInput,
     view: Array, proj: Array, center: Array,
     *,
     width: int, height: int, capacity: int,
     sh_degree: int, alpha_threshold: float, total_ink_threshold: float,
     near_plane: float, far_plane: float, input_is_srgb: bool,
-    tile_w: int = 32, tile_h: int = 16,
-    exact_tile_test: bool = True,
-    back_to_front: bool = False,
+    tile_w: int = 16, tile_h: int = 16,
+    max_per_tile: int = cfg.LOCAL_MAX_PER_TILE,
     use_xla_blend: bool = False,
     interpret: bool = False,
 ):
     tiles_x, tiles_y = cfg.tiles_for(width, height, tile_w, tile_h)
     num_tiles = tiles_x * tiles_y
     if num_tiles > 0xFFFF:
-        raise ValueError("GlobalRenderer tile id must fit 16 bits "
-                         f"({num_tiles} tiles)")
+        raise ValueError(f"LocalRenderer tile id must fit 16 bits ({num_tiles})")
 
     pr = project_and_cull(
         gi, view, proj, center,
@@ -61,15 +64,11 @@ def global_frame(
     rect_word = B.pack_rect_word(pr.min_tx, pr.min_ty, (pr.max_tx - pr.min_tx + 1))
     words = pack_record_words(pr.record)
 
-    # Emission in input order (no depth pre-sort).
     sm = B.build_slot_map(pr.rect_count, capacity)
     tile_id = B.slot_tile_ids(sm, rect_word, tiles_x)
 
-    # 16-bit half depth key per gaussian (GlobalShaders.metal:266-300).
     depth16 = M.half_depth_key16(pr.record.depth.astype(jnp.float32))
-    del back_to_front  # both blend orders yield identical radiance (hardware.py)
     slot_depth16 = depth16[jnp.maximum(sm.rank, 0)]
-
     live = tile_id != B.SENTINEL_KEY
     key = jnp.where(live, (tile_id << 16) | slot_depth16, B.SENTINEL_KEY)
 
@@ -80,20 +79,23 @@ def global_frame(
 
     attrs = sorted_instance_attrs(
         sorted_words, sorted_tile, tiles_x=tiles_x, tile_w=tile_w, tile_h=tile_h,
-        alpha_threshold=alpha_threshold, exact_tile_test=exact_tile_test)
+        alpha_threshold=alpha_threshold, exact_tile_test=True)
 
     starts, counts = B.extract_tile_ranges(sorted_tile, num_tiles)
+    # fixed per-tile capacity: silent drop past max_per_tile
+    counts = jnp.minimum(counts, max_per_tile)
 
     table = K.build_blend_table(attrs, capacity)
     if use_xla_blend:
         tc, td = K.blend_tiles_xla(table, starts, counts, tiles_x=tiles_x,
-                                   tiles_y=tiles_y,
-                                   max_per_tile=min(capacity, 4096),
-                                   tile_w=tile_w, tile_h=tile_h)
+                                   tiles_y=tiles_y, max_per_tile=max_per_tile,
+                                   tile_w=tile_w, tile_h=tile_h,
+                                   depth_mode="first_hit")
     else:
         tc, td = K.blend_tiles_pallas(table, starts, counts, tiles_x=tiles_x,
                                       tiles_y=tiles_y, tile_w=tile_w,
-                                      tile_h=tile_h, interpret=interpret)
+                                      tile_h=tile_h, depth_mode="first_hit",
+                                      interpret=interpret)
     color, depth = K.assemble_image(tc, td, tiles_x=tiles_x, tiles_y=tiles_y,
                                     width=width, height=height,
                                     tile_w=tile_w, tile_h=tile_h)
@@ -106,29 +108,29 @@ def global_frame(
     return RenderOutput(color=color, depth=depth, header=header)
 
 
-class GlobalRenderer(GaussianRenderer):
-    """Global (tile, depth16) single-sort renderer, 32x16 tiles."""
+class LocalRenderer(GaussianRenderer):
+    """Per-tile scatter + in-tile 16-bit-key sort renderer (mono only, like the
+    reference — LocalRenderer.swift:108-123)."""
 
     def render(self, gi: GaussianInput, camera: CameraParams,
                width: int, height: int) -> RenderOutput:
         gi.validate()
         n = gi.count
         c = self.config
-        key = ("global", n, gi.sh_n_coeffs, width, height, c, self.use_xla_blend,
+        key = ("local", n, gi.sh_n_coeffs, width, height, c, self.use_xla_blend,
                camera.near_plane, camera.far_plane)
 
         def build():
             capacity = instance_capacity(c, n)
             fn = functools.partial(
-                global_frame,
+                local_frame,
                 width=width, height=height, capacity=capacity,
                 sh_degree=min(c.sh_degree, {1: 0, 4: 1, 9: 2, 16: 3}[gi.sh_n_coeffs]),
                 alpha_threshold=c.alpha_threshold,
                 total_ink_threshold=c.total_ink_threshold,
                 near_plane=camera.near_plane, far_plane=camera.far_plane,
                 input_is_srgb=(c.gaussian_color_space == cfg.GaussianColorSpace.SRGB),
-                tile_w=cfg.GLOBAL_TILE[0], tile_h=cfg.GLOBAL_TILE[1],
-                back_to_front=c.back_to_front,
+                tile_w=cfg.LOCAL_TILE[0], tile_h=cfg.LOCAL_TILE[1],
                 use_xla_blend=self.use_xla_blend,
             )
             return jax.jit(fn)
