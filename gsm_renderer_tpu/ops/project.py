@@ -204,3 +204,178 @@ def derive_blend_attributes(record: RenderRecord):
         "depth": record.depth.astype(f32),
         "mean_x": mx, "mean_y": my,
     }
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class StereoProjectionResult:
+    """Per-gaussian outputs of the dual-eye project+cull stage.
+
+    Equivalent of ``depthFirstStereoProjectCullKernel``
+    (DepthFirstShaders.metal:341-513): per-eye quantized records (mean, theta,
+    sigmas — the reference packs per-eye f16 conics in the 32-byte
+    ``StereoTiledRenderData``; we keep the theta/sigma form used by the mono
+    record, an equivalent parametrization of the same quantized ellipse),
+    union tile bounds of both eyes, shared color/opacity from the mid camera,
+    and a mean-depth sort key.
+    """
+
+    record_left: RenderRecord
+    record_right: RenderRecord
+    eye_visible: Array    # (2, N) bool
+    visible: Array        # (N,) bool — visible in at least one eye + shared culls
+    min_tx: Array         # union bounds (N,) int32
+    max_tx: Array
+    min_ty: Array
+    max_ty: Array
+    rect_count: Array     # (N,) int32 — full union rect (no per-tile test)
+    depth_key: Array      # (N,) uint32 — sortable mean depth
+    center_depth: Array   # (N,) float16
+
+
+def _project_one_eye(gi, view, proj, scene_transform, width, height,
+                     tile_w, tile_h, near_plane, far_plane):
+    """Eye-dependent projection chain (vmapped over the eye axis).
+
+    Mirrors ``projectToEye`` (DepthFirstShaders.metal:250-341): the scene scale
+    is folded into the gaussian scale as a uniform factor, the covariance is
+    built in scene orientation and projected through the eye view matrix.
+    """
+    f32 = jnp.float32
+    tiles_x, tiles_y = -(-width // tile_w), -(-height // tile_h)
+    positions = M.apply_mat4(scene_transform, gi.positions.astype(f32))[..., :3]
+    scene_scale = jnp.linalg.norm(scene_transform[:3, 0])
+    scales = gi.scales.astype(f32) * scene_scale
+
+    view_pos, ndc, depth, in_front = M.project_points(positions, view, proj,
+                                                      near_plane)
+    ok = in_front & ~M.cull_by_far_plane(depth, far_plane)
+    screen = M.ndc_to_screen(ndc, float(width), float(height))
+
+    cov3d = M.build_covariance_3d(scales, gi.rotations.astype(f32))
+    cov2d = M.project_covariance_2d(cov3d, view_pos, view[:3, :3], proj,
+                                    float(width), float(height))
+    cov2d = M.stabilize_covariance_2d(cov2d, float(width), float(height))
+    theta, sigma1, sigma2, eig_ok = M.covariance_to_theta_sigmas(cov2d)
+    ok &= eig_ok
+    det2d = (cov2d[..., 0, 0] * cov2d[..., 1, 1]
+             - 0.25 * (cov2d[..., 0, 1] + cov2d[..., 1, 0]) ** 2)
+
+    radius = 3.0 * jnp.maximum(sigma1, sigma2)
+    ok &= ~M.cull_by_radius(radius)
+    obb = M.compute_obb_extents(cov2d, 3.0)
+    ok &= ~M.cull_by_screen_bounds(screen, obb, float(width), float(height))
+
+    min_tx, max_tx, min_ty, max_ty = M.compute_tile_bounds(
+        screen, obb, float(width), float(height), tile_w, tile_h,
+        tiles_x, tiles_y)
+    ok &= (min_tx <= max_tx) & (min_ty <= max_ty)
+    return dict(screen=screen, depth=depth, theta=theta, sigma1=sigma1,
+                sigma2=sigma2, det=det2d, visible=ok,
+                min_tx=min_tx, max_tx=max_tx, min_ty=min_ty, max_ty=max_ty)
+
+
+def stereo_project_and_cull(
+    gi: GaussianInput,
+    views: Array,   # (2, 4, 4) left/right view matrices
+    projs: Array,   # (2, 4, 4)
+    centers: Array, # (2, 3) eye world positions
+    *,
+    width: int, height: int, tile_w: int, tile_h: int,
+    sh_degree: int, near_plane: float, far_plane: float,
+    alpha_threshold: float, total_ink_threshold: float,
+    input_is_srgb: bool,
+    scene_transform: Array | None = None,
+) -> StereoProjectionResult:
+    f32 = jnp.float32
+    if scene_transform is None:
+        scene_transform = jnp.eye(4, dtype=f32)
+
+    scales_raw = gi.scales.astype(f32)
+    opacity = gi.opacities.astype(f32)
+    shared_ok = ~M.cull_by_scale(scales_raw)
+    shared_ok &= opacity >= alpha_threshold
+
+    eye = jax.vmap(
+        lambda v, p: _project_one_eye(gi, v, p, scene_transform, width, height,
+                                      tile_w, tile_h, near_plane, far_plane))(
+        views.astype(f32), projs.astype(f32))
+
+    vis_l = eye["visible"][0] & shared_ok
+    vis_r = eye["visible"][1] & shared_ok
+    any_vis = vis_l | vis_r
+
+    depth_l, depth_r = eye["depth"][0], eye["depth"][1]
+    both = vis_l & vis_r
+    check_depth = jnp.where(both, 0.5 * (depth_l + depth_r),
+                            jnp.where(vis_l, depth_l, depth_r))
+    det = jnp.where(both, jnp.maximum(eye["det"][0], eye["det"][1]),
+                    jnp.where(vis_l, eye["det"][0], eye["det"][1]))
+    any_vis &= ~M.cull_by_total_ink(opacity, det, check_depth, near_plane,
+                                    far_plane, total_ink_threshold)
+
+    # mid-camera SH color (DepthFirstShaders.metal:420-426)
+    positions = M.apply_mat4(scene_transform, gi.positions.astype(f32))[..., :3]
+    mid = 0.5 * (centers[0] + centers[1]).astype(f32)
+    color = M.compute_sh_color(gi.harmonics, positions, mid, sh_degree)
+    color = jnp.maximum(color + 0.5, 0.0)
+    if input_is_srgb:
+        color = M.srgb_to_linear(color)
+    color_u8 = jnp.clip(color * 255.0, 0.0, 255.0).astype(jnp.uint8)
+    op_u8 = jnp.clip(opacity * 255.0, 0.0, 255.0).astype(jnp.uint8)
+
+    # union tile bounds over visible eyes
+    big = jnp.int32(1 << 20)
+    def pick(arr, vl, vr, reduce_min):
+        a, b = arr[0], arr[1]
+        if reduce_min:
+            a = jnp.where(vl, a, big)
+            b = jnp.where(vr, b, big)
+            return jnp.minimum(a, b)
+        a = jnp.where(vl, a, -big)
+        b = jnp.where(vr, b, -big)
+        return jnp.maximum(a, b)
+
+    min_tx = pick(eye["min_tx"], vis_l, vis_r, True)
+    max_tx = pick(eye["max_tx"], vis_l, vis_r, False)
+    min_ty = pick(eye["min_ty"], vis_l, vis_r, True)
+    max_ty = pick(eye["max_ty"], vis_l, vis_r, False)
+    rect_ok = (min_tx <= max_tx) & (min_ty <= max_ty)
+    any_vis &= rect_ok
+    rect_count = jnp.where(
+        any_vis, (max_tx - min_tx + 1) * (max_ty - min_ty + 1), 0
+    ).astype(jnp.int32)
+
+    def eye_record(i, vis):
+        # Invisible eye: mean pushed far off-screen so alpha underflows to zero
+        # (the reference writes -1e10 — DepthFirstShaders.metal:459-483; that
+        # overflows float16 to -inf and would NaN the linear-form constants, so
+        # we use the largest finite offset: q >= (6e4 / sigma_max)^2 > 2000 for
+        # any stabilized sigma, making exp(-q/2) exactly 0).
+        off = jnp.where(vis, 0.0, -6e4)
+        return RenderRecord(
+            mean_x=(eye["screen"][i, :, 0] + off).astype(jnp.float16),
+            mean_y=(eye["screen"][i, :, 1] + off).astype(jnp.float16),
+            theta=M.pack_theta_u16(jnp.where(vis, eye["theta"][i], 0.0)),
+            sigma1=jnp.where(vis, eye["sigma1"][i], 1.0).astype(jnp.float16),
+            sigma2=jnp.where(vis, eye["sigma2"][i], 1.0).astype(jnp.float16),
+            depth=jnp.where(vis, eye["depth"][i], 0.0).astype(jnp.float16),
+            color=color_u8,
+            opacity=op_u8,
+        )
+
+    depth_key = jnp.where(any_vis, M.float_to_sortable_uint(check_depth),
+                          jnp.uint32(0xFFFFFFFF))
+    return StereoProjectionResult(
+        record_left=eye_record(0, vis_l),
+        record_right=eye_record(1, vis_r),
+        eye_visible=jnp.stack([vis_l, vis_r]),
+        visible=any_vis,
+        min_tx=jnp.where(any_vis, min_tx, 0),
+        max_tx=jnp.where(any_vis, max_tx, -1),
+        min_ty=jnp.where(any_vis, min_ty, 0),
+        max_ty=jnp.where(any_vis, max_ty, -1),
+        rect_count=rect_count,
+        depth_key=depth_key,
+        center_depth=check_depth.astype(jnp.float16),
+    )

@@ -159,3 +159,123 @@ class DepthFirstRenderer(GaussianRenderer):
         prog = self._program(key, build)
         view, proj, center = camera.astuple_jax()
         return prog(gi, view, proj, center)
+
+
+def depth_first_stereo_frame(
+    gi: GaussianInput,
+    views: Array, projs: Array, centers: Array, scene_transform: Array,
+    *,
+    width: int, height: int, capacity: int,
+    sh_degree: int, alpha_threshold: float, total_ink_threshold: float,
+    near_plane: float, far_plane: float, input_is_srgb: bool,
+    tile_w: int = 16, tile_h: int = 16,
+    use_xla_blend: bool = False,
+    interpret: bool = False,
+):
+    """Stereo side-by-side frame (encodeStereoPipeline equivalent,
+    DepthFirstRenderer.swift:595-831): one shared instance list built from the
+    union of both eyes' tile bounds, per-eye blending with an r^2 > 9 ellipse
+    skip (DepthFirstShaders.metal:1825-1982), composited into an (H, 2W) image."""
+    from ..ops.project import stereo_project_and_cull
+
+    tiles_x, tiles_y = cfg.tiles_for(width, height, tile_w, tile_h)
+    num_tiles = tiles_x * tiles_y
+
+    pr = stereo_project_and_cull(
+        gi, views, projs, centers,
+        width=width, height=height, tile_w=tile_w, tile_h=tile_h,
+        sh_degree=sh_degree, near_plane=near_plane, far_plane=far_plane,
+        alpha_threshold=alpha_threshold, total_ink_threshold=total_ink_threshold,
+        input_is_srgb=input_is_srgb, scene_transform=scene_transform,
+    )
+
+    _, order = B.depth_order(pr.depth_key)
+    rect_word = B.pack_rect_word(pr.min_tx, pr.min_ty, (pr.max_tx - pr.min_tx + 1))
+    words_l = pack_record_words(pr.record_left)
+    words_r = pack_record_words(pr.record_right)
+
+    counts_ordered = pr.rect_count[order]
+    rect_word_ordered = rect_word[order]
+    words_lo = words_l[order]
+    words_ro = words_r[order]
+
+    sm = B.build_slot_map(counts_ordered, capacity)
+    tile_key = B.slot_tile_ids(sm, rect_word_ordered, tiles_x)
+    sorted_key, sorted_rank = B.stable_sort_by_tile(tile_key, sm.rank)
+    idx = jnp.maximum(sorted_rank, 0)
+    starts, counts = B.extract_tile_ranges(sorted_key, num_tiles)
+
+    eyes = []
+    for words_o in (words_lo, words_ro):
+        sorted_words = words_o[idx]
+        # stereo instances cover the full union rect with per-pixel r^2 <= 9
+        # cutoff instead of an exact per-tile test (createInstancesStereoKernel
+        # writes all union-rect tiles — DepthFirstShaders.metal:790-864)
+        attrs = sorted_instance_attrs(
+            sorted_words, sorted_key, tiles_x=tiles_x, tile_w=tile_w,
+            tile_h=tile_h, alpha_threshold=alpha_threshold,
+            exact_tile_test=False)
+        table = K.build_blend_table(attrs, capacity)
+        if use_xla_blend:
+            tc, td = K.blend_tiles_xla(table, starts, counts, tiles_x=tiles_x,
+                                       tiles_y=tiles_y,
+                                       max_per_tile=min(capacity, 4096),
+                                       tile_w=tile_w, tile_h=tile_h,
+                                       r2_cutoff=9.0)
+        else:
+            tc, td = K.blend_tiles_pallas(table, starts, counts,
+                                          tiles_x=tiles_x, tiles_y=tiles_y,
+                                          tile_w=tile_w, tile_h=tile_h,
+                                          r2_cutoff=9.0, interpret=interpret)
+        eyes.append(K.assemble_image(tc, td, tiles_x=tiles_x, tiles_y=tiles_y,
+                                     width=width, height=height,
+                                     tile_w=tile_w, tile_h=tile_h))
+
+    color = jnp.concatenate([eyes[0][0], eyes[1][0]], axis=1)  # (H, 2W, 4)
+    depth = jnp.concatenate([eyes[0][1], eyes[1][1]], axis=1)
+
+    header = FrameHeader(
+        visible_count=jnp.sum(pr.visible).astype(jnp.int32),
+        total_instances=sm.total,
+        overflow=sm.overflow,
+    )
+    return RenderOutput(color=color, depth=depth, header=header)
+
+
+def _stereo_render_method(self, gi, camera, width, height):
+    """render_stereo implementation bound onto DepthFirstRenderer."""
+    import numpy as _np
+    gi.validate()
+    n = gi.count
+    c = self.config
+    left, right = camera.left, camera.right
+    key = ("df_stereo", n, gi.sh_n_coeffs, width, height, c, self.use_xla_blend,
+           left.near_plane, left.far_plane)
+
+    def build():
+        capacity = instance_capacity(c, n)
+        fn = functools.partial(
+            depth_first_stereo_frame,
+            width=width, height=height, capacity=capacity,
+            sh_degree=min(c.sh_degree, {1: 0, 4: 1, 9: 2, 16: 3}[gi.sh_n_coeffs]),
+            alpha_threshold=c.alpha_threshold,
+            total_ink_threshold=c.total_ink_threshold,
+            near_plane=left.near_plane, far_plane=left.far_plane,
+            input_is_srgb=(c.gaussian_color_space == cfg.GaussianColorSpace.SRGB),
+            use_xla_blend=self.use_xla_blend,
+        )
+        return jax.jit(fn)
+
+    prog = self._program(key, build)
+    views = jnp.stack([jnp.asarray(left.view_matrix, jnp.float32),
+                       jnp.asarray(right.view_matrix, jnp.float32)])
+    projs = jnp.stack([jnp.asarray(left.projection_matrix, jnp.float32),
+                       jnp.asarray(right.projection_matrix, jnp.float32)])
+    centers = jnp.stack([jnp.asarray(left.position, jnp.float32),
+                         jnp.asarray(right.position, jnp.float32)])
+    st = camera.scene_transform
+    st = jnp.eye(4, dtype=jnp.float32) if st is None else jnp.asarray(st, jnp.float32)
+    return prog(gi, views, projs, centers, st)
+
+
+DepthFirstRenderer.render_stereo = _stereo_render_method

@@ -1,0 +1,47 @@
+"""Stereo side-by-side rendering tests (DepthFirstRenderer.renderStereo
+equivalent)."""
+
+import numpy as np
+
+import gsm_renderer_tpu as G
+from gsm_renderer_tpu.io.scene import generate_visible_gaussians
+
+
+def test_stereo_side_by_side_basics():
+    w, h = 128, 96
+    ds = generate_visible_gaussians(300, sh_degree=1, scale_range=(0.01, 0.06))
+    cam = G.make_camera(w, h)
+    stereo = G.make_side_by_side_stereo(cam, ipd=0.2)
+    r = G.DepthFirstRenderer(G.RendererConfig(sh_degree=1), use_xla_blend=True)
+    out = r.render_stereo(ds.to_input(), stereo, w, h)
+    color = np.asarray(out.color)
+    assert color.shape == (h, 2 * w, 4)
+    assert np.isfinite(color).all()
+    left = color[:, :w, :3]
+    right = color[:, w:, :3]
+    assert left.max() > 0.05 and right.max() > 0.05
+    # eyes must differ (parallax) but be similar overall
+    assert np.abs(left - right).max() > 0.01
+    assert np.abs(left.mean() - right.mean()) < 0.05
+
+
+def test_stereo_matches_mono_at_zero_ipd():
+    """With ipd=0 both eyes equal the mono camera; each half must match a mono
+    render of the same scene (modulo the stereo path's full-union-rect binning
+    and r^2 cutoff semantics)."""
+    w, h = 96, 96
+    ds = generate_visible_gaussians(200, sh_degree=0, scale_range=(0.01, 0.05))
+    cam = G.make_camera(w, h)
+    stereo = G.make_side_by_side_stereo(cam, ipd=0.0)
+    r = G.DepthFirstRenderer(G.RendererConfig(sh_degree=0), use_xla_blend=True)
+    out_s = r.render_stereo(ds.to_input(), stereo, w, h)
+    color = np.asarray(out_s.color)
+    left = color[:, :w, :]
+    right = color[:, w:, :]
+    np.testing.assert_allclose(left, right, atol=1e-5)
+
+    out_m = r.render(ds.to_input(), cam, w, h)
+    mono = np.asarray(out_m.color)
+    # r^2<=9 cutoff drops the faint skirt beyond 3 sigma; exact-test list
+    # differences are also sub-alpha-threshold: tolerance covers both
+    np.testing.assert_allclose(left[..., :3], mono[..., :3], atol=0.03)
