@@ -89,6 +89,10 @@ def main():
 
     def run_one(n, w, h, sh, renderer, scale_range=(0.002, 0.012)):
         r, gi, cam = _build(n, w, h, sh, scale_range, renderer)
+        # capacity = 4 x gaussians, the reference's instance-capacity model
+        # (DepthFirstResources.swift:80-81); the bench scene fits it
+        import dataclasses
+        r.config = dataclasses.replace(r.config, max_instances=4 * n)
         out = r.render(gi, cam, w, h)  # compile
         ov = int(out.header.overflow)
         stats = time_frames(lambda: r.render(gi, cam, w, h))

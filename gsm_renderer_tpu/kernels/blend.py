@@ -209,21 +209,45 @@ def _row_blend_kernel(starts_ref, counts_ref, table_ref, out_ref, *,
                       tiles_x: int, tile_w: int, tile_h: int,
                       blocks_per_dma: int, depth_mode: str = "weighted",
                       r2_cutoff: float = 0.0):
-    """One grid step = one tile row.  See module docstring."""
+    """One grid step = one tile row.
+
+    DMA latency is hidden with tile-level double buffering: while tile t's first
+    chunk is being composited, tile t+1's first chunk is already in flight
+    (most tiles need exactly one chunk).  Extra chunks of heavy tiles fall back
+    to synchronous copies into the same buffer.
+    """
     r_dma = blocks_per_dma
     pix = tile_w * tile_h
     first_hit = depth_mode == "first_hit"
     ty = pl.program_id(0)
 
     pidx = jax.lax.broadcasted_iota(jnp.int32, (1, pix), 1)
-    px = (pidx % tile_w).astype(jnp.float32)
-    py = (pidx // tile_w).astype(jnp.float32)
-    p3 = jnp.concatenate([px, py, jnp.ones((1, pix), jnp.float32)], axis=0)
+    px_row = (pidx % tile_w).astype(jnp.float32)   # (1, P) tile-local x
+    py_row = (pidx // tile_w).astype(jnp.float32)
 
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (LANES, 1), 0)
 
+    def first_block(tid):
+        return starts_ref[tid] // LANES
+
     def body(scr, sem):
+        # scr: (2, r_dma, 16, 128) double buffer
+
+        def start_dma(buf, blk):
+            cp = pltpu.make_async_copy(table_ref.at[pl.ds(blk, r_dma)],
+                                       scr.at[buf], sem.at[buf])
+            cp.start()
+            return cp
+
+        def wait_dma(buf, blk):
+            pltpu.make_async_copy(table_ref.at[pl.ds(blk, r_dma)],
+                                  scr.at[buf], sem.at[buf]).wait()
+
+        # prefetch tile 0, chunk 0
+        start_dma(0, first_block(ty * tiles_x))
+
         def tile_loop(tx, _):
+            buf = jax.lax.rem(tx, 2)
             tid = ty * tiles_x + tx
             start = starts_ref[tid]
             count = counts_ref[tid]
@@ -232,9 +256,84 @@ def _row_blend_kernel(starts_ref, counts_ref, table_ref, out_ref, *,
             n_chunks = jax.lax.div(end - blk0 * LANES + (r_dma * LANES - 1),
                                    r_dma * LANES)
 
+            wait_dma(buf, blk0)
+            # prefetch the NEXT tile's first chunk into the other buffer
+            @pl.when(tx + 1 < tiles_x)
+            def _():
+                start_dma(1 - buf, first_block(tid + 1))
+
             ox = (tx * tile_w).astype(jnp.float32)
             oy = (ty * tile_h).astype(jnp.float32)
+            pxa = px_row + ox                         # (1, P) absolute pixel x
+            pya = py_row + oy
 
+            def compute_chunk(c, buf2, acc, trans, fh):
+                def sub_block(rb, carry2):
+                    acc2, trans2, fh2 = carry2
+                    g0 = (blk0 + c * r_dma + rb) * LANES
+
+                    def live(carry3):
+                        acc3, trans3, fh3 = carry3
+                        xt = jnp.transpose(scr[buf2, rb])  # (128, 16)
+                        a1 = xt[:, A1:A1 + 1]
+                        b1 = xt[:, B1:B1 + 1]
+                        a2 = xt[:, A2:A2 + 1]
+                        b2 = xt[:, B2:B2 + 1]
+                        c1 = xt[:, C1:C1 + 1]
+                        c2 = xt[:, C2:C2 + 1]
+                        # broadcast FMA chain on the VPU: (128,1) x (1,P)
+                        u = a1 * pxa + (b1 * pya + c1)
+                        v = a2 * pxa + (b2 * pya + c2)
+                        q = u * u + v * v              # (128, P)
+
+                        gidx = g0 + lane_iota
+                        in_range = jnp.logical_and(gidx >= start, gidx < end)
+                        op = jnp.where(in_range, xt[:, COP:COP + 1], 0.0)
+                        alpha = jnp.minimum(op * jnp.exp(-0.5 * q), ALPHA_CLAMP)
+                        if r2_cutoff > 0.0:
+                            # Hardware fragment discard at r^2 > cutoff
+                            # (HardwareGaussianShaders.metal:771-780)
+                            alpha = jnp.where(q > r2_cutoff, 0.0, alpha)
+
+                        om = 1.0 - alpha
+                        texcl, ttot = _mult_scan_exclusive(om)
+                        w = alpha * (trans3 * texcl)   # (128, P)
+
+                        cols = xt[:, CR:CR + 4]        # (128, 4): r, g, b, depth
+                        contrib = jax.lax.dot_general(
+                            w, cols, (((0,), (0,)), ((), ())),
+                            precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32)  # (P, 4)
+                        if first_hit:
+                            # depth of the first alpha > 0.1 instance
+                            # (LocalShaders.metal:529-537): fh row0 = hit count,
+                            # row1 = first-hit depth
+                            hit = (alpha > FIRST_HIT_ALPHA).astype(jnp.float32)
+                            hexcl, htot = _add_scan_exclusive(hit)
+                            took = hit * jnp.where(fh3[0:1, :] + hexcl > 0.0,
+                                                   0.0, 1.0)
+                            dfh = jax.lax.dot_general(
+                                took, xt[:, CD:CD + 1], (((0,), (0,)), ((), ())),
+                                precision=jax.lax.Precision.HIGHEST,
+                                preferred_element_type=jnp.float32)
+                            fh3 = jnp.concatenate(
+                                [fh3[0:1, :] + htot,
+                                 fh3[1:2, :] + jnp.transpose(dfh)], axis=0)
+                        return acc3 + contrib, trans3 * ttot, fh3
+
+                    # skip sub-blocks entirely past the tile's span
+                    return jax.lax.cond(g0 < end, live, lambda c3: c3,
+                                        (acc2, trans2, fh2))
+
+                return jax.lax.fori_loop(0, r_dma, sub_block, (acc, trans, fh))
+
+            acc0 = jnp.zeros((pix, 4), jnp.float32)
+            trans0 = jnp.ones((1, pix), jnp.float32)
+            fh0 = jnp.zeros((2, pix), jnp.float32)
+            # chunk 0 from the double buffer
+            acc, trans, fh = compute_chunk(0, buf, acc0, trans0, fh0)
+
+            # rare extra chunks: synchronous DMA into this tile's buffer
             def chunk_cond(carry):
                 c, acc, trans, _fh = carry
                 return jnp.logical_and(c < n_chunks,
@@ -243,79 +342,15 @@ def _row_blend_kernel(starts_ref, counts_ref, table_ref, out_ref, *,
             def chunk_body(carry):
                 c, acc, trans, fh = carry
                 cp = pltpu.make_async_copy(
-                    table_ref.at[pl.ds(blk0 + c * r_dma, r_dma)], scr, sem)
+                    table_ref.at[pl.ds(blk0 + c * r_dma, r_dma)],
+                    scr.at[buf], sem.at[buf])
                 cp.start()
                 cp.wait()
-
-                def sub_block(rb, carry2):
-                    acc2, trans2, fh2 = carry2
-                    g0 = (blk0 + c * r_dma + rb) * LANES
-                    xt = jnp.transpose(scr[rb])      # (128, 16)
-
-                    a1 = xt[:, A1:A1 + 1]
-                    b1 = xt[:, B1:B1 + 1]
-                    a2 = xt[:, A2:A2 + 1]
-                    b2 = xt[:, B2:B2 + 1]
-                    # shift the linear-form constants to tile-local pixel coords
-                    c1l = xt[:, C1:C1 + 1] + a1 * ox + b1 * oy
-                    c2l = xt[:, C2:C2 + 1] + a2 * ox + b2 * oy
-                    af1 = jnp.concatenate([a1, b1, c1l], axis=1)  # (128, 3)
-                    af2 = jnp.concatenate([a2, b2, c2l], axis=1)
-
-                    u = jax.lax.dot_general(
-                        af1, p3, (((1,), (0,)), ((), ())),
-                        precision=jax.lax.Precision.HIGHEST,
-                        preferred_element_type=jnp.float32)
-                    v = jax.lax.dot_general(
-                        af2, p3, (((1,), (0,)), ((), ())),
-                        precision=jax.lax.Precision.HIGHEST,
-                        preferred_element_type=jnp.float32)
-                    q = u * u + v * v                # (128, P)
-
-                    gidx = g0 + lane_iota            # (128, 1) global instance id
-                    in_range = jnp.logical_and(gidx >= start, gidx < end)
-                    op = jnp.where(in_range, xt[:, COP:COP + 1], 0.0)
-                    alpha = jnp.minimum(op * jnp.exp(-0.5 * q), ALPHA_CLAMP)
-                    if r2_cutoff > 0.0:
-                        # Hardware fragment discard at r^2 > cutoff
-                        # (HardwareGaussianShaders.metal:771-780)
-                        alpha = jnp.where(q > r2_cutoff, 0.0, alpha)
-
-                    om = 1.0 - alpha
-                    texcl, ttot = _mult_scan_exclusive(om)
-                    w = alpha * (trans2 * texcl)     # (128, P)
-
-                    cols = xt[:, CR:CR + 4]          # (128, 4): r, g, b, depth
-                    contrib = jax.lax.dot_general(
-                        w, cols, (((0,), (0,)), ((), ())),
-                        precision=jax.lax.Precision.HIGHEST,
-                        preferred_element_type=jnp.float32)  # (P, 4)
-                    if first_hit:
-                        # depth of the first instance with alpha > 0.1
-                        # (LocalShaders.metal:529-537); fh2 row0 = hits so far,
-                        # row1 = first-hit depth accumulator
-                        hit = (alpha > FIRST_HIT_ALPHA).astype(jnp.float32)
-                        hexcl, htot = _add_scan_exclusive(hit)
-                        took = hit * jnp.where(fh2[0:1, :] + hexcl > 0.0,
-                                               0.0, 1.0)
-                        dfh = jax.lax.dot_general(
-                            took, xt[:, CD:CD + 1], (((0,), (0,)), ((), ())),
-                            precision=jax.lax.Precision.HIGHEST,
-                            preferred_element_type=jnp.float32)  # (P, 1)
-                        fh2 = jnp.concatenate(
-                            [fh2[0:1, :] + htot, fh2[1:2, :] + jnp.transpose(dfh)],
-                            axis=0)
-                    return acc2 + contrib, trans2 * ttot, fh2
-
-                acc, trans, fh = jax.lax.fori_loop(0, r_dma, sub_block,
-                                                   (acc, trans, fh))
+                acc, trans, fh = compute_chunk(c, buf, acc, trans, fh)
                 return c + 1, acc, trans, fh
 
-            acc0 = jnp.zeros((pix, 4), jnp.float32)
-            trans0 = jnp.ones((1, pix), jnp.float32)
-            fh0 = jnp.zeros((2, pix), jnp.float32)
             _, acc, trans, fh = jax.lax.while_loop(
-                chunk_cond, chunk_body, (jnp.int32(0), acc0, trans0, fh0))
+                chunk_cond, chunk_body, (jnp.int32(1), acc, trans, fh))
 
             acc_t = jnp.transpose(acc)               # (4, P)
             a_out = 1.0 - trans[0]
@@ -336,8 +371,8 @@ def _row_blend_kernel(starts_ref, counts_ref, table_ref, out_ref, *,
 
     pl.run_scoped(
         body,
-        scr=pltpu.VMEM((r_dma, ATTR_ROWS, LANES), jnp.float32),
-        sem=pltpu.SemaphoreType.DMA,
+        scr=pltpu.VMEM((2, r_dma, ATTR_ROWS, LANES), jnp.float32),
+        sem=pltpu.SemaphoreType.DMA((2,)),
     )
 
 

@@ -106,28 +106,21 @@ def build_slot_map(counts, capacity: int) -> SlotMap:
 
     n = counts.shape[0]
     has = counts > 0
-    # Drop-out-of-range scatter (XLA drops OOB updates with mode=drop).
+    # ONE scatter (scatters are the expensive primitive on TPU): drop
+    # out-of-range updates via an OOB index + mode="drop".
     offs_valid = jnp.where(has & (offsets < capacity), offsets, capacity)
-
-    marks = jnp.zeros((capacity,), jnp.int32)
-    marks = marks.at[offs_valid].add(1, mode="drop")
-    rank = jnp.cumsum(marks) - 1  # (C,) owning gaussian rank (among count>0 set)
-
-    # rank above counts only gaussians with count > 0; map back to the dense rank
-    # axis: scatter the dense index at each offset and cummax.
     dense_idx = jnp.arange(n, dtype=jnp.int32)
     rank_at = jnp.zeros((capacity,), jnp.int32)
     rank_at = rank_at.at[offs_valid].max(dense_idx, mode="drop")
-    rank_dense = jax.lax.cummax(rank_at)
+    rank = jax.lax.cummax(rank_at)
 
-    off_at = jnp.zeros((capacity,), jnp.int32)
-    off_at = off_at.at[offs_valid].max(offsets, mode="drop")
-    off_run = jax.lax.cummax(off_at)
-
+    # within-rect index: j = slot - offset[rank]  (gather instead of a second
+    # scatter+cummax — gathers are several times cheaper)
+    off_run = offsets[rank]
     slot_iota = jnp.arange(capacity, dtype=jnp.int32)
     j = slot_iota - off_run
-    slot_valid = (slot_iota < total) & (rank >= 0)
-    return SlotMap(rank=jnp.where(slot_valid, rank_dense, -1),
+    slot_valid = slot_iota < total
+    return SlotMap(rank=jnp.where(slot_valid, rank, -1),
                    j=jnp.where(slot_valid, j, 0),
                    slot_valid=slot_valid, total=total, overflow=overflow)
 
@@ -145,8 +138,17 @@ def slot_tile_ids(slot_map: SlotMap, rect_word_by_rank, tiles_x: int):
     word = rect_word_by_rank[safe_rank]
     min_tx, min_ty, rect_w = unpack_rect_word(word)
     rw = jnp.maximum(rect_w, 1)
-    ty = min_ty + slot_map.j // rw
-    tx = min_tx + slot_map.j % rw
+    # Integer division by a dynamic divisor is very slow on the TPU VPU;
+    # use the float-reciprocal trick with an exact correction step.
+    # j < 2^20 and rw < 2^10 are exact in float32.
+    jf = slot_map.j.astype(jnp.float32)
+    q = jnp.floor(jf * (1.0 / rw.astype(jnp.float32))).astype(jnp.int32)
+    r = slot_map.j - q * rw
+    # correct off-by-one from reciprocal rounding
+    q = jnp.where(r < 0, q - 1, jnp.where(r >= rw, q + 1, q))
+    r = slot_map.j - q * rw
+    ty = min_ty + q
+    tx = min_tx + r
     tile = (ty * tiles_x + tx).astype(jnp.uint32)
     return jnp.where(slot_map.slot_valid, tile, SENTINEL_KEY)
 

@@ -91,8 +91,12 @@ def project_and_cull(
     cov3d = M.build_covariance_3d(scales, gi.rotations.astype(f32))
     if scene_transform is not None:
         rot_s = scene_transform[:3, :3]
-        cov3d = jnp.einsum("ij,njk,lk->nil", rot_s, cov3d, rot_s,
-                           precision=jax.lax.Precision.HIGHEST)
+        # R_s @ cov3d @ R_s^T, written elementwise (see mathlib on batched einsum)
+        tmp = [[sum(rot_s[i, k] * cov3d[..., k, j] for k in range(3))
+                for j in range(3)] for i in range(3)]
+        out = [[sum(tmp[i][k] * rot_s[j, k] for k in range(3))
+                for j in range(3)] for i in range(3)]
+        cov3d = jnp.stack([jnp.stack(r, -1) for r in out], axis=-2)
     view_rot = view[:3, :3]
     cov2d = M.project_covariance_2d(cov3d, view_pos, view_rot, proj,
                                     float(width), float(height))

@@ -1,0 +1,185 @@
+"""PLY loader, packed-layout codec, Morton sort and scene utility tests."""
+
+import io
+
+import numpy as np
+import pytest
+
+import gsm_renderer_tpu as G
+from gsm_renderer_tpu.io import ply
+from gsm_renderer_tpu.io.scene import (GaussianDataset, generate_visible_gaussians,
+                                       morton_codes, sort_by_morton)
+
+
+def make_ds(n=50, sh_degree=2, seed=3):
+    return generate_visible_gaussians(n, sh_degree=sh_degree, seed=seed)
+
+
+def test_ply_roundtrip_standard():
+    ds = make_ds(64, sh_degree=2)
+    buf = io.BytesIO()
+    ply.write_ply(ds, buf)
+    out = ply.load_ply(buf.getvalue())
+    assert out.count == 64
+    # loader recenters positions; compare after recentering the source
+    center = 0.5 * (ds.positions.min(0) + ds.positions.max(0))
+    np.testing.assert_allclose(out.positions, ds.positions - center, atol=1e-5)
+    np.testing.assert_allclose(out.scales, ds.scales, rtol=1e-5)
+    np.testing.assert_allclose(out.opacities, ds.opacities, atol=1e-5)
+    np.testing.assert_allclose(out.harmonics, ds.harmonics, atol=1e-5)
+    # quaternions equal up to sign
+    dots = np.abs(np.sum(out.rotations * ds.rotations, -1))
+    np.testing.assert_allclose(dots, 1.0, atol=1e-5)
+
+
+def test_ply_autodetect_linear_scale():
+    ds = make_ds(120, sh_degree=0)
+    ds.scales = np.clip(ds.scales, 0.01, 0.3)
+    ds.opacities = np.clip(ds.opacities, 0.05, 0.95)
+    buf = io.BytesIO()
+    ply.write_ply(ds, buf, log_scale=False, logit_opacity=False)
+    out = ply.load_ply(buf.getvalue())
+    np.testing.assert_allclose(out.scales, ds.scales, rtol=1e-5)
+    np.testing.assert_allclose(out.opacities, ds.opacities, atol=1e-5)
+
+
+def test_ply_placeholder_skip():
+    ds = make_ds(10, sh_degree=0)
+    buf = io.BytesIO()
+    ply.write_ply(ds, buf)
+    raw = bytearray(buf.getvalue())
+    # patch vertex 0 into the placeholder pattern (scale=2,2,2 opacity=4.8402)
+    arr = np.frombuffer(bytes(raw), np.uint8)
+    out0 = ply.load_ply(bytes(raw))
+    # craft via the dataset instead: set fields then rewrite
+    ds.scales[0] = np.exp(2.0)  # log-scale 2.0
+    op = 1.0 / (1.0 + np.exp(-4.8402))
+    ds.opacities[0] = op
+    buf2 = io.BytesIO()
+    ply.write_ply(ds, buf2)
+    out = ply.load_ply(buf2.getvalue())
+    assert out.count == 9  # placeholder dropped
+    assert out0.count == 10
+
+
+def test_ply_compressed_roundtrip():
+    """Build a compressed PLY per the PlayCanvas layout and decode it."""
+    rng = np.random.default_rng(5)
+    n = 512  # 2 chunks
+    n_chunks = 2
+    pos = rng.uniform(-1, 1, (n, 3)).astype(np.float32)
+    log_scale = rng.uniform(-5, -2, (n, 3)).astype(np.float32)
+    color = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+    opacity = rng.uniform(0, 1, n).astype(np.float32)
+
+    ci = np.arange(n) // 256
+    cmin_p = np.stack([pos[ci == c].min(0) for c in range(n_chunks)])
+    cmax_p = np.stack([pos[ci == c].max(0) for c in range(n_chunks)])
+    cmin_s = np.stack([log_scale[ci == c].min(0) for c in range(n_chunks)])
+    cmax_s = np.stack([log_scale[ci == c].max(0) for c in range(n_chunks)])
+    cmin_c = np.stack([color[ci == c].min(0) for c in range(n_chunks)])
+    cmax_c = np.stack([color[ci == c].max(0) for c in range(n_chunks)])
+
+    def pack_unorm(t, bits):
+        return np.round(np.clip(t, 0, 1) * ((1 << bits) - 1)).astype(np.uint32)
+
+    def norm01(v, lo, hi):
+        return (v - lo) / np.maximum(hi - lo, 1e-12)
+
+    tp = norm01(pos, cmin_p[ci], cmax_p[ci])
+    packed_pos = (pack_unorm(tp[:, 0], 11) << 21) | (pack_unorm(tp[:, 1], 10) << 11) | pack_unorm(tp[:, 2], 11)
+    ts = norm01(log_scale, cmin_s[ci], cmax_s[ci])
+    packed_scale = (pack_unorm(ts[:, 0], 11) << 21) | (pack_unorm(ts[:, 1], 10) << 11) | pack_unorm(ts[:, 2], 11)
+    tc = norm01(color, cmin_c[ci], cmax_c[ci])
+    packed_color = (pack_unorm(tc[:, 0], 8) << 24) | (pack_unorm(tc[:, 1], 8) << 16) \
+        | (pack_unorm(tc[:, 2], 8) << 8) | pack_unorm(opacity, 8)
+    # identity quaternion, largest component w (case 0), a=b=c=0 -> packed 0.5s
+    half = pack_unorm(np.full(n, 0.5), 10)
+    packed_rot = (np.uint32(0) << 30) | (half << 20) | (half << 10) | half
+
+    chunk_fields = ["min_x", "min_y", "min_z", "max_x", "max_y", "max_z",
+                    "min_scale_x", "min_scale_y", "min_scale_z",
+                    "max_scale_x", "max_scale_y", "max_scale_z",
+                    "min_r", "min_g", "min_b", "max_r", "max_g", "max_b"]
+    cdt = np.dtype([(f, "<f4") for f in chunk_fields])
+    crec = np.zeros(n_chunks, cdt)
+    for i, f in enumerate(["min_x", "min_y", "min_z"]):
+        crec[f] = cmin_p[:, i]
+    for i, f in enumerate(["max_x", "max_y", "max_z"]):
+        crec[f] = cmax_p[:, i]
+    for i, f in enumerate(["min_scale_x", "min_scale_y", "min_scale_z"]):
+        crec[f] = cmin_s[:, i]
+    for i, f in enumerate(["max_scale_x", "max_scale_y", "max_scale_z"]):
+        crec[f] = cmax_s[:, i]
+    for i, f in enumerate(["min_r", "min_g", "min_b"]):
+        crec[f] = cmin_c[:, i]
+    for i, f in enumerate(["max_r", "max_g", "max_b"]):
+        crec[f] = cmax_c[:, i]
+
+    vdt = np.dtype([("packed_position", "<u4"), ("packed_rotation", "<u4"),
+                    ("packed_scale", "<u4"), ("packed_color", "<u4")])
+    vrec = np.zeros(n, vdt)
+    vrec["packed_position"] = packed_pos
+    vrec["packed_rotation"] = packed_rot
+    vrec["packed_scale"] = packed_scale
+    vrec["packed_color"] = packed_color
+
+    header = ["ply", "format binary_little_endian 1.0",
+              f"element chunk {n_chunks}"]
+    header += [f"property float {f}" for f in chunk_fields]
+    header += [f"element vertex {n}",
+               "property uint packed_position", "property uint packed_rotation",
+               "property uint packed_scale", "property uint packed_color",
+               "end_header"]
+    blob = ("\n".join(header) + "\n").encode() + crec.tobytes() + vrec.tobytes()
+
+    out = ply.load_ply(blob)
+    assert out.count == n
+    center = 0.5 * (pos.min(0) + pos.max(0)) * 0  # recentering depends on decode
+    # 11-bit quantization: tolerance from chunk extent / 2047
+    ext = (cmax_p - cmin_p).max()
+    np.testing.assert_allclose(out.positions + out.positions.mean(0) * 0,
+                               pos - 0.5 * (pos.min(0) + pos.max(0)),
+                               atol=float(ext) / 1024)
+    np.testing.assert_allclose(out.scales, np.exp(log_scale), rtol=0.02)
+    np.testing.assert_allclose(out.opacities, opacity, atol=1 / 255 + 1e-6)
+    np.testing.assert_allclose(out.rotations,
+                               np.tile([0, 0, 0, 1.0], (n, 1)), atol=2e-3)
+    col_back = out.harmonics[:, 0, :] * ply.SH_C0 + 0.5
+    np.testing.assert_allclose(col_back, color, atol=0.02)
+
+
+def test_morton_sort_preserves_set():
+    ds = make_ds(200, sh_degree=1)
+    out = sort_by_morton(ds)
+    assert out.count == ds.count
+    # same multiset of positions
+    a = np.sort(ds.positions.view([("", np.float32)] * 3), axis=0)
+    b = np.sort(out.positions.view([("", np.float32)] * 3), axis=0)
+    np.testing.assert_array_equal(a, b)
+    # locality: average morton-adjacent distance should shrink
+    def avg_step(d):
+        return np.linalg.norm(np.diff(d.positions, axis=0), axis=1).mean()
+    assert avg_step(out) < avg_step(ds)
+
+
+def test_packed_world_roundtrip():
+    ds = make_ds(32, sh_degree=1)
+    gi = ds.to_input()
+    for prec in (G.Precision.FLOAT32, G.Precision.FLOAT16):
+        world, harm = G.pack_world_gaussians(gi, prec)
+        assert len(world) == 32 * (48 if prec == G.Precision.FLOAT32 else 32)
+        gi2 = G.unpack_world_gaussians(world, prec, harm, sh_degree=1)
+        np.testing.assert_allclose(np.asarray(gi2.positions),
+                                   np.asarray(gi.positions), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(gi2.harmonics, np.float32),
+                                   np.asarray(gi.harmonics, np.float32),
+                                   atol=2e-3)
+
+
+def test_dataset_bounds_centroid():
+    ds = make_ds(100)
+    lo, hi = ds.bounds()
+    assert (lo <= hi).all()
+    c = ds.centroid()
+    assert ((c >= lo) & (c <= hi)).all()
