@@ -130,6 +130,10 @@ def _load_standard(data, vertex, elements, body, endian) -> GaussianDataset:
     dt = _element_dtype(props, endian)
     arr = np.frombuffer(data, dtype=dt, count=count, offset=offset)
 
+    native = _load_standard_native(data, props, count, offset, endian)
+    if native is not None:
+        return native
+
     def col(nm, default=0.0):
         if nm in arr.dtype.names:
             c = arr[nm].astype(np.float32)
@@ -217,6 +221,78 @@ def _load_standard(data, vertex, elements, body, endian) -> GaussianDataset:
         opacities=opacities,
         harmonics=harmonics,
     )
+
+
+def _load_standard_native(data, props, count, offset, endian):
+    """Bulk-decode via the C++ library when the layout qualifies (all-float32
+    little-endian standard 3DGS properties).  Returns None to fall back."""
+    if endian != "<" or count == 0:
+        return None
+    if any(not isinstance(t, str) or t != "f4" for _, t in props):
+        return None
+    from ..native import get_lib
+    lib = get_lib()
+    if lib is None:
+        return None
+
+    offs = {}
+    pos = 0
+    for nm, _t in props:
+        offs[nm] = pos
+        pos += 4
+    stride = pos
+    required = ["x", "y", "z", "scale_0", "scale_1", "scale_2",
+                "rot_0", "rot_1", "rot_2", "rot_3", "opacity"]
+    if any(nm not in offs for nm in required):
+        return None
+    n_rest = sum(1 for nm in offs if nm.startswith("f_rest_"))
+    if n_rest and ("f_rest_0" not in offs or
+                   offs.get(f"f_rest_{n_rest-1}", -1) - offs["f_rest_0"]
+                   != 4 * (n_rest - 1)):
+        return None  # non-contiguous f_rest
+    has_dc = "f_dc_0" in offs
+    n_coeffs = 1 + n_rest // 3 if has_dc else 1
+    for allowed in (16, 9, 4, 1):
+        if n_coeffs >= allowed:
+            n_coeffs = allowed
+            break
+
+    body = np.frombuffer(data, np.uint8, count=stride * count, offset=offset)
+    # autodetect on the first 100 vertices (same rule as the NumPy path)
+    head = np.frombuffer(data, _element_dtype(props, endian),
+                         count=min(100, count), offset=offset)
+    ss = np.stack([head["scale_0"], head["scale_1"], head["scale_2"]]).ravel()
+    scale_is_log = True
+    if ss.size and not (ss < 0).any():
+        if not (ss > 1.0).any() and 0 < ss.mean() < 0.5:
+            scale_is_log = False
+    so = head["opacity"]
+    opacity_is_logit = bool(so.size and ((so.min() < 0) or (so.max() > 1.0)))
+
+    positions = np.empty((count, 3), np.float32)
+    scales = np.empty((count, 3), np.float32)
+    rotations = np.empty((count, 4), np.float32)
+    opacities = np.empty(count, np.float32)
+    harmonics = np.zeros((count, n_coeffs, 3), np.float32)
+    n = lib.ply_decode_standard(
+        np.ascontiguousarray(body), count, stride,
+        offs["x"], offs["y"], offs["z"],
+        offs["scale_0"], offs["scale_1"], offs["scale_2"],
+        offs["rot_0"], offs["rot_1"], offs["rot_2"], offs["rot_3"],
+        offs["opacity"],
+        offs.get("f_dc_0", -1), offs.get("f_dc_1", -1), offs.get("f_dc_2", -1),
+        offs.get("f_rest_0", -1), n_rest,
+        int(scale_is_log), int(opacity_is_logit), n_coeffs,
+        positions, scales, rotations, opacities, harmonics)
+    n = int(n)
+    positions = positions[:n]
+    if n:
+        center = 0.5 * (positions.min(0) + positions.max(0))
+        if np.linalg.norm(center) > 1e-6:
+            positions = positions - center
+    return GaussianDataset(positions=positions, scales=scales[:n],
+                           rotations=rotations[:n], opacities=opacities[:n],
+                           harmonics=harmonics[:n])
 
 
 def _unpack_unorm(v, shift, bits):

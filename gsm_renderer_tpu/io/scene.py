@@ -68,8 +68,11 @@ def morton_codes(positions: np.ndarray) -> np.ndarray:
 
 def sort_by_morton(ds: GaussianDataset) -> GaussianDataset:
     """Spatial cache-locality sort (GaussianSceneBuilder.sortByMortonCode,
-    Scene.swift:44-138)."""
-    order = np.argsort(morton_codes(ds.positions), kind="stable")
+    Scene.swift:44-138).  Uses the native C++ path when available."""
+    from ..native import morton_sort_indices
+    order = morton_sort_indices(ds.positions)
+    if order is None:
+        order = np.argsort(morton_codes(ds.positions), kind="stable")
     return GaussianDataset(
         positions=ds.positions[order], scales=ds.scales[order],
         rotations=ds.rotations[order], opacities=ds.opacities[order],

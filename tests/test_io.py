@@ -183,3 +183,40 @@ def test_dataset_bounds_centroid():
     assert (lo <= hi).all()
     c = ds.centroid()
     assert ((c >= lo) & (c <= hi)).all()
+
+
+def test_native_matches_numpy_standard():
+    """C++ fast path must agree with the NumPy loader."""
+    from gsm_renderer_tpu.io import ply as P
+    from gsm_renderer_tpu.native import get_lib
+    import gsm_renderer_tpu.native as N
+    if get_lib() is None:
+        pytest.skip("native library unavailable")
+    ds = make_ds(200, sh_degree=3, seed=11)
+    buf = io.BytesIO()
+    P.write_ply(ds, buf)
+    data = buf.getvalue()
+    loaded = P.load_ply(data)  # native path
+    lib = N._lib
+    N._lib = None
+    N._tried = True
+    try:
+        numpy_ds = P.load_ply(data)
+    finally:
+        N._lib = lib
+    np.testing.assert_allclose(loaded.positions, numpy_ds.positions, atol=1e-6)
+    np.testing.assert_allclose(loaded.scales, numpy_ds.scales, rtol=1e-6)
+    np.testing.assert_allclose(loaded.rotations, numpy_ds.rotations, atol=1e-6)
+    np.testing.assert_allclose(loaded.opacities, numpy_ds.opacities, atol=1e-7)
+    np.testing.assert_allclose(loaded.harmonics, numpy_ds.harmonics, atol=1e-6)
+
+
+def test_native_morton_matches_numpy():
+    from gsm_renderer_tpu.native import morton_sort_indices
+    from gsm_renderer_tpu.io.scene import morton_codes
+    if morton_sort_indices(np.zeros((1, 3), np.float32)) is None:
+        pytest.skip("native library unavailable")
+    ds = make_ds(500, sh_degree=0, seed=9)
+    native = morton_sort_indices(ds.positions)
+    ref = np.argsort(morton_codes(ds.positions), kind="stable")
+    np.testing.assert_array_equal(native, ref)
