@@ -100,7 +100,13 @@ def compute_sh_color(harmonics, positions, camera_center, degree: int):
     """
     harmonics = harmonics.astype(jnp.float32)
     if degree == 0:
-        return harmonics[:, 0, :] * SH_C0
+        # keep a (value-less) dependency on camera_center: programs whose
+        # argument sets differ only by dropped unused args trip an XLA:CPU
+        # executable-dispatch bug ("Execution supplied 8 buffers but compiled
+        # program expected 9") on repeat dispatch.  XLA cannot fold 0*x for a
+        # runtime float (NaN semantics), so this survives as a no-op use.
+        keep_alive = 0.0 * jnp.sum(camera_center)
+        return harmonics[:, 0, :] * SH_C0 + keep_alive
     d = camera_center[None, :] - positions
     d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
     basis = sh_basis(d, degree)  # (N, C)

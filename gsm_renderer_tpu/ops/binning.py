@@ -41,7 +41,11 @@ import jax.numpy as jnp
 Array = Any
 
 # Sentinel tile key for dead slots (sorts after every real tile).
-SENTINEL_KEY = jnp.uint32(0xFFFFFFFF)
+# NOTE: a plain Python int, NOT jnp.uint32(...) — module-level jnp arrays become
+# device-committed closure constants, and jax 0.9.0's constant-argument dispatch
+# drops them on CPU once several programs coexist ("Execution supplied 8 buffers
+# but compiled program expected 9"/10).  Ints fold into the trace as literals.
+SENTINEL_KEY = 0xFFFFFFFF
 
 
 def pack_rect_word(min_tx, min_ty, rect_w):
@@ -120,9 +124,11 @@ def build_slot_map(counts, capacity: int) -> SlotMap:
     slot_iota = jnp.arange(capacity, dtype=jnp.int32)
     j = slot_iota - off_run
     slot_valid = slot_iota < total
-    return SlotMap(rank=jnp.where(slot_valid, rank, -1),
-                   j=jnp.where(slot_valid, j, 0),
-                   slot_valid=slot_valid, total=total, overflow=overflow)
+    # rank/j are kept unmasked past ``total`` so that rank stays nondecreasing
+    # (the Pallas expand kernel relies on monotone slot->gaussian windows);
+    # consumers must mask with ``slot_valid``.
+    return SlotMap(rank=rank, j=j, slot_valid=slot_valid, total=total,
+                   overflow=overflow)
 
 
 def slot_tile_ids(slot_map: SlotMap, rect_word_by_rank, tiles_x: int):
@@ -150,7 +156,7 @@ def slot_tile_ids(slot_map: SlotMap, rect_word_by_rank, tiles_x: int):
     ty = min_ty + q
     tx = min_tx + r
     tile = (ty * tiles_x + tx).astype(jnp.uint32)
-    return jnp.where(slot_map.slot_valid, tile, SENTINEL_KEY)
+    return jnp.where(slot_map.slot_valid, tile, jnp.uint32(SENTINEL_KEY))
 
 
 def stable_sort_by_tile(tile_key, payload):

@@ -123,7 +123,8 @@ def build_sharded_depth_first(
 
         from ..pipelines.common import sorted_instance_attrs
         # exact test needs global tile coords: shift the band-local tile row back
-        global_key = jnp.where(sorted_key == B.SENTINEL_KEY, B.SENTINEL_KEY,
+        global_key = jnp.where(sorted_key == jnp.uint32(B.SENTINEL_KEY),
+                               jnp.uint32(B.SENTINEL_KEY),
                                sorted_key + jnp.uint32(band0 * tiles_x))
         attrs = sorted_instance_attrs(
             sorted_words, global_key, tiles_x=tiles_x, tile_w=tile_w,

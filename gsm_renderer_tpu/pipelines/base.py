@@ -25,11 +25,85 @@ Array = Any
 
 def instance_capacity(config: RendererConfig, n: int) -> int:
     """Static instance capacity: config override or INSTANCE_CAPACITY_FACTOR x
-    gaussians, padded to a 128-lane multiple."""
+    gaussians, padded to the expand-kernel block size.  Every gaussian owns at
+    least one slot (culled ones get a sentinel slot), so the capacity is also
+    floored at n + 1."""
     from ..config import INSTANCE_CAPACITY_FACTOR
     c = (config.max_instances if config.max_instances > 0
          else INSTANCE_CAPACITY_FACTOR * n)
-    return -(-c // 128) * 128
+    c = max(c, n + 1)
+    return -(-c // 4096) * 4096
+
+
+def unique_jit(frame_fn, key, **static_kwargs):
+    """jit a frame function under a signature-unique name.
+
+    The unique name keeps profiles readable and avoids same-name executable
+    aliasing across signatures.
+    """
+    import functools as _ft
+
+    bound = _ft.partial(frame_fn, **static_kwargs)
+
+    def wrapper(*args):
+        return bound(*args)
+
+    tag = abs(hash(key)) % 10 ** 10
+    wrapper.__name__ = f"{frame_fn.__name__}_{tag}"
+    wrapper.__qualname__ = wrapper.__name__
+    return jax.jit(wrapper)
+
+
+_ALL_PROGRAMS: list = []  # keep compiled executables alive for process lifetime
+
+
+class AotProgram:
+    """Ahead-of-time compiled frame program.
+
+    jax's jit dispatch fast path mis-binds executables once several frame
+    programs coexist in a process on the CPU backend ("Execution supplied 8
+    buffers but compiled program expected 9"); calling the AOT-compiled
+    executable directly is immune, so renderers cache these instead of jitted
+    callables.
+    """
+
+    def __init__(self, frame_fn, key, static_kwargs):
+        self._frame_fn = frame_fn
+        self._key = key
+        self._statics = static_kwargs
+        self._retry = 0
+        self._jit = unique_jit(frame_fn, key, **static_kwargs)
+        self._compiled = None
+        _ALL_PROGRAMS.append(self)
+
+    def __call__(self, *args):
+        if self._compiled is None:
+            self._compiled = self._jit.lower(*args).compile()
+        try:
+            return self._compiled(*args)
+        except (TypeError, ValueError) as e:
+            # jax 0.9.0 on CPU occasionally produces an executable whose lifted
+            # constant arguments were dropped ("Execution supplied N buffers
+            # but compiled program expected M" / "Computation compiled for N
+            # inputs but called with M").  Retrace under a fresh name (the
+            # poisoned lowering is cached) and retry.
+            msg = str(e)
+            if "buffers" not in msg and "inputs but called" not in msg:
+                raise
+            for attempt in range(3):
+                self._retry += 1
+                jax.clear_caches()
+                self._jit = unique_jit(self._frame_fn,
+                                       (self._key, "retry", self._retry),
+                                       **self._statics)
+                self._compiled = self._jit.lower(*args).compile()
+                try:
+                    return self._compiled(*args)
+                except (TypeError, ValueError) as e2:
+                    msg = str(e2)
+                    if "buffers" not in msg and "inputs but called" not in msg:
+                        raise
+            raise
 
 
 class GaussianRenderer:

@@ -119,3 +119,58 @@ def sorted_instance_attrs(sorted_words, sorted_tile_key, *, tiles_x: int,
         "r": f["r"], "g": f["g"], "b": f["b"],
         "depth": f["depth"], "op": op,
     }
+
+
+def fused_binning(pr, depth_sort_word, *, capacity: int, tiles_x: int,
+                  fused_depth16: bool, use_pallas: bool,
+                  interpret: bool = False):
+    """Shared v2 binning: input-order emission, Pallas windowed expansion, one
+    radix sort carrying the quantized record as payload.
+
+    ``depth_sort_word``: (N,) uint32 per-gaussian depth ordering word.
+    ``fused_depth16``: True -> single fused key [tile:16 | depth_word:16]
+    (Global/Local); False -> two sort keys (tile, depth_word): stability then
+    orders ties by input index, matching the reference's stable
+    depth-then-tile sort output (DepthFirst).
+
+    Every gaussian (visible or not) owns >= 1 slot so the slot->gaussian map is
+    contiguous-windowed for the expand kernel; culled slots get sentinel keys.
+
+    Returns (sorted_key (C,), sorted_words (C, 4), total_live, overflow).
+    """
+    import jax
+    from .. import mathlib as M
+    from ..kernels import expand as E
+    from ..ops import binning as B
+
+    words = pack_record_words(pr.record)
+    rect_word = B.pack_rect_word(pr.min_tx, pr.min_ty,
+                                 (pr.max_tx - pr.min_tx + 1))
+    rect_word = jnp.where(pr.visible, rect_word,
+                          rect_word | jnp.uint32(E.CULLED_BIT))
+
+    counts = jnp.maximum(pr.rect_count, 1)
+    sm = B.build_slot_map(counts, capacity)
+
+    aux = jnp.concatenate([depth_sort_word[:, None].astype(jnp.uint32), words],
+                          axis=1)  # (N, 5)
+
+    expand = E.expand_slots_pallas if use_pallas else E.expand_slots_xla
+    kw = {} if not use_pallas else {"interpret": interpret}
+    key, d_slot, w0, w1, w2, w3 = expand(
+        sm.rank, sm.j, sm.total, rect_word, aux, tiles_x=tiles_x,
+        fused_depth16=fused_depth16, **kw)
+
+    if fused_depth16:
+        ops = jax.lax.sort((key, w0, w1, w2, w3), num_keys=1)
+        sorted_key, sw = ops[0], ops[1:]
+        sorted_tile = jnp.where(sorted_key == jnp.uint32(E.SENTINEL),
+                                jnp.uint32(E.SENTINEL), sorted_key >> 16)
+    else:
+        ops = jax.lax.sort((key, d_slot, w0, w1, w2, w3), num_keys=2)
+        sorted_key, sw = ops[0], ops[2:]
+        sorted_tile = sorted_key
+
+    sorted_words = jnp.stack(sw, axis=-1)  # (C, 4)
+    total_live = jnp.sum(jnp.where(pr.visible, pr.rect_count, 0)).astype(jnp.int32)
+    return sorted_tile, sorted_words, total_live, sm.overflow

@@ -34,8 +34,9 @@ from ..kernels import blend as K
 from ..ops import binning as B
 from ..ops.project import project_and_cull
 from ..types import FrameHeader, GaussianInput, RenderOutput
-from .base import GaussianRenderer, instance_capacity
-from .common import pack_record_words, sorted_instance_attrs
+from .base import AotProgram, GaussianRenderer, instance_capacity
+from .common import (fused_binning, pack_record_words,
+                     sorted_instance_attrs)
 
 Array = Any
 
@@ -77,26 +78,16 @@ def depth_first_frame(
     # back_to_front maps to the same front-to-back transmittance program (the
     # two blend orders produce identical radiance; see pipelines/hardware.py).
     del back_to_front
-    _, order = B.depth_order(depth_key)
 
-    rect_word = B.pack_rect_word(pr.min_tx, pr.min_ty,
-                                 (pr.max_tx - pr.min_tx + 1))
-    words = pack_record_words(pr.record)
-
-    counts_ordered = pr.rect_count[order]
-    rect_word_ordered = rect_word[order]
-    words_ordered = words[order]
-
-    sm = B.build_slot_map(counts_ordered, capacity)
-    tile_key = B.slot_tile_ids(sm, rect_word_ordered, tiles_x)
-    sorted_key, sorted_rank = B.stable_sort_by_tile(tile_key, sm.rank)
-    sorted_words = words_ordered[jnp.maximum(sorted_rank, 0)]
+    sorted_tile, sorted_words, total_live, overflow = fused_binning(
+        pr, depth_key, capacity=capacity, tiles_x=tiles_x, fused_depth16=False,
+        use_pallas=not use_xla_blend, interpret=interpret)
 
     attrs = sorted_instance_attrs(
-        sorted_words, sorted_key, tiles_x=tiles_x, tile_w=tile_w, tile_h=tile_h,
+        sorted_words, sorted_tile, tiles_x=tiles_x, tile_w=tile_w, tile_h=tile_h,
         alpha_threshold=alpha_threshold, exact_tile_test=exact_tile_test)
 
-    starts, counts = B.extract_tile_ranges(sorted_key, num_tiles)
+    starts, counts = B.extract_tile_ranges(sorted_tile, num_tiles)
     if max_per_tile > 0:
         # Local-renderer parity: silent per-tile drop past the fixed capacity
         # (LocalShaders.metal:660-664).
@@ -118,8 +109,8 @@ def depth_first_frame(
 
     header = FrameHeader(
         visible_count=jnp.sum(pr.visible).astype(jnp.int32),
-        total_instances=sm.total,
-        overflow=sm.overflow,
+        total_instances=total_live,
+        overflow=overflow,
     )
     return RenderOutput(color=color, depth=depth, header=header)
 
@@ -136,28 +127,21 @@ class DepthFirstRenderer(GaussianRenderer):
         gi.validate()
         n = gi.count
         c = self.config
-        key = ("df", n, gi.sh_n_coeffs, width, height, c, self.use_xla_blend,
-               camera.near_plane, camera.far_plane)
-
-        def build():
-            capacity = instance_capacity(c, n)
-            fn = functools.partial(
-                depth_first_frame,
-                width=width, height=height, capacity=capacity,
-                sh_degree=min(c.sh_degree, {1: 0, 4: 1, 9: 2, 16: 3}[gi.sh_n_coeffs]),
-                alpha_threshold=c.alpha_threshold,
-                total_ink_threshold=c.total_ink_threshold,
-                near_plane=camera.near_plane, far_plane=camera.far_plane,
-                input_is_srgb=(c.gaussian_color_space == cfg.GaussianColorSpace.SRGB),
-                tile_w=cfg.DEPTH_FIRST_TILE[0], tile_h=cfg.DEPTH_FIRST_TILE[1],
-                depth_key_bits=c.depth_sort_key_precision.value,
-                back_to_front=c.back_to_front,
-                use_xla_blend=self.use_xla_blend,
-            )
-            return jax.jit(fn)
-
-        prog = self._program(key, build)
         view, proj, center = camera.astuple_jax()
+        statics = dict(
+            width=width, height=height, capacity=instance_capacity(c, n),
+            sh_degree=min(c.sh_degree, {1: 0, 4: 1, 9: 2, 16: 3}[gi.sh_n_coeffs]),
+            alpha_threshold=c.alpha_threshold,
+            total_ink_threshold=c.total_ink_threshold,
+            near_plane=camera.near_plane, far_plane=camera.far_plane,
+            input_is_srgb=(c.gaussian_color_space == cfg.GaussianColorSpace.SRGB),
+            tile_w=cfg.DEPTH_FIRST_TILE[0], tile_h=cfg.DEPTH_FIRST_TILE[1],
+            depth_key_bits=c.depth_sort_key_precision.value,
+            back_to_front=c.back_to_front,
+            use_xla_blend=self.use_xla_blend,
+        )
+        key = ("df", n, gi.sh_n_coeffs, str(gi.scales.dtype), tuple(sorted(statics.items())))
+        prog = self._program(key, lambda: AotProgram(depth_first_frame, key, statics))
         return prog(gi, view, proj, center)
 
 
@@ -249,24 +233,6 @@ def _stereo_render_method(self, gi, camera, width, height):
     n = gi.count
     c = self.config
     left, right = camera.left, camera.right
-    key = ("df_stereo", n, gi.sh_n_coeffs, width, height, c, self.use_xla_blend,
-           left.near_plane, left.far_plane)
-
-    def build():
-        capacity = instance_capacity(c, n)
-        fn = functools.partial(
-            depth_first_stereo_frame,
-            width=width, height=height, capacity=capacity,
-            sh_degree=min(c.sh_degree, {1: 0, 4: 1, 9: 2, 16: 3}[gi.sh_n_coeffs]),
-            alpha_threshold=c.alpha_threshold,
-            total_ink_threshold=c.total_ink_threshold,
-            near_plane=left.near_plane, far_plane=left.far_plane,
-            input_is_srgb=(c.gaussian_color_space == cfg.GaussianColorSpace.SRGB),
-            use_xla_blend=self.use_xla_blend,
-        )
-        return jax.jit(fn)
-
-    prog = self._program(key, build)
     views = jnp.stack([jnp.asarray(left.view_matrix, jnp.float32),
                        jnp.asarray(right.view_matrix, jnp.float32)])
     projs = jnp.stack([jnp.asarray(left.projection_matrix, jnp.float32),
@@ -275,6 +241,17 @@ def _stereo_render_method(self, gi, camera, width, height):
                          jnp.asarray(right.position, jnp.float32)])
     st = camera.scene_transform
     st = jnp.eye(4, dtype=jnp.float32) if st is None else jnp.asarray(st, jnp.float32)
+    statics = dict(
+        width=width, height=height, capacity=instance_capacity(c, n),
+        sh_degree=min(c.sh_degree, {1: 0, 4: 1, 9: 2, 16: 3}[gi.sh_n_coeffs]),
+        alpha_threshold=c.alpha_threshold,
+        total_ink_threshold=c.total_ink_threshold,
+        near_plane=left.near_plane, far_plane=left.far_plane,
+        input_is_srgb=(c.gaussian_color_space == cfg.GaussianColorSpace.SRGB),
+        use_xla_blend=self.use_xla_blend,
+    )
+    key = ("df_stereo", n, gi.sh_n_coeffs, str(gi.scales.dtype), tuple(sorted(statics.items())))
+    prog = self._program(key, lambda: AotProgram(depth_first_stereo_frame, key, statics))
     return prog(gi, views, projs, centers, st)
 
 

@@ -33,8 +33,9 @@ from ..kernels import blend as K
 from ..ops import binning as B
 from ..ops.project import project_and_cull
 from ..types import FrameHeader, GaussianInput, RenderOutput
-from .base import GaussianRenderer, instance_capacity
-from .common import pack_record_words, sorted_instance_attrs
+from .base import AotProgram, GaussianRenderer, instance_capacity
+from .common import (fused_binning, pack_record_words,
+                     sorted_instance_attrs)
 
 Array = Any
 
@@ -69,26 +70,18 @@ def hardware_frame(
     # weights a_i * prod_{nearer j}(1 - a_j) are algebraically identical to
     # front-to-back transmittance compositing, so both flags map to one program.
     del back_to_front
-    _, order = B.depth_order(pr.depth_key)
 
-    rect_word = B.pack_rect_word(pr.min_tx, pr.min_ty, (pr.max_tx - pr.min_tx + 1))
-    words = pack_record_words(pr.record)
-    counts_ordered = pr.rect_count[order]
-    rect_word_ordered = rect_word[order]
-    words_ordered = words[order]
-
-    sm = B.build_slot_map(counts_ordered, capacity)
-    tile_key = B.slot_tile_ids(sm, rect_word_ordered, tiles_x)
-    sorted_key, sorted_rank = B.stable_sort_by_tile(tile_key, sm.rank)
-    sorted_words = words_ordered[jnp.maximum(sorted_rank, 0)]
+    sorted_tile, sorted_words, total_live, overflow = fused_binning(
+        pr, pr.depth_key, capacity=capacity, tiles_x=tiles_x,
+        fused_depth16=False, use_pallas=not use_xla_blend, interpret=interpret)
 
     # No exact per-tile test: quads cover their OBB rect; per-pixel r^2 cutoff
     # happens in the blend.
     attrs = sorted_instance_attrs(
-        sorted_words, sorted_key, tiles_x=tiles_x, tile_w=tile_w, tile_h=tile_h,
+        sorted_words, sorted_tile, tiles_x=tiles_x, tile_w=tile_w, tile_h=tile_h,
         alpha_threshold=alpha_threshold, exact_tile_test=False)
 
-    starts, counts = B.extract_tile_ranges(sorted_key, num_tiles)
+    starts, counts = B.extract_tile_ranges(sorted_tile, num_tiles)
 
     table = K.build_blend_table(attrs, capacity)
     if use_xla_blend:
@@ -108,8 +101,8 @@ def hardware_frame(
 
     header = FrameHeader(
         visible_count=jnp.sum(pr.visible).astype(jnp.int32),
-        total_instances=sm.total,
-        overflow=sm.overflow,
+        total_instances=total_live,
+        overflow=overflow,
     )
     return RenderOutput(color=color, depth=depth, header=header)
 
@@ -122,24 +115,17 @@ class HardwareRenderer(GaussianRenderer):
         gi.validate()
         n = gi.count
         c = self.config
-        key = ("hw", n, gi.sh_n_coeffs, width, height, c, self.use_xla_blend,
-               camera.near_plane, camera.far_plane)
-
-        def build():
-            capacity = instance_capacity(c, n)
-            fn = functools.partial(
-                hardware_frame,
-                width=width, height=height, capacity=capacity,
-                sh_degree=min(c.sh_degree, {1: 0, 4: 1, 9: 2, 16: 3}[gi.sh_n_coeffs]),
-                alpha_threshold=c.alpha_threshold,
-                total_ink_threshold=c.total_ink_threshold,
-                near_plane=camera.near_plane, far_plane=camera.far_plane,
-                input_is_srgb=(c.gaussian_color_space == cfg.GaussianColorSpace.SRGB),
-                back_to_front=c.back_to_front,
-                use_xla_blend=self.use_xla_blend,
-            )
-            return jax.jit(fn)
-
-        prog = self._program(key, build)
         view, proj, center = camera.astuple_jax()
+        statics = dict(
+            width=width, height=height, capacity=instance_capacity(c, n),
+            sh_degree=min(c.sh_degree, {1: 0, 4: 1, 9: 2, 16: 3}[gi.sh_n_coeffs]),
+            alpha_threshold=c.alpha_threshold,
+            total_ink_threshold=c.total_ink_threshold,
+            near_plane=camera.near_plane, far_plane=camera.far_plane,
+            input_is_srgb=(c.gaussian_color_space == cfg.GaussianColorSpace.SRGB),
+            back_to_front=c.back_to_front,
+            use_xla_blend=self.use_xla_blend,
+        )
+        key = ('hw', n, gi.sh_n_coeffs, str(gi.scales.dtype), tuple(sorted(statics.items())))
+        prog = self._program(key, lambda: AotProgram(hardware_frame, key, statics))
         return prog(gi, view, proj, center)

@@ -30,8 +30,9 @@ from ..kernels import blend as K
 from ..ops import binning as B
 from ..ops.project import project_and_cull
 from ..types import FrameHeader, GaussianInput, RenderOutput
-from .base import GaussianRenderer, instance_capacity
-from .common import pack_record_words, sorted_instance_attrs
+from .base import AotProgram, GaussianRenderer, instance_capacity
+from .common import (fused_binning, pack_record_words,
+                     sorted_instance_attrs)
 
 Array = Any
 
@@ -61,21 +62,10 @@ def local_frame(
         input_is_srgb=input_is_srgb,
     )
 
-    rect_word = B.pack_rect_word(pr.min_tx, pr.min_ty, (pr.max_tx - pr.min_tx + 1))
-    words = pack_record_words(pr.record)
-
-    sm = B.build_slot_map(pr.rect_count, capacity)
-    tile_id = B.slot_tile_ids(sm, rect_word, tiles_x)
-
     depth16 = M.half_depth_key16(pr.record.depth.astype(jnp.float32))
-    slot_depth16 = depth16[jnp.maximum(sm.rank, 0)]
-    live = tile_id != B.SENTINEL_KEY
-    key = jnp.where(live, (tile_id << 16) | slot_depth16, B.SENTINEL_KEY)
-
-    sorted_key, sorted_rank = B.stable_sort_by_tile(key, sm.rank)
-    sorted_tile = jnp.where(sorted_key == B.SENTINEL_KEY, B.SENTINEL_KEY,
-                            sorted_key >> 16)
-    sorted_words = words[jnp.maximum(sorted_rank, 0)]
+    sorted_tile, sorted_words, total_live, overflow = fused_binning(
+        pr, depth16, capacity=capacity, tiles_x=tiles_x, fused_depth16=True,
+        use_pallas=not use_xla_blend, interpret=interpret)
 
     attrs = sorted_instance_attrs(
         sorted_words, sorted_tile, tiles_x=tiles_x, tile_w=tile_w, tile_h=tile_h,
@@ -102,8 +92,8 @@ def local_frame(
 
     header = FrameHeader(
         visible_count=jnp.sum(pr.visible).astype(jnp.int32),
-        total_instances=sm.total,
-        overflow=sm.overflow,
+        total_instances=total_live,
+        overflow=overflow,
     )
     return RenderOutput(color=color, depth=depth, header=header)
 
@@ -117,24 +107,17 @@ class LocalRenderer(GaussianRenderer):
         gi.validate()
         n = gi.count
         c = self.config
-        key = ("local", n, gi.sh_n_coeffs, width, height, c, self.use_xla_blend,
-               camera.near_plane, camera.far_plane)
-
-        def build():
-            capacity = instance_capacity(c, n)
-            fn = functools.partial(
-                local_frame,
-                width=width, height=height, capacity=capacity,
-                sh_degree=min(c.sh_degree, {1: 0, 4: 1, 9: 2, 16: 3}[gi.sh_n_coeffs]),
-                alpha_threshold=c.alpha_threshold,
-                total_ink_threshold=c.total_ink_threshold,
-                near_plane=camera.near_plane, far_plane=camera.far_plane,
-                input_is_srgb=(c.gaussian_color_space == cfg.GaussianColorSpace.SRGB),
-                tile_w=cfg.LOCAL_TILE[0], tile_h=cfg.LOCAL_TILE[1],
-                use_xla_blend=self.use_xla_blend,
-            )
-            return jax.jit(fn)
-
-        prog = self._program(key, build)
         view, proj, center = camera.astuple_jax()
+        statics = dict(
+            width=width, height=height, capacity=instance_capacity(c, n),
+            sh_degree=min(c.sh_degree, {1: 0, 4: 1, 9: 2, 16: 3}[gi.sh_n_coeffs]),
+            alpha_threshold=c.alpha_threshold,
+            total_ink_threshold=c.total_ink_threshold,
+            near_plane=camera.near_plane, far_plane=camera.far_plane,
+            input_is_srgb=(c.gaussian_color_space == cfg.GaussianColorSpace.SRGB),
+            tile_w=cfg.LOCAL_TILE[0], tile_h=cfg.LOCAL_TILE[1],
+            use_xla_blend=self.use_xla_blend,
+        )
+        key = ('local', n, gi.sh_n_coeffs, str(gi.scales.dtype), tuple(sorted(statics.items())))
+        prog = self._program(key, lambda: AotProgram(local_frame, key, statics))
         return prog(gi, view, proj, center)

@@ -117,7 +117,10 @@ def test_overflow_graceful():
     """Capacity overflow sets the flag and still renders (reference overflow
     clamps: DepthFirstShaders.metal:2187-2194)."""
     w, h = 64, 64
-    ds = generate_grid_gaussians(400, xy_extent=0.3)  # dense overlap
+    # dense overlapping gaussians: instance demand far above the 4096-slot
+    # minimum capacity
+    ds = generate_grid_gaussians(3000, xy_extent=0.3,
+                                 scale_range=(0.1, 0.3))
     cam = G.make_camera(w, h)
     cfgo = G.RendererConfig(max_instances=256)
     r = G.DepthFirstRenderer(cfgo, use_xla_blend=True)
