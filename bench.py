@@ -25,17 +25,20 @@ import numpy as np
 TARGET_MS = 16.6
 
 
-def _build(n, w, h, sh_degree, scale_range, renderer="depth_first", seed=7):
+def _build(n, w, h, sh_degree, scale_range, renderer="depth_first", seed=7,
+           precision=None):
     import gsm_renderer_tpu as G
     from gsm_renderer_tpu.io.scene import generate_visible_gaussians
 
     ds = generate_visible_gaussians(n, sh_degree=sh_degree, seed=seed,
                                     scale_range=scale_range)
     cam = G.make_camera(w, h, far=50.0)
-    cfg = G.RendererConfig(sh_degree=sh_degree)
-    cls = {"depth_first": G.DepthFirstRenderer, "global": G.GlobalRenderer}
+    precision = precision or G.Precision.FLOAT32
+    cfg = G.RendererConfig(sh_degree=sh_degree, precision=precision)
+    cls = {"depth_first": G.DepthFirstRenderer, "global": G.GlobalRenderer,
+           "local": G.LocalRenderer, "hardware": G.HardwareRenderer}
     r = cls[renderer](cfg)
-    return r, ds.to_input(), cam
+    return r, ds.to_input(precision), cam
 
 
 def time_frames(render_fn, warmup=3, iters=10):
@@ -83,12 +86,16 @@ def main():
     ap.add_argument("--renderer", default="depth_first")
     ap.add_argument("--matrix", action="store_true",
                     help="run the full BASELINE.json config matrix")
+    ap.add_argument("--stages", action="store_true",
+                    help="also measure the per-stage (project/sort/blend) split")
     args = ap.parse_args()
 
     overhead_ms = measure_overhead()
 
-    def run_one(n, w, h, sh, renderer, scale_range=(0.002, 0.012)):
-        r, gi, cam = _build(n, w, h, sh, scale_range, renderer)
+    def run_one(n, w, h, sh, renderer, scale_range=(0.002, 0.012),
+                precision=None):
+        r, gi, cam = _build(n, w, h, sh, scale_range, renderer,
+                            precision=precision)
         # capacity = 4 x gaussians, the reference's instance-capacity model
         # (DepthFirstResources.swift:80-81); the bench scene fits it
         import dataclasses
@@ -105,14 +112,49 @@ def main():
             ("global_50k_800x600_sh0", 50_000, 800, 600, 0, "global"),
             ("global_500k_1080p_sh2", 500_000, 1920, 1080, 2, "global"),
             ("depthfirst_1m_1080p_sh3", 1_000_000, 1920, 1080, 3, "depth_first"),
+            ("local_1m_4k_fp16", 1_000_000, 3840, 2160, 0, "local"),
         ]
         for name, n, w, h, sh, rend in matrix:
-            ms, stats, ov, ti = run_one(n, w, h, sh, rend)
+            import gsm_renderer_tpu as G
+            prec = G.Precision.FLOAT16 if "fp16" in name else None
+            ms, stats, ov, ti = run_one(n, w, h, sh, rend, precision=prec)
             results[name] = dict(ms=round(ms, 3), min=round(stats["min"], 3),
                                  max=round(stats["max"], 3), overflow=ov,
                                  instances=ti,
                                  msplats_per_s=round(n / ms / 1000.0, 1))
             print(f"# {name}: {results[name]}", file=sys.stderr)
+
+        # stereo side-by-side (BASELINE.md config 5)
+        import dataclasses as _dc
+        import gsm_renderer_tpu as G
+        from gsm_renderer_tpu.io.scene import generate_visible_gaussians
+        ds = generate_visible_gaussians(1_000_000, sh_degree=3,
+                                        scale_range=(0.002, 0.012))
+        cam = G.make_camera(1920, 1080, far=50.0)
+        stereo = G.make_side_by_side_stereo(cam)
+        r = G.DepthFirstRenderer(G.RendererConfig(sh_degree=3,
+                                                  max_instances=4_000_000))
+        gi = ds.to_input()
+        out = r.render_stereo(gi, stereo, 1920, 1080)
+        st = time_frames(lambda: r.render_stereo(gi, stereo, 1920, 1080))
+        results["depthfirst_stereo_1m_1080p_sh3"] = dict(
+            ms=round(st["avg"] - overhead_ms / 5, 3),
+            overflow=int(out.header.overflow))
+        print(f"# stereo: {results['depthfirst_stereo_1m_1080p_sh3']}",
+              file=sys.stderr)
+
+    stage_split = None
+    if args.stages:
+        import gsm_renderer_tpu as G
+        from gsm_renderer_tpu.io.scene import generate_visible_gaussians
+        from gsm_renderer_tpu.profiling import profile_depth_first_stages
+        ds = generate_visible_gaussians(args.gaussians, sh_degree=args.sh,
+                                        scale_range=(0.002, 0.012))
+        cam = G.make_camera(args.width, args.height, far=50.0)
+        stage_split = {k: round(v, 2) for k, v in profile_depth_first_stages(
+            ds.to_input(), cam, args.width, args.height, sh_degree=args.sh,
+            capacity=4 * args.gaussians).items()}
+        print(f"# stages: {stage_split}", file=sys.stderr)
 
     ms, stats, ov, ti = run_one(args.gaussians, args.width, args.height,
                                 args.sh, args.renderer)
@@ -130,6 +172,8 @@ def main():
         "overhead_ms_subtracted": round(overhead_ms / 5, 3),
         "extra": results,
     }
+    if stage_split is not None:
+        line["stage_split_ms"] = stage_split
     print(json.dumps(line))
 
 

@@ -1,0 +1,128 @@
+"""Observability: stage timing and trace annotation.
+
+The reference's tracing story is encoder labels + Xcode GPU capture and an
+unimplemented ``lastGPUTime`` stub (SURVEY.md section 5).  Here:
+
+* every renderer exposes a real ``last_gpu_time`` via ``render_timed``,
+* :func:`profile_depth_first_stages` measures a per-stage time split
+  (project / binning / sort / blend) by timing cumulative prefix programs on
+  the device — the measurement BASELINE.md requires alongside ms/frame,
+* frame functions are annotated with ``jax.named_scope`` so device traces
+  (``jax.profiler.trace``) group by pipeline stage.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _time_program(fn, args, iters: int = 3, reps: int = 3) -> float:
+    """Best-of device time per call, amortizing dispatch with chained iters and
+    forcing sync with a host fetch (block_until_ready is unreliable on tunneled
+    backends)."""
+    f = jax.jit(fn)
+    r = f(*args)
+    np.asarray(r).ravel()[:1]
+    best = 1e9
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            r = f(*args)
+        np.asarray(r).ravel()[:1]
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best * 1000.0
+
+
+def profile_depth_first_stages(gi, camera, width: int, height: int, *,
+                               sh_degree: int = 3, capacity: int = 0,
+                               alpha_threshold: float = 0.005,
+                               total_ink_threshold: float = 2.0,
+                               use_pallas: bool = True):
+    """Per-stage ms for the DepthFirst pipeline on the current backend.
+
+    Returns a dict with cumulative-prefix deltas: project, slot_map, expand,
+    sort, attrs_table, blend, assemble (the "sort vs blend split" of
+    BASELINE.md).
+    """
+    from . import config as cfg
+    from .kernels import blend as K
+    from .kernels import expand as E
+    from .ops import binning as B
+    from .ops.project import project_and_cull
+
+    n = gi.count
+    if capacity <= 0:
+        capacity = -(-max(cfg.INSTANCE_CAPACITY_FACTOR * n, n + 1) // 4096) * 4096
+    tiles_x, tiles_y = cfg.tiles_for(width, height, 16, 16)
+    view, proj, center = camera.astuple_jax()
+
+    kw = dict(width=width, height=height, tile_w=16, tile_h=16,
+              sh_degree=sh_degree, near_plane=camera.near_plane,
+              far_plane=camera.far_plane, alpha_threshold=alpha_threshold,
+              total_ink_threshold=total_ink_threshold, input_is_srgb=False)
+
+    def upto(stage):
+        def f(gi, view, proj, center):
+            pr = project_and_cull(gi, view, proj, center, **kw)
+            if stage == 1:
+                return pr.depth_key.max() + jnp.uint32(pr.rect_count.sum())
+            from .pipelines.common import pack_record_words, sorted_instance_attrs
+            words = pack_record_words(pr.record)
+            rect_word = B.pack_rect_word(pr.min_tx, pr.min_ty,
+                                         (pr.max_tx - pr.min_tx + 1))
+            rect_word = jnp.where(pr.visible, rect_word,
+                                  rect_word | jnp.uint32(E.CULLED_BIT))
+            counts = jnp.maximum(pr.rect_count, 1)
+            sm = B.build_slot_map(counts, capacity)
+            if stage == 2:
+                return jnp.uint32(sm.rank[-1]) + jnp.uint32(sm.j[0])
+            aux = jnp.concatenate([pr.depth_key[:, None], words], axis=1)
+            expand = E.expand_slots_pallas if use_pallas else E.expand_slots_xla
+            key, d_slot, w0, w1, w2, w3 = expand(
+                sm.rank, sm.j, sm.total, rect_word, aux, tiles_x=tiles_x,
+                fused_depth16=False)
+            if stage == 3:
+                return key[0] + w0[-1]
+            ops = jax.lax.sort((key, d_slot, w0, w1, w2, w3), num_keys=2)
+            sorted_key, sw = ops[0], ops[2:]
+            if stage == 4:
+                return sorted_key[-1] + sw[0][0]
+            sorted_words = jnp.stack(sw, axis=-1)
+            attrs = sorted_instance_attrs(
+                sorted_words, sorted_key, tiles_x=tiles_x, tile_w=16, tile_h=16,
+                alpha_threshold=alpha_threshold, exact_tile_test=True)
+            starts, counts_t = B.extract_tile_ranges(sorted_key,
+                                                     tiles_x * tiles_y)
+            table = K.build_blend_table(attrs, capacity)
+            if stage == 5:
+                return jnp.uint32(table[0, 0, 0] + starts[0])
+            if use_pallas:
+                tc, td = K.blend_tiles_pallas(table, starts, counts_t,
+                                              tiles_x=tiles_x, tiles_y=tiles_y)
+            else:
+                tc, td = K.blend_tiles_xla(table, starts, counts_t,
+                                           tiles_x=tiles_x, tiles_y=tiles_y,
+                                           max_per_tile=2048)
+            if stage == 6:
+                return jnp.uint32(tc[0, 0, 0] + td[-1, 0])
+            color, depth = K.assemble_image(tc, td, tiles_x=tiles_x,
+                                            tiles_y=tiles_y, width=width,
+                                            height=height)
+            return jnp.uint32(color[0, 0, 0] + depth[-1, -1])
+        return f
+
+    names = ["project", "slot_map", "expand", "sort", "attrs_table", "blend",
+             "assemble"]
+    args = (gi, view, proj, center)
+    out = {}
+    prev = 0.0
+    for stage, name in enumerate(names, start=1):
+        cum = _time_program(upto(stage), args)
+        out[name] = max(cum - prev, 0.0)
+        prev = cum
+    out["total"] = prev
+    return out
