@@ -333,24 +333,34 @@ def _row_blend_kernel(starts_ref, counts_ref, table_ref, out_ref, *,
             # chunk 0 from the double buffer
             acc, trans, fh = compute_chunk(0, buf, acc0, trans0, fh0)
 
-            # rare extra chunks: synchronous DMA into this tile's buffer
+            # Rare extra chunks: synchronous DMA into this tile's buffer.  The
+            # early-exit transmittance check is carried as a scalar and only
+            # computed for tiles that actually have more chunks — a per-tile
+            # vector->scalar reduction in the while condition would stall the
+            # pipeline on every (mostly single-chunk) tile.
+            def tmax_of(trans):
+                return jnp.max(trans)
+
+            tmax = jax.lax.cond(n_chunks > 1, tmax_of,
+                                lambda _t: jnp.float32(0.0), trans)
+
             def chunk_cond(carry):
-                c, acc, trans, _fh = carry
+                c, acc, trans, fh, tmax = carry
                 return jnp.logical_and(c < n_chunks,
-                                       jnp.max(trans) >= MIN_TRANSMITTANCE)
+                                       tmax >= MIN_TRANSMITTANCE)
 
             def chunk_body(carry):
-                c, acc, trans, fh = carry
+                c, acc, trans, fh, _tmax = carry
                 cp = pltpu.make_async_copy(
                     table_ref.at[pl.ds(blk0 + c * r_dma, r_dma)],
                     scr.at[buf], sem.at[buf])
                 cp.start()
                 cp.wait()
                 acc, trans, fh = compute_chunk(c, buf, acc, trans, fh)
-                return c + 1, acc, trans, fh
+                return c + 1, acc, trans, fh, jnp.max(trans)
 
-            _, acc, trans, fh = jax.lax.while_loop(
-                chunk_cond, chunk_body, (jnp.int32(1), acc, trans, fh))
+            _, acc, trans, fh, _ = jax.lax.while_loop(
+                chunk_cond, chunk_body, (jnp.int32(1), acc, trans, fh, tmax))
 
             acc_t = jnp.transpose(acc)               # (4, P)
             a_out = 1.0 - trans[0]

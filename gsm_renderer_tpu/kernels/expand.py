@@ -1,20 +1,22 @@
 """Pallas instance-expansion kernel.
 
-Replaces the XLA gather-bound middle of the pipeline (per-slot gaussian lookup
-and tile-id computation — the equivalent of ``createInstancesKernel``,
-DepthFirstShaders.metal:642-788) with windowed VMEM gathers:
+Replaces the XLA gather/scatter-bound middle of the pipeline (slot-map
+construction + per-slot gaussian lookup + tile-id computation — the equivalent
+of the reference's instance-offset prefix sum and ``createInstancesKernel``,
+DepthFirstShaders.metal:642-788, 2036-2139) with windowed VMEM work:
 
-Slots are emitted in gaussian order with every gaussian owning >= 1 slot, so the
-owning-gaussian index is nondecreasing along the slot axis and a block of BLK
-slots references a *contiguous window* of at most BLK+1 gaussians.  Each grid
-step DMAs that window of the per-gaussian tables into VMEM and resolves the
-per-slot values with masked ``take_along_axis`` lane gathers — O(window_rows)
-vector ops instead of XLA's elementwise HBM gathers (which cost ~10 ns/element
-and dominated the frame at ~100 ms).
+Slots are emitted in gaussian order with every gaussian owning >= 1 slot, so
+the per-gaussian exclusive offsets are *strictly increasing* and a block of BLK
+slots maps to a contiguous window of at most BLK+1 gaussians.  Each grid step:
 
-Outputs per slot: the tile key (closed-form j -> tile with float-reciprocal
-division, sentinel for dead/culled slots) and K carried auxiliary words (depth
-key + packed render record) ready to ride through the radix sort as payload.
+  1. DMAs its gaussian window of the offsets / rect / record tables into VMEM,
+  2. resolves each slot's owning gaussian with a vectorized binary search over
+     the offsets window (masked ``take_along_axis`` lane gathers),
+  3. computes the closed-form tile id (float-reciprocal division) and emits the
+     sort key plus K carried record words.
+
+This removes the XLA slot-map stage (a 1M->4M scatter + 4M cummax + 4M gather
+that cost ~40 ms/frame) and all elementwise HBM gathers (~10 ns/element).
 """
 
 from __future__ import annotations
@@ -33,12 +35,15 @@ LANES = 128
 BLK_SUB = 32                  # sublanes per slot block
 BLK = BLK_SUB * LANES         # 4096 slots per grid step
 WIN_ROWS = BLK_SUB + 2        # gaussian window rows (BLK+1 gaussians + misalign)
+WIN = WIN_ROWS * LANES
 
 # Plain Python ints (module-level jnp arrays become device-committed closure
 # constants that trip jax 0.9.0's constant-argument dispatch on CPU).
 SENTINEL = 0xFFFFFFFF
 # rect_word bit 30 marks a culled gaussian (its single slot gets the sentinel)
 CULLED_BIT = 1 << 30
+# offsets-table padding: larger than any slot index
+OFFSET_PAD = 0x7FFFFFFF
 
 
 def _windowed_gather(win, widx, wlane):
@@ -56,28 +61,120 @@ def _windowed_gather(win, widx, wlane):
     return out
 
 
-def _expand_kernel(r0_ref, total_ref, rank_ref, j_ref, rect_hbm, aux_hbm,
-                   *out_refs, tiles_x: int, n_aux: int, fused_depth16: bool):
+def _win_at(win, idx):
+    """windowed gather by flat window index (0 <= idx < WIN)."""
+    return _windowed_gather(win, idx >> 7, idx & 127)
+
+
+def _f16_bits_to_f32(bits_u32):
+    """Decode IEEE float16 bit patterns (low 16 bits of a u32) to float32.
+
+    Subnormals flush to zero (quantized record magnitudes are far above the
+    f16 subnormal range); infinities/NaNs are not produced by the quantizer.
+    """
+    b = bits_u32 & jnp.uint32(0xFFFF)
+    sign = (b >> 15) << 31
+    exp = (b >> 10) & jnp.uint32(0x1F)
+    mant = b & jnp.uint32(0x3FF)
+    f32_bits = sign | ((exp + jnp.uint32(112)) << 23) | (mant << 13)
+    # lax.bitcast works in both XLA and Mosaic (pltpu.bitcast rejects 1D)
+    val = jax.lax.bitcast_convert_type(f32_bits.astype(jnp.uint32), jnp.float32)
+    return jnp.where(exp == 0, 0.0, val)
+
+
+def _exact_tile_test(w0, w1, w2, w3, tx, ty, tile_w, tile_h, alpha_threshold):
+    """FlashGS-style exact min-quadratic-over-rect test from the quantized
+    record (DepthFirstShaders.metal:181-205, GaussianShared.h:525-593).
+
+    Returns True where the instance's max alpha within its tile reaches tau.
+    """
+    mx = _f16_bits_to_f32(w0)
+    my = _f16_bits_to_f32(w0 >> 16)
+    # Mosaic has no u32->f32 cast; route through i32 (values < 2^31)
+    theta = (w1 & jnp.uint32(0xFFFF)).astype(jnp.int32).astype(jnp.float32) * (
+        3.14159265358979 / 65535.0)
+    s1 = jnp.maximum(_f16_bits_to_f32(w1 >> 16), 1e-4)
+    s2 = jnp.maximum(_f16_bits_to_f32(w2), 1e-4)
+    op = ((w3 >> 24) & jnp.uint32(0xFF)).astype(jnp.int32).astype(
+        jnp.float32) * (1.0 / 255.0)
+
+    c = jnp.cos(theta)
+    s = jnp.sin(theta)
+    iv1 = 1.0 / (s1 * s1)
+    iv2 = 1.0 / (s2 * s2)
+    ca = c * c * iv1 + s * s * iv2
+    cb = c * s * (iv1 - iv2)
+    cc = s * s * iv1 + c * c * iv2
+
+    xmin = tx.astype(jnp.float32) * tile_w - mx
+    xmax = xmin + tile_w
+    ymin = ty.astype(jnp.float32) * tile_h - my
+    ymax = ymin + tile_h
+
+    inside = (xmin <= 0.0) & (0.0 <= xmax) & (ymin <= 0.0) & (0.0 <= ymax)
+    inv_a = 1.0 / jnp.maximum(ca, 1e-20)
+    inv_c = 1.0 / jnp.maximum(cc, 1e-20)
+
+    def quad(x, y):
+        return ca * x * x + 2.0 * cb * x * y + cc * y * y
+
+    q1 = quad(xmin, jnp.clip(-(cb * inv_c) * xmin, ymin, ymax))
+    q2 = quad(xmax, jnp.clip(-(cb * inv_c) * xmax, ymin, ymax))
+    q3 = quad(jnp.clip(-(cb * inv_a) * ymin, xmin, xmax), ymin)
+    q4 = quad(jnp.clip(-(cb * inv_a) * ymax, xmin, xmax), ymax)
+    d2min = jnp.where(inside, 0.0,
+                      jnp.minimum(jnp.minimum(q1, q2), jnp.minimum(q3, q4)))
+
+    tau = max(alpha_threshold, 1e-12)
+    cutoff = jnp.where(op < tau, -1.0, -2.0 * jnp.log(tau / jnp.maximum(op, 1e-30)))
+    return d2min <= cutoff
+
+
+def _expand_kernel(r0_ref, total_ref, off_hbm, rect_hbm, aux_hbm,
+                   *out_refs, tiles_x: int, n_aux: int, fused_depth16: bool,
+                   exact_test: bool, tile_w: int, tile_h: int,
+                   alpha_threshold: float):
     i = pl.program_id(0)
     r0 = r0_ref[i]
     row0 = r0 // LANES
 
-    def body(rect_win, aux_win, sem0, sem1):
-        cp0 = pltpu.make_async_copy(rect_hbm.at[pl.ds(row0, WIN_ROWS)],
-                                    rect_win, sem0)
+    def body(off_win, rect_win, aux_win, sem0, sem1, sem2):
+        cp0 = pltpu.make_async_copy(off_hbm.at[pl.ds(row0, WIN_ROWS)],
+                                    off_win, sem0)
         cp0.start()
-        cp1 = pltpu.make_async_copy(aux_hbm.at[pl.ds(row0, WIN_ROWS)],
-                                    aux_win, sem1)
+        cp1 = pltpu.make_async_copy(rect_hbm.at[pl.ds(row0, WIN_ROWS)],
+                                    rect_win, sem1)
         cp1.start()
+        cp2 = pltpu.make_async_copy(aux_hbm.at[pl.ds(row0, WIN_ROWS)],
+                                    aux_win, sem2)
+        cp2.start()
         cp0.wait()
-        cp1.wait()
 
-        rank = rank_ref[0]                        # (BLK_SUB, 128) i32
-        jj = j_ref[0]
-        local = rank - row0 * LANES
+        # slot ids for this block
+        sub_iota = jax.lax.broadcasted_iota(jnp.int32, (BLK_SUB, LANES), 0)
+        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (BLK_SUB, LANES), 1)
+        slot = i * BLK + sub_iota * LANES + lane_iota
+
+        # Vectorized binary search: largest window index k with
+        # off_win[k] <= slot.  Offsets are strictly increasing (count >= 1) and
+        # the window is padded with OFFSET_PAD past the last gaussian.
+        # Invariant: off_win[r0 - row0*128] <= first slot of the block.
+        lo = jnp.broadcast_to((r0 - row0 * LANES).astype(jnp.int32),
+                              (BLK_SUB, LANES))
+        step = 4096  # power-of-two ascent covering the window
+        while step >= 1:
+            cand = lo + step
+            val = _win_at(off_win, jnp.minimum(cand, WIN - 1))
+            ok = jnp.logical_and(cand <= WIN - 1, val <= slot)
+            lo = jnp.where(ok, cand, lo)
+            step //= 2
+
+        local = lo                      # window-local gaussian index
         widx = local >> 7
         wlane = local & 127
+        jj = slot - _windowed_gather(off_win, widx, wlane)
 
+        cp1.wait()
         rect = _windowed_gather(rect_win, widx, wlane)
         rect_u = pltpu.bitcast(rect, jnp.uint32)
         min_tx = (rect_u & jnp.uint32(0x3FF)).astype(jnp.int32)
@@ -91,18 +188,26 @@ def _expand_kernel(r0_ref, total_ref, rank_ref, j_ref, rect_hbm, aux_hbm,
         r = jj - q * rw
         q = jnp.where(r < 0, q - 1, jnp.where(r >= rw, q + 1, q))
         r = jj - q * rw
-        tile = ((min_ty + q) * tiles_x + min_tx + r).astype(jnp.uint32)
+        t_y = min_ty + q
+        t_x = min_tx + r
+        tile = (t_y * tiles_x + t_x).astype(jnp.uint32)
 
+        cp2.wait()
         aux_vals = []
         for a in range(n_aux):
             v = _windowed_gather(aux_win[:, a, :], widx, wlane)
             aux_vals.append(pltpu.bitcast(v, jnp.uint32))
 
-        slot0 = i * BLK
-        sub_iota = jax.lax.broadcasted_iota(jnp.int32, (BLK_SUB, LANES), 0)
-        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (BLK_SUB, LANES), 1)
-        slot = slot0 + sub_iota * LANES + lane_iota
         dead = jnp.logical_or(slot >= total_ref[0], culled)
+        if exact_test:
+            # exclude instances whose max alpha within the tile is below tau
+            # (reference excludes them at instance creation —
+            # DepthFirstShaders.metal:181-205); aux words 1..4 carry the record
+            passes = _exact_tile_test(aux_vals[1], aux_vals[2], aux_vals[3],
+                                      aux_vals[4], t_x, t_y,
+                                      float(tile_w), float(tile_h),
+                                      alpha_threshold)
+            dead = jnp.logical_or(dead, jnp.logical_not(passes))
 
         if fused_depth16:
             # Global/Local: key = [tile:16 | depth16:16]; aux word 0 carries
@@ -118,61 +223,95 @@ def _expand_kernel(r0_ref, total_ref, rank_ref, j_ref, rect_hbm, aux_hbm,
 
     pl.run_scoped(
         body,
+        off_win=pltpu.VMEM((WIN_ROWS, LANES), jnp.int32),
         rect_win=pltpu.VMEM((WIN_ROWS, LANES), jnp.int32),
         aux_win=pltpu.VMEM((WIN_ROWS, n_aux, LANES), jnp.int32),
         sem0=pltpu.SemaphoreType.DMA,
         sem1=pltpu.SemaphoreType.DMA,
+        sem2=pltpu.SemaphoreType.DMA,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("tiles_x", "fused_depth16",
-                                             "interpret"))
-def expand_slots_pallas(rank, j, total, rect_word, aux_words, *, tiles_x: int,
-                        fused_depth16: bool = False, interpret: bool = False):
+def _pad_rows(x, n):
+    """Pad a per-gaussian table to whole window rows and reshape to
+    (rows, [K,] 128) int32."""
+    np_rows = -(-(n + 1) // LANES) + WIN_ROWS
+    pad_to = np_rows * LANES - x.shape[0]
+    if x.ndim == 1:
+        x = jnp.pad(x, (0, pad_to))
+        return x.view(jnp.int32).reshape(np_rows, LANES)
+    x = jnp.pad(x, ((0, pad_to), (0, 0)))
+    k = x.shape[1]
+    return jnp.transpose(x.view(jnp.int32).reshape(np_rows, LANES, k),
+                         (0, 2, 1))
+
+
+@functools.partial(jax.jit, static_argnames=("capacity", "tiles_x",
+                                             "fused_depth16", "interpret",
+                                             "exact_test", "tile_w", "tile_h",
+                                             "alpha_threshold"))
+def expand_slots_pallas(counts, rect_word, aux_words, *, capacity: int,
+                        tiles_x: int, fused_depth16: bool = False,
+                        interpret: bool = False, exact_test: bool = False,
+                        tile_w: int = 16, tile_h: int = 16,
+                        alpha_threshold: float = 0.005):
     """Expand per-gaussian tables into per-slot sort operands.
 
-    rank:      (C,) int32 owning gaussian per slot (nondecreasing)
-    j:         (C,) int32 within-rect index
-    total:     () int32 live slot count
+    counts:    (N,) int32 instance counts, every entry >= 1
     rect_word: (N,) uint32 packed rect (+ CULLED_BIT for invisible gaussians)
     aux_words: (N, K) uint32 words to carry (depth key, record words, ...)
+    capacity:  static slot count C (multiple of 4096)
 
-    Returns (tile_key (C,) uint32, [aux_k (C,) uint32 ...]).
+    Returns (tile_key (C,) uint32, aux_0 ... aux_{K-1} (C,) uint32,
+    total () int32, overflow () int32).
     """
-    c = rank.shape[0]
+    c = capacity
     assert c % BLK == 0, f"capacity {c} must be a multiple of {BLK}"
     n_blocks = c // BLK
     n = rect_word.shape[0]
     n_aux = aux_words.shape[1]
 
-    # per-block first rank: rank is nondecreasing, so this is just a stride
-    block_r0 = rank[::BLK].astype(jnp.int32)
+    counts = counts.astype(jnp.int32)
+    offsets = jnp.cumsum(counts)
+    total = offsets[-1]
+    overflow = (total > c).astype(jnp.int32)
+    # exclusive offsets, one sentinel-ish tail entry (= total)
+    offsets_ex = jnp.concatenate([jnp.zeros(1, jnp.int32), offsets])
 
-    # pad gaussian tables to whole window rows
-    np_rows = -(-(n + 1) // LANES) + WIN_ROWS
-    pad_to = np_rows * LANES - n
-    rect_t = jnp.pad(rect_word, (0, pad_to)).view(jnp.int32).reshape(np_rows, LANES)
-    aux_t = jnp.pad(aux_words, ((0, pad_to), (0, 0))).view(jnp.int32)
-    aux_t = jnp.transpose(aux_t.reshape(np_rows, LANES, n_aux), (0, 2, 1))
+    # per-block first gaussian: searchsorted over strictly-increasing offsets
+    block_starts = jnp.arange(n_blocks, dtype=jnp.int32) * BLK
+    block_r0 = (jnp.searchsorted(offsets_ex, block_starts, side="right")
+                .astype(jnp.int32) - 1)
+    block_r0 = jnp.clip(block_r0, 0, n - 1)
+
+    # pad the offsets table with OFFSET_PAD so the binary search never walks
+    # past the last gaussian
+    np_rows = -(-(n + 2) // LANES) + WIN_ROWS
+    pad_to = np_rows * LANES - (n + 1)
+    off_t = jnp.pad(offsets_ex, (0, pad_to),
+                    constant_values=OFFSET_PAD).reshape(np_rows, LANES)
+    rect_t = _pad_rows(rect_word, n)
+    aux_t = _pad_rows(aux_words, n)
+    # align row counts (DMA windows index all three tables by the same rows)
+    rows = max(off_t.shape[0], rect_t.shape[0])
+    off_t = jnp.pad(off_t, ((0, rows - off_t.shape[0]), (0, 0)),
+                    constant_values=OFFSET_PAD)
+    rect_t = jnp.pad(rect_t, ((0, rows - rect_t.shape[0]), (0, 0)))
+    aux_t = jnp.pad(aux_t, ((0, rows - aux_t.shape[0]), (0, 0), (0, 0)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(n_blocks,),
-        in_specs=[
-            pl.BlockSpec((1, BLK_SUB, LANES), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLK_SUB, LANES), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
         out_specs=tuple(
             pl.BlockSpec((1, BLK_SUB, LANES), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM)
             for _ in range(1 + n_aux)),
     )
     kernel = functools.partial(_expand_kernel, tiles_x=tiles_x, n_aux=n_aux,
-                               fused_depth16=fused_depth16)
+                               fused_depth16=fused_depth16,
+                               exact_test=exact_test, tile_w=tile_w,
+                               tile_h=tile_h, alpha_threshold=alpha_threshold)
     outs = pl.pallas_call(
         kernel,
         out_shape=tuple(
@@ -180,30 +319,39 @@ def expand_slots_pallas(rank, j, total, rect_word, aux_words, *, tiles_x: int,
             for _ in range(1 + n_aux)),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(block_r0, total.reshape(1).astype(jnp.int32),
-      rank.reshape(n_blocks, BLK_SUB, LANES),
-      j.reshape(n_blocks, BLK_SUB, LANES),
-      rect_t, aux_t)
-    return tuple(o.reshape(c) for o in outs)
+    )(block_r0, total.reshape(1), off_t, rect_t, aux_t)
+    return tuple(o.reshape(c) for o in outs) + (total, overflow)
 
 
-def expand_slots_xla(rank, j, total, rect_word, aux_words, *, tiles_x: int,
-                     fused_depth16: bool = False):
+def expand_slots_xla(counts, rect_word, aux_words, *, capacity: int,
+                     tiles_x: int, fused_depth16: bool = False,
+                     exact_test: bool = False, tile_w: int = 16,
+                     tile_h: int = 16, alpha_threshold: float = 0.005):
     """Pure-XLA mirror of :func:`expand_slots_pallas` (oracle + CPU fallback)."""
-    safe = jnp.maximum(rank, 0)
-    rect = rect_word[safe]
+    from ..ops.binning import build_slot_map
+
+    sm = build_slot_map(counts, capacity)
+    rank = jnp.clip(sm.rank, 0, rect_word.shape[0] - 1)
+    rect = rect_word[rank]
     min_tx = (rect & jnp.uint32(0x3FF)).astype(jnp.int32)
     min_ty = ((rect >> 10) & jnp.uint32(0x3FF)).astype(jnp.int32)
     rect_w = jnp.maximum(((rect >> 20) & jnp.uint32(0x3FF)).astype(jnp.int32), 1)
     culled = (rect & jnp.uint32(CULLED_BIT)) != 0
 
-    q = j // rect_w
-    r = j - q * rect_w
+    q = sm.j // rect_w
+    r = sm.j - q * rect_w
     tile = ((min_ty + q) * tiles_x + min_tx + r).astype(jnp.uint32)
 
-    aux = aux_words[safe]  # (C, K)
-    slot = jnp.arange(rank.shape[0], dtype=jnp.int32)
-    dead = (slot >= total) | culled
+    aux = aux_words[rank]  # (C, K)
+    slot = jnp.arange(capacity, dtype=jnp.int32)
+    dead = (slot >= sm.total) | culled
+    if exact_test:
+        t_x = (tile.astype(jnp.int32) % tiles_x)
+        t_y = (tile.astype(jnp.int32) // tiles_x)
+        passes = _exact_tile_test(aux[:, 1], aux[:, 2], aux[:, 3], aux[:, 4],
+                                  t_x, t_y, float(tile_w), float(tile_h),
+                                  alpha_threshold)
+        dead = dead | ~passes
     if fused_depth16:
         key = (tile << 16) | (aux[:, 0] & jnp.uint32(0xFFFF))
     else:
@@ -212,4 +360,4 @@ def expand_slots_xla(rank, j, total, rect_word, aux_words, *, tiles_x: int,
     outs = [key]
     for k in range(aux.shape[1]):
         outs.append(jnp.where(dead, jnp.uint32(0), aux[:, k]))
-    return tuple(outs)
+    return tuple(outs) + (sm.total, sm.overflow)

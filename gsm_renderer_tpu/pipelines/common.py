@@ -123,7 +123,9 @@ def sorted_instance_attrs(sorted_words, sorted_tile_key, *, tiles_x: int,
 
 def fused_binning(pr, depth_sort_word, *, capacity: int, tiles_x: int,
                   fused_depth16: bool, use_pallas: bool,
-                  interpret: bool = False):
+                  interpret: bool = False, exact_test: bool = False,
+                  tile_w: int = 16, tile_h: int = 16,
+                  alpha_threshold: float = 0.005):
     """Shared v2 binning: input-order emission, Pallas windowed expansion, one
     radix sort carrying the quantized record as payload.
 
@@ -150,16 +152,15 @@ def fused_binning(pr, depth_sort_word, *, capacity: int, tiles_x: int,
                           rect_word | jnp.uint32(E.CULLED_BIT))
 
     counts = jnp.maximum(pr.rect_count, 1)
-    sm = B.build_slot_map(counts, capacity)
-
     aux = jnp.concatenate([depth_sort_word[:, None].astype(jnp.uint32), words],
                           axis=1)  # (N, 5)
 
     expand = E.expand_slots_pallas if use_pallas else E.expand_slots_xla
     kw = {} if not use_pallas else {"interpret": interpret}
-    key, d_slot, w0, w1, w2, w3 = expand(
-        sm.rank, sm.j, sm.total, rect_word, aux, tiles_x=tiles_x,
-        fused_depth16=fused_depth16, **kw)
+    key, d_slot, w0, w1, w2, w3, total, overflow = expand(
+        counts, rect_word, aux, capacity=capacity, tiles_x=tiles_x,
+        fused_depth16=fused_depth16, exact_test=exact_test, tile_w=tile_w,
+        tile_h=tile_h, alpha_threshold=alpha_threshold, **kw)
 
     if fused_depth16:
         ops = jax.lax.sort((key, w0, w1, w2, w3), num_keys=1)
@@ -173,4 +174,4 @@ def fused_binning(pr, depth_sort_word, *, capacity: int, tiles_x: int,
 
     sorted_words = jnp.stack(sw, axis=-1)  # (C, 4)
     total_live = jnp.sum(jnp.where(pr.visible, pr.rect_count, 0)).astype(jnp.int32)
-    return sorted_tile, sorted_words, total_live, sm.overflow
+    return sorted_tile, sorted_words, total_live, overflow

@@ -66,11 +66,13 @@ def global_frame(
 
     sorted_tile, sorted_words, total_live, overflow = fused_binning(
         pr, depth16, capacity=capacity, tiles_x=tiles_x, fused_depth16=True,
-        use_pallas=not use_xla_blend, interpret=interpret)
+        use_pallas=not use_xla_blend, interpret=interpret,
+        exact_test=exact_tile_test, tile_w=tile_w, tile_h=tile_h,
+        alpha_threshold=alpha_threshold)
 
     attrs = sorted_instance_attrs(
         sorted_words, sorted_tile, tiles_x=tiles_x, tile_w=tile_w, tile_h=tile_h,
-        alpha_threshold=alpha_threshold, exact_tile_test=exact_tile_test)
+        alpha_threshold=alpha_threshold, exact_tile_test=False)
 
     starts, counts = B.extract_tile_ranges(sorted_tile, num_tiles)
 
@@ -90,7 +92,8 @@ def global_frame(
 
     header = FrameHeader(
         visible_count=jnp.sum(pr.visible).astype(jnp.int32),
-        total_instances=total_live,
+        # post-exact-test instance count (reference totalInstances semantics)
+        total_instances=jnp.sum(counts).astype(jnp.int32),
         overflow=overflow,
     )
     return RenderOutput(color=color, depth=depth, header=header)

@@ -65,11 +65,13 @@ def local_frame(
     depth16 = M.half_depth_key16(pr.record.depth.astype(jnp.float32))
     sorted_tile, sorted_words, total_live, overflow = fused_binning(
         pr, depth16, capacity=capacity, tiles_x=tiles_x, fused_depth16=True,
-        use_pallas=not use_xla_blend, interpret=interpret)
+        use_pallas=not use_xla_blend, interpret=interpret,
+        exact_test=True, tile_w=tile_w, tile_h=tile_h,
+        alpha_threshold=alpha_threshold)
 
     attrs = sorted_instance_attrs(
         sorted_words, sorted_tile, tiles_x=tiles_x, tile_w=tile_w, tile_h=tile_h,
-        alpha_threshold=alpha_threshold, exact_tile_test=True)
+        alpha_threshold=alpha_threshold, exact_tile_test=False)
 
     starts, counts = B.extract_tile_ranges(sorted_tile, num_tiles)
     # fixed per-tile capacity: silent drop past max_per_tile
@@ -92,7 +94,8 @@ def local_frame(
 
     header = FrameHeader(
         visible_count=jnp.sum(pr.visible).astype(jnp.int32),
-        total_instances=total_live,
+        # post-exact-test instance count (reference totalInstances semantics)
+        total_instances=jnp.sum(counts).astype(jnp.int32),
         overflow=overflow,
     )
     return RenderOutput(color=color, depth=depth, header=header)

@@ -77,14 +77,13 @@ def profile_depth_first_stages(gi, camera, width: int, height: int, *,
             rect_word = jnp.where(pr.visible, rect_word,
                                   rect_word | jnp.uint32(E.CULLED_BIT))
             counts = jnp.maximum(pr.rect_count, 1)
-            sm = B.build_slot_map(counts, capacity)
             if stage == 2:
-                return jnp.uint32(sm.rank[-1]) + jnp.uint32(sm.j[0])
+                return jnp.uint32(jnp.cumsum(counts)[-1])
             aux = jnp.concatenate([pr.depth_key[:, None], words], axis=1)
             expand = E.expand_slots_pallas if use_pallas else E.expand_slots_xla
-            key, d_slot, w0, w1, w2, w3 = expand(
-                sm.rank, sm.j, sm.total, rect_word, aux, tiles_x=tiles_x,
-                fused_depth16=False)
+            key, d_slot, w0, w1, w2, w3, total, _ovf = expand(
+                counts, rect_word, aux, capacity=capacity, tiles_x=tiles_x,
+                fused_depth16=False, exact_test=True)
             if stage == 3:
                 return key[0] + w0[-1]
             ops = jax.lax.sort((key, d_slot, w0, w1, w2, w3), num_keys=2)
@@ -94,7 +93,7 @@ def profile_depth_first_stages(gi, camera, width: int, height: int, *,
             sorted_words = jnp.stack(sw, axis=-1)
             attrs = sorted_instance_attrs(
                 sorted_words, sorted_key, tiles_x=tiles_x, tile_w=16, tile_h=16,
-                alpha_threshold=alpha_threshold, exact_tile_test=True)
+                alpha_threshold=alpha_threshold, exact_tile_test=False)
             starts, counts_t = B.extract_tile_ranges(sorted_key,
                                                      tiles_x * tiles_y)
             table = K.build_blend_table(attrs, capacity)
