@@ -21,8 +21,15 @@ Two implementations:
     - per-tile early exit once every pixel's transmittance < 1/255, mirroring
       the reference's saturation break (DepthFirstShaders.metal:1745-1747).
 
-The blend table layout is (CB, 16, 128) float32: instance i lives at block i//128,
-lane i%128, with 16 attribute rows:
+The production kernel consumes the sorted quantized records directly — a
+(CB, 4, 128) uint32 table (the 16-byte ``GaussianRenderData`` as four words per
+instance, dead slots zeroed) — and derives the linear-form attributes in-VMEM
+per 128-instance chunk (f16 bit decode + one sincos per instance).  This keeps
+HBM traffic at exactly 16 B/instance and removes the XLA attribute-derivation
+pass.
+
+The XLA reference blend still takes the expanded (CB, 16, 128) float32
+attribute table:
   0..2  a1, b1, c1   (linear form u; absolute pixel coords)
   3..5  a2, b2, c2   (linear form v)
   6..8  r, g, b      color in [0, 1]
@@ -54,6 +61,7 @@ A1, B1, C1, A2, B2, C2, CR, CG, CB_, CD, COP = range(11)
 
 MIN_TRANSMITTANCE = 1.0 / 255.0
 ALPHA_CLAMP = 0.99
+WORD_ROWS = 4  # packed record words per instance in the kernel table
 
 # "First significant hit" alpha threshold for the Local renderer's depth output
 # (LocalShaders.metal:529-537).
@@ -76,6 +84,17 @@ def build_blend_table(attrs: dict, capacity: int):
         table = jnp.pad(table, ((0, 0), (0, pad)))
     # (16, CB, 128) -> (CB, 16, 128)
     return jnp.transpose(table.reshape(ATTR_ROWS, cb, LANES), (1, 0, 2))
+
+
+def build_words_table(sorted_words, capacity: int):
+    """Pack sorted (C, 4) uint32 record words into the (CB, 4, 128) kernel
+    table layout (16 B per instance in HBM)."""
+    cb = -(-capacity // LANES)
+    t = sorted_words.astype(jnp.uint32)
+    if t.shape[0] < cb * LANES:
+        t = jnp.pad(t, ((0, cb * LANES - t.shape[0]), (0, 0)))
+    return jnp.transpose(t.view(jnp.int32).reshape(cb, LANES, WORD_ROWS),
+                         (0, 2, 1))
 
 
 # ---------------------------------------------------------------------------------
@@ -175,6 +194,25 @@ def assemble_image(tile_color, tile_depth, *, tiles_x: int, tiles_y: int,
 # Pallas production kernel
 # ---------------------------------------------------------------------------------
 
+def _f16(bits_u32):
+    """Decode f16 bit patterns (low 16 bits) to f32; subnormals flush to 0."""
+    b = bits_u32 & jnp.uint32(0xFFFF)
+    sign = (b >> 15) << 31
+    exp = (b >> 10) & jnp.uint32(0x1F)
+    mant = b & jnp.uint32(0x3FF)
+    f32_bits = sign | ((exp + jnp.uint32(112)) << 23) | (mant << 13)
+    val = jax.lax.bitcast_convert_type(f32_bits.astype(jnp.uint32), jnp.float32)
+    return jnp.where(exp == 0, 0.0, val)
+
+
+def _u16f(w):
+    return (w & jnp.uint32(0xFFFF)).astype(jnp.int32).astype(jnp.float32)
+
+
+def _u8f(w):
+    return (w & jnp.uint32(0xFF)).astype(jnp.int32).astype(jnp.float32)
+
+
 def _mult_scan_exclusive(om):
     """Multiplicative Hillis-Steele scan over axis 0 of (G, P).
 
@@ -205,7 +243,7 @@ def _add_scan_exclusive(x):
     return excl, y[g - 1:g, :]
 
 
-def _row_blend_kernel(starts_ref, counts_ref, table_ref, out_ref, *,
+def _row_blend_kernel(starts_ref, counts_ref, oyoff_ref, table_ref, out_ref, *,
                       tiles_x: int, tile_w: int, tile_h: int,
                       blocks_per_dma: int, depth_mode: str = "weighted",
                       r2_cutoff: float = 0.0):
@@ -263,32 +301,60 @@ def _row_blend_kernel(starts_ref, counts_ref, table_ref, out_ref, *,
                 start_dma(1 - buf, first_block(tid + 1))
 
             ox = (tx * tile_w).astype(jnp.float32)
-            oy = (ty * tile_h).astype(jnp.float32)
+            oy = ((ty + oyoff_ref[0]) * tile_h).astype(jnp.float32)
             pxa = px_row + ox                         # (1, P) absolute pixel x
             pya = py_row + oy
 
             def compute_chunk(c, buf2, acc, trans, fh):
+                # Decode the whole chunk's records ONCE at (r_dma, 128) shape —
+                # per-sub-block decode on (128, 1) vectors uses 1/256th of the
+                # VPU and dominated the kernel.  Transposed to (128, r_dma) so
+                # sub-blocks slice (128, 1) columns.
+                wblk = pltpu.bitcast(scr[buf2], jnp.uint32)  # (r_dma, 4, 128)
+                w0 = wblk[:, 0, :]
+                w1 = wblk[:, 1, :]
+                w2 = wblk[:, 2, :]
+                w3 = wblk[:, 3, :]
+                mx = _f16(w0)
+                my = _f16(w0 >> 16)
+                theta = _u16f(w1) * (3.14159265358979 / 65535.0)
+                s1 = jnp.maximum(_f16(w1 >> 16), 1e-4)
+                s2 = jnp.maximum(_f16(w2), 1e-4)
+                gdepth_t = jnp.transpose(_f16(w2 >> 16))
+                cr_t = jnp.transpose(_u8f(w3) * (1.0 / 255.0))
+                cg_t = jnp.transpose(_u8f(w3 >> 8) * (1.0 / 255.0))
+                cb_t = jnp.transpose(_u8f(w3 >> 16) * (1.0 / 255.0))
+                op_t = jnp.transpose(_u8f(w3 >> 24) * (1.0 / 255.0))
+                cth = jnp.cos(theta)
+                sth = jnp.sin(theta)
+                i1 = 1.0 / s1
+                i2 = 1.0 / s2
+                a1_t = jnp.transpose(cth * i1)
+                b1_t = jnp.transpose(sth * i1)
+                c1_t = jnp.transpose(-(mx * cth + my * sth) * i1)
+                a2_t = jnp.transpose(-sth * i2)
+                b2_t = jnp.transpose(cth * i2)
+                c2_t = jnp.transpose((mx * sth - my * cth) * i2)
+
                 def sub_block(rb, carry2):
                     acc2, trans2, fh2 = carry2
                     g0 = (blk0 + c * r_dma + rb) * LANES
 
                     def live(carry3):
                         acc3, trans3, fh3 = carry3
-                        xt = jnp.transpose(scr[buf2, rb])  # (128, 16)
-                        a1 = xt[:, A1:A1 + 1]
-                        b1 = xt[:, B1:B1 + 1]
-                        a2 = xt[:, A2:A2 + 1]
-                        b2 = xt[:, B2:B2 + 1]
-                        c1 = xt[:, C1:C1 + 1]
-                        c2 = xt[:, C2:C2 + 1]
+                        sl = lambda t: t[:, rb:rb + 1]  # rb is static (unrolled)
+                        gdepth = sl(gdepth_t)
+                        cr = sl(cr_t)
+                        cg = sl(cg_t)
+                        cb = sl(cb_t)
                         # broadcast FMA chain on the VPU: (128,1) x (1,P)
-                        u = a1 * pxa + (b1 * pya + c1)
-                        v = a2 * pxa + (b2 * pya + c2)
+                        u = sl(a1_t) * pxa + (sl(b1_t) * pya + sl(c1_t))
+                        v = sl(a2_t) * pxa + (sl(b2_t) * pya + sl(c2_t))
                         q = u * u + v * v              # (128, P)
 
                         gidx = g0 + lane_iota
                         in_range = jnp.logical_and(gidx >= start, gidx < end)
-                        op = jnp.where(in_range, xt[:, COP:COP + 1], 0.0)
+                        op = jnp.where(in_range, sl(op_t), 0.0)
                         alpha = jnp.minimum(op * jnp.exp(-0.5 * q), ALPHA_CLAMP)
                         if r2_cutoff > 0.0:
                             # Hardware fragment discard at r^2 > cutoff
@@ -299,7 +365,7 @@ def _row_blend_kernel(starts_ref, counts_ref, table_ref, out_ref, *,
                         texcl, ttot = _mult_scan_exclusive(om)
                         w = alpha * (trans3 * texcl)   # (128, P)
 
-                        cols = xt[:, CR:CR + 4]        # (128, 4): r, g, b, depth
+                        cols = jnp.concatenate([cr, cg, cb, gdepth], axis=1)
                         contrib = jax.lax.dot_general(
                             w, cols, (((0,), (0,)), ((), ())),
                             precision=jax.lax.Precision.HIGHEST,
@@ -313,7 +379,7 @@ def _row_blend_kernel(starts_ref, counts_ref, table_ref, out_ref, *,
                             took = hit * jnp.where(fh3[0:1, :] + hexcl > 0.0,
                                                    0.0, 1.0)
                             dfh = jax.lax.dot_general(
-                                took, xt[:, CD:CD + 1], (((0,), (0,)), ((), ())),
+                                took, gdepth, (((0,), (0,)), ((), ())),
                                 precision=jax.lax.Precision.HIGHEST,
                                 preferred_element_type=jnp.float32)
                             fh3 = jnp.concatenate(
@@ -325,7 +391,10 @@ def _row_blend_kernel(starts_ref, counts_ref, table_ref, out_ref, *,
                     return jax.lax.cond(g0 < end, live, lambda c3: c3,
                                         (acc2, trans2, fh2))
 
-                return jax.lax.fori_loop(0, r_dma, sub_block, (acc, trans, fh))
+                carry2 = (acc, trans, fh)
+                for rb in range(r_dma):  # unrolled: rb must be static
+                    carry2 = sub_block(rb, carry2)
+                return carry2
 
             acc0 = jnp.zeros((pix, 4), jnp.float32)
             trans0 = jnp.ones((1, pix), jnp.float32)
@@ -381,7 +450,7 @@ def _row_blend_kernel(starts_ref, counts_ref, table_ref, out_ref, *,
 
     pl.run_scoped(
         body,
-        scr=pltpu.VMEM((2, r_dma, ATTR_ROWS, LANES), jnp.float32),
+        scr=pltpu.VMEM((2, r_dma, WORD_ROWS, LANES), jnp.int32),
         sem=pltpu.SemaphoreType.DMA((2,)),
     )
 
@@ -393,11 +462,15 @@ def _row_blend_kernel(starts_ref, counts_ref, table_ref, out_ref, *,
 def blend_tiles_pallas(table, starts, counts, *, tiles_x: int, tiles_y: int,
                        tile_w: int = 16, tile_h: int = 16,
                        blocks_per_dma: int = 4, interpret: bool = False,
-                       depth_mode: str = "weighted", r2_cutoff: float = 0.0):
+                       depth_mode: str = "weighted", r2_cutoff: float = 0.0,
+                       tile_row_offset=None):
     """Production blend.  Returns (tile_color (T, P, 4), tile_depth (T, P)).
 
-    ``table``: (CB, 16, 128) f32 blend table with instances depth-ordered within
-    each tile's [start, start+count) span.
+    ``table``: (CB, 4, 128) record-word table (from :func:`build_words_table`)
+    with instances depth-ordered within each tile's [start, start+count) span.
+    ``tile_row_offset``: optional scalar — global tile-row index of this
+    raster's first row (used by the multi-chip band-sharded path so pixel
+    coordinates stay in global screen space).
     """
     pix = tile_w * tile_h
     n_t = tiles_x * tiles_y
@@ -405,6 +478,9 @@ def blend_tiles_pallas(table, starts, counts, *, tiles_x: int, tiles_y: int,
 
     # fixed-size DMA windows may overrun the last blocks: pad the table.
     table = jnp.pad(table, ((0, blocks_per_dma), (0, 0), (0, 0)))
+    table = table.view(jnp.int32) if table.dtype == jnp.uint32 else table
+    if tile_row_offset is None:
+        tile_row_offset = jnp.zeros((), jnp.int32)
 
     kernel = functools.partial(_row_blend_kernel, tiles_x=tiles_x, tile_w=tile_w,
                                tile_h=tile_h, blocks_per_dma=blocks_per_dma,
@@ -413,7 +489,7 @@ def blend_tiles_pallas(table, starts, counts, *, tiles_x: int, tiles_y: int,
         kernel,
         out_shape=jax.ShapeDtypeStruct((tiles_y, 8, txp, pix), jnp.float32),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(tiles_y,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec((1, 8, txp, pix),
@@ -421,7 +497,8 @@ def blend_tiles_pallas(table, starts, counts, *, tiles_x: int, tiles_y: int,
                                    memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
-    )(starts.astype(jnp.int32), counts.astype(jnp.int32), table)
+    )(starts.astype(jnp.int32), counts.astype(jnp.int32),
+      tile_row_offset.reshape(1).astype(jnp.int32), table)
 
     # (TY, 8, TXP, P) -> (T, P, ch)
     out = out[:, :, :tiles_x, :]                      # (TY, 8, TX, P)

@@ -139,17 +139,19 @@ def build_sharded_depth_first(
                      c2=attrs["c2"] + attrs["b2"] * band_py)
 
         starts, cts = B.extract_tile_ranges(sorted_key, tiles_x * bands)
-        table = K.build_blend_table(attrs, capacity_per_device)
 
         if use_xla_blend:
+            table = K.build_blend_table(attrs, capacity_per_device)
             tc, td = K.blend_tiles_xla(table, starts, cts, tiles_x=tiles_x,
                                        tiles_y=bands,
                                        max_per_tile=min(capacity_per_device, 2048),
                                        tile_w=tile_w, tile_h=tile_h)
         else:
-            tc, td = K.blend_tiles_pallas(table, starts, cts, tiles_x=tiles_x,
+            wtable = K.build_words_table(sorted_words, capacity_per_device)
+            tc, td = K.blend_tiles_pallas(wtable, starts, cts, tiles_x=tiles_x,
                                           tiles_y=bands, tile_w=tile_w,
-                                          tile_h=tile_h)
+                                          tile_h=tile_h,
+                                          tile_row_offset=band0)
         color, depth = K.assemble_image(tc, td, tiles_x=tiles_x, tiles_y=bands,
                                         width=width, height=bands * tile_h,
                                         tile_w=tile_w, tile_h=tile_h)

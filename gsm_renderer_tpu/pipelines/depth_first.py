@@ -96,14 +96,15 @@ def depth_first_frame(
         # (LocalShaders.metal:660-664).
         counts = jnp.minimum(counts, max_per_tile)
 
-    table = K.build_blend_table(attrs, capacity)
     if use_xla_blend:
+        table = K.build_blend_table(attrs, capacity)
         mpt = max_per_tile if max_per_tile > 0 else min(capacity, 4096)
         tc, td = K.blend_tiles_xla(table, starts, counts, tiles_x=tiles_x,
                                    tiles_y=tiles_y, max_per_tile=mpt,
                                    tile_w=tile_w, tile_h=tile_h)
     else:
-        tc, td = K.blend_tiles_pallas(table, starts, counts, tiles_x=tiles_x,
+        wtable = K.build_words_table(sorted_words, capacity)
+        tc, td = K.blend_tiles_pallas(wtable, starts, counts, tiles_x=tiles_x,
                                       tiles_y=tiles_y, tile_w=tile_w,
                                       tile_h=tile_h, interpret=interpret)
     color, depth = K.assemble_image(tc, td, tiles_x=tiles_x, tiles_y=tiles_y,
@@ -200,19 +201,20 @@ def depth_first_stereo_frame(
         # stereo instances cover the full union rect with per-pixel r^2 <= 9
         # cutoff instead of an exact per-tile test (createInstancesStereoKernel
         # writes all union-rect tiles — DepthFirstShaders.metal:790-864)
-        attrs = sorted_instance_attrs(
-            sorted_words, sorted_key, tiles_x=tiles_x, tile_w=tile_w,
-            tile_h=tile_h, alpha_threshold=alpha_threshold,
-            exact_tile_test=False)
-        table = K.build_blend_table(attrs, capacity)
         if use_xla_blend:
+            attrs = sorted_instance_attrs(
+                sorted_words, sorted_key, tiles_x=tiles_x, tile_w=tile_w,
+                tile_h=tile_h, alpha_threshold=alpha_threshold,
+                exact_tile_test=False)
+            table = K.build_blend_table(attrs, capacity)
             tc, td = K.blend_tiles_xla(table, starts, counts, tiles_x=tiles_x,
                                        tiles_y=tiles_y,
                                        max_per_tile=min(capacity, 4096),
                                        tile_w=tile_w, tile_h=tile_h,
                                        r2_cutoff=9.0)
         else:
-            tc, td = K.blend_tiles_pallas(table, starts, counts,
+            wtable = K.build_words_table(sorted_words, capacity)
+            tc, td = K.blend_tiles_pallas(wtable, starts, counts,
                                           tiles_x=tiles_x, tiles_y=tiles_y,
                                           tile_w=tile_w, tile_h=tile_h,
                                           r2_cutoff=9.0, interpret=interpret)

@@ -76,14 +76,15 @@ def global_frame(
 
     starts, counts = B.extract_tile_ranges(sorted_tile, num_tiles)
 
-    table = K.build_blend_table(attrs, capacity)
     if use_xla_blend:
+        table = K.build_blend_table(attrs, capacity)
         tc, td = K.blend_tiles_xla(table, starts, counts, tiles_x=tiles_x,
                                    tiles_y=tiles_y,
                                    max_per_tile=min(capacity, 4096),
                                    tile_w=tile_w, tile_h=tile_h)
     else:
-        tc, td = K.blend_tiles_pallas(table, starts, counts, tiles_x=tiles_x,
+        wtable = K.build_words_table(sorted_words, capacity)
+        tc, td = K.blend_tiles_pallas(wtable, starts, counts, tiles_x=tiles_x,
                                       tiles_y=tiles_y, tile_w=tile_w,
                                       tile_h=tile_h, interpret=interpret)
     color, depth = K.assemble_image(tc, td, tiles_x=tiles_x, tiles_y=tiles_y,

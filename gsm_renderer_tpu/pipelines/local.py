@@ -77,14 +77,15 @@ def local_frame(
     # fixed per-tile capacity: silent drop past max_per_tile
     counts = jnp.minimum(counts, max_per_tile)
 
-    table = K.build_blend_table(attrs, capacity)
     if use_xla_blend:
+        table = K.build_blend_table(attrs, capacity)
         tc, td = K.blend_tiles_xla(table, starts, counts, tiles_x=tiles_x,
                                    tiles_y=tiles_y, max_per_tile=max_per_tile,
                                    tile_w=tile_w, tile_h=tile_h,
                                    depth_mode="first_hit")
     else:
-        tc, td = K.blend_tiles_pallas(table, starts, counts, tiles_x=tiles_x,
+        wtable = K.build_words_table(sorted_words, capacity)
+        tc, td = K.blend_tiles_pallas(wtable, starts, counts, tiles_x=tiles_x,
                                       tiles_y=tiles_y, tile_w=tile_w,
                                       tile_h=tile_h, depth_mode="first_hit",
                                       interpret=interpret)
