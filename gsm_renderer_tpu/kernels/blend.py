@@ -86,15 +86,22 @@ def build_blend_table(attrs: dict, capacity: int):
     return jnp.transpose(table.reshape(ATTR_ROWS, cb, LANES), (1, 0, 2))
 
 
-def build_words_table(sorted_words, capacity: int):
-    """Pack sorted (C, 4) uint32 record words into the (CB, 4, 128) kernel
-    table layout (16 B per instance in HBM)."""
+def build_words_table(sorted_word_list, capacity: int):
+    """Pack sorted record words into the (CB, 4, 128) kernel table layout
+    (16 B per instance in HBM).
+
+    Takes the four (C,) uint32 arrays separately: stacking to (C, 4) and
+    transposing the minor dims costs ~9 ms at 4M instances; reshaping each
+    word plane to (CB, 1, 128) and concatenating is a plain strided copy.
+    """
     cb = -(-capacity // LANES)
-    t = sorted_words.astype(jnp.uint32)
-    if t.shape[0] < cb * LANES:
-        t = jnp.pad(t, ((0, cb * LANES - t.shape[0]), (0, 0)))
-    return jnp.transpose(t.view(jnp.int32).reshape(cb, LANES, WORD_ROWS),
-                         (0, 2, 1))
+    planes = []
+    for w in sorted_word_list:
+        w = w.astype(jnp.uint32)
+        if w.shape[0] < cb * LANES:
+            w = jnp.pad(w, (0, cb * LANES - w.shape[0]))
+        planes.append(w.view(jnp.int32).reshape(cb, 1, LANES))
+    return jnp.concatenate(planes, axis=1)
 
 
 # ---------------------------------------------------------------------------------

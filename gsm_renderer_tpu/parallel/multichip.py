@@ -147,7 +147,8 @@ def build_sharded_depth_first(
                                        max_per_tile=min(capacity_per_device, 2048),
                                        tile_w=tile_w, tile_h=tile_h)
         else:
-            wtable = K.build_words_table(sorted_words, capacity_per_device)
+            wtable = K.build_words_table(
+                [sorted_words[:, k] for k in range(4)], capacity_per_device)
             tc, td = K.blend_tiles_pallas(wtable, starts, cts, tiles_x=tiles_x,
                                           tiles_y=bands, tile_w=tile_w,
                                           tile_h=tile_h,

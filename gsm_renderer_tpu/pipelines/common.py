@@ -174,4 +174,4 @@ def fused_binning(pr, depth_sort_word, *, capacity: int, tiles_x: int,
 
     sorted_words = jnp.stack(sw, axis=-1)  # (C, 4)
     total_live = jnp.sum(jnp.where(pr.visible, pr.rect_count, 0)).astype(jnp.int32)
-    return sorted_tile, sorted_words, total_live, overflow
+    return sorted_tile, sorted_words, total_live, overflow, sw

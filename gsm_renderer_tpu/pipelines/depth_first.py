@@ -79,7 +79,7 @@ def depth_first_frame(
     # two blend orders produce identical radiance; see pipelines/hardware.py).
     del back_to_front
 
-    sorted_tile, sorted_words, total_live, overflow = fused_binning(
+    sorted_tile, sorted_words, total_live, overflow, sw = fused_binning(
         pr, depth_key, capacity=capacity, tiles_x=tiles_x, fused_depth16=False,
         use_pallas=not use_xla_blend, interpret=interpret,
         exact_test=exact_tile_test, tile_w=tile_w, tile_h=tile_h,
@@ -103,7 +103,7 @@ def depth_first_frame(
                                    tiles_y=tiles_y, max_per_tile=mpt,
                                    tile_w=tile_w, tile_h=tile_h)
     else:
-        wtable = K.build_words_table(sorted_words, capacity)
+        wtable = K.build_words_table(sw, capacity)
         tc, td = K.blend_tiles_pallas(wtable, starts, counts, tiles_x=tiles_x,
                                       tiles_y=tiles_y, tile_w=tile_w,
                                       tile_h=tile_h, interpret=interpret)
@@ -213,7 +213,7 @@ def depth_first_stereo_frame(
                                        tile_w=tile_w, tile_h=tile_h,
                                        r2_cutoff=9.0)
         else:
-            wtable = K.build_words_table(sorted_words, capacity)
+            wtable = K.build_words_table(sw, capacity)
             tc, td = K.blend_tiles_pallas(wtable, starts, counts,
                                           tiles_x=tiles_x, tiles_y=tiles_y,
                                           tile_w=tile_w, tile_h=tile_h,

@@ -64,7 +64,7 @@ def global_frame(
     depth16 = M.half_depth_key16(pr.record.depth.astype(jnp.float32))
     del back_to_front  # both blend orders yield identical radiance (hardware.py)
 
-    sorted_tile, sorted_words, total_live, overflow = fused_binning(
+    sorted_tile, sorted_words, total_live, overflow, sw = fused_binning(
         pr, depth16, capacity=capacity, tiles_x=tiles_x, fused_depth16=True,
         use_pallas=not use_xla_blend, interpret=interpret,
         exact_test=exact_tile_test, tile_w=tile_w, tile_h=tile_h,
@@ -83,7 +83,7 @@ def global_frame(
                                    max_per_tile=min(capacity, 4096),
                                    tile_w=tile_w, tile_h=tile_h)
     else:
-        wtable = K.build_words_table(sorted_words, capacity)
+        wtable = K.build_words_table(sw, capacity)
         tc, td = K.blend_tiles_pallas(wtable, starts, counts, tiles_x=tiles_x,
                                       tiles_y=tiles_y, tile_w=tile_w,
                                       tile_h=tile_h, interpret=interpret)

@@ -71,7 +71,7 @@ def hardware_frame(
     # front-to-back transmittance compositing, so both flags map to one program.
     del back_to_front
 
-    sorted_tile, sorted_words, total_live, overflow = fused_binning(
+    sorted_tile, sorted_words, total_live, overflow, sw = fused_binning(
         pr, pr.depth_key, capacity=capacity, tiles_x=tiles_x,
         fused_depth16=False, use_pallas=not use_xla_blend, interpret=interpret)
 
@@ -91,7 +91,7 @@ def hardware_frame(
                                    tile_w=tile_w, tile_h=tile_h,
                                    depth_mode="normalized", r2_cutoff=R2_CUTOFF)
     else:
-        wtable = K.build_words_table(sorted_words, capacity)
+        wtable = K.build_words_table(sw, capacity)
         tc, td = K.blend_tiles_pallas(wtable, starts, counts, tiles_x=tiles_x,
                                       tiles_y=tiles_y, tile_w=tile_w,
                                       tile_h=tile_h, depth_mode="normalized",

@@ -91,18 +91,22 @@ def profile_depth_first_stages(gi, camera, width: int, height: int, *,
             if stage == 4:
                 return sorted_key[-1] + sw[0][0]
             sorted_words = jnp.stack(sw, axis=-1)
-            attrs = sorted_instance_attrs(
-                sorted_words, sorted_key, tiles_x=tiles_x, tile_w=16, tile_h=16,
-                alpha_threshold=alpha_threshold, exact_tile_test=False)
             starts, counts_t = B.extract_tile_ranges(sorted_key,
                                                      tiles_x * tiles_y)
-            table = K.build_blend_table(attrs, capacity)
-            if stage == 5:
-                return jnp.uint32(table[0, 0, 0] + starts[0])
             if use_pallas:
+                table = K.build_words_table(sorted_words, capacity)
+                if stage == 5:
+                    return jnp.uint32(table[0, 0, 0]) + jnp.uint32(starts[0])
                 tc, td = K.blend_tiles_pallas(table, starts, counts_t,
                                               tiles_x=tiles_x, tiles_y=tiles_y)
             else:
+                attrs = sorted_instance_attrs(
+                    sorted_words, sorted_key, tiles_x=tiles_x, tile_w=16,
+                    tile_h=16, alpha_threshold=alpha_threshold,
+                    exact_tile_test=False)
+                table = K.build_blend_table(attrs, capacity)
+                if stage == 5:
+                    return jnp.uint32(table[0, 0, 0] + starts[0])
                 tc, td = K.blend_tiles_xla(table, starts, counts_t,
                                            tiles_x=tiles_x, tiles_y=tiles_y,
                                            max_per_tile=2048)
