@@ -32,7 +32,7 @@ from jax.experimental.pallas import tpu as pltpu
 Array = Any
 
 LANES = 128
-BLK_SUB = 32                  # sublanes per slot block
+BLK_SUB = 8                   # sublanes per slot block
 BLK = BLK_SUB * LANES         # 4096 slots per grid step
 WIN_ROWS = BLK_SUB + 2        # gaussian window rows (BLK+1 gaussians + misalign)
 WIN = WIN_ROWS * LANES
@@ -161,7 +161,7 @@ def _expand_kernel(r0_ref, total_ref, off_hbm, rect_hbm, aux_hbm,
         # Invariant: off_win[r0 - row0*128] <= first slot of the block.
         lo = jnp.broadcast_to((r0 - row0 * LANES).astype(jnp.int32),
                               (BLK_SUB, LANES))
-        step = 4096  # power-of-two ascent covering the window
+        step = 1024  # power-of-two ascent covering the window (BLK+1 entries)
         while step >= 1:
             cand = lo + step
             val = _win_at(off_win, jnp.minimum(cand, WIN - 1))
