@@ -263,3 +263,27 @@ def _stereo_render_method(self, gi, camera, width, height):
 
 
 DepthFirstRenderer.render_stereo = _stereo_render_method
+
+
+def _stereo_foveated_render_method(self, gi, camera, target):
+    """Foveated stereo (the reference's rasterization-rate-map path,
+    DepthFirstRenderer.renderStereo(.foveated) — DepthFirstRenderer.swift:516-551).
+
+    Matches the reference's structure: the gaussians composite at full display
+    resolution, and the final copy pass resamples into the reduced-rate
+    physical target (the rasterization-rate-map analogue; the display side
+    expands with stereo.expand_foveated).  ``target``: a
+    stereo.FoveatedStereoTarget; returns a render_height x 2*render_width
+    physical image.
+    """
+    from ..stereo import compress_foveated
+    from ..types import RenderOutput
+
+    out = self.render_stereo(gi, camera, target.display_width,
+                             target.display_height)
+    color = compress_foveated(out.color, target, stereo=True)
+    depth = compress_foveated(out.depth[..., None], target, stereo=True)[..., 0]
+    return RenderOutput(color=color, depth=depth, header=out.header)
+
+
+DepthFirstRenderer.render_stereo_foveated = _stereo_foveated_render_method

@@ -58,7 +58,9 @@ def make_rate_maps(width: int, height: int, center=(0.5, 0.5),
     def axis(n, c):
         t = (np.arange(n) + 0.5) / n
         d = np.abs(t - c)
-        fall = np.clip((d - radius) / max(1.0 - radius, 1e-6), 0.0, 1.0)
+        # fall reaches 1 at the far screen edge
+        edge = max(max(c, 1.0 - c) - radius, 1e-6)
+        fall = np.clip((d - radius) / edge, 0.0, 1.0)
         return (1.0 - (1.0 - min_rate) * fall ** 2).astype(np.float32)
 
     return FoveatedStereoTarget(
@@ -84,6 +86,37 @@ def warp_tables(target: FoveatedStereoTarget):
             table(target.rate_y, target.render_height))
 
 
+def compress_foveated(full: Array, target: FoveatedStereoTarget,
+                      stereo: bool = True) -> Array:
+    """Resample a full-resolution render into the reduced-rate physical target
+    — the TPU analogue of the reference's fullscreen copy pass with a
+    rasterization rate map attached (DepthFirstStereoCopyEncoder.swift:28-100):
+    gaussians composite at full resolution, the copy compresses into the
+    smaller drawable, and the display hardware expands it."""
+    import jax.numpy as jnp
+    xt, yt = warp_tables(target)
+    h, w = full.shape[:2]
+    n_eyes = 2 if stereo else 1
+    eye_w = w // n_eyes
+
+    sx = jnp.asarray(np.clip(xt, 0, eye_w - 1.001))
+    sy = jnp.asarray(np.clip(yt, 0, h - 1.001))
+    ix = jnp.floor(sx).astype(jnp.int32)
+    iy = jnp.floor(sy).astype(jnp.int32)
+    fx = (sx - ix.astype(jnp.float32))[None, :, None]
+    fy = (sy - iy.astype(jnp.float32))[:, None, None]
+
+    outs = []
+    for e in range(n_eyes):
+        img = full[:, e * eye_w:(e + 1) * eye_w]
+        g = lambda yy, xx: img[yy][:, xx]
+        outs.append(g(iy, ix) * (1 - fx) * (1 - fy)
+                    + g(iy, ix + 1) * fx * (1 - fy)
+                    + g(iy + 1, ix) * (1 - fx) * fy
+                    + g(iy + 1, ix + 1) * fx * fy)
+    return jnp.concatenate(outs, axis=1)
+
+
 def expand_foveated(intermediate: Array, target: FoveatedStereoTarget,
                     stereo: bool = True) -> Array:
     """Resample the reduced-resolution intermediate to the display target — the
@@ -93,6 +126,10 @@ def expand_foveated(intermediate: Array, target: FoveatedStereoTarget,
     h, w = intermediate.shape[:2]
     n_eyes = 2 if stereo else 1
     eye_w = w // n_eyes
+    # a tile-aligned render may exceed the rate-map integral size; the warp
+    # tables only address the first render_width/height texels
+    use_w = min(eye_w, target.render_width)
+    use_h = min(h, target.render_height)
 
     # display pixel -> intermediate coordinate (inverse of the warp tables)
     disp_x = np.interp(np.arange(target.display_width) + 0.5, xt,
@@ -100,8 +137,8 @@ def expand_foveated(intermediate: Array, target: FoveatedStereoTarget,
     disp_y = np.interp(np.arange(target.display_height) + 0.5, yt,
                        np.arange(len(yt))).astype(np.float32)
 
-    ix = jnp.clip(jnp.asarray(np.floor(disp_x)).astype(jnp.int32), 0, eye_w - 2)
-    iy = jnp.clip(jnp.asarray(np.floor(disp_y)).astype(jnp.int32), 0, h - 2)
+    ix = jnp.clip(jnp.asarray(np.floor(disp_x)).astype(jnp.int32), 0, use_w - 2)
+    iy = jnp.clip(jnp.asarray(np.floor(disp_y)).astype(jnp.int32), 0, use_h - 2)
     fx = jnp.asarray(disp_x)[None, :, None] - ix[None, :, None].astype(jnp.float32)
     fy = jnp.asarray(disp_y)[:, None, None] - iy[:, None, None].astype(jnp.float32)
 

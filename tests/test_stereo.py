@@ -45,3 +45,33 @@ def test_stereo_matches_mono_at_zero_ipd():
     # r^2<=9 cutoff drops the faint skirt beyond 3 sigma; exact-test list
     # differences are also sub-alpha-threshold: tolerance covers both
     np.testing.assert_allclose(left[..., :3], mono[..., :3], atol=0.03)
+
+
+def test_stereo_foveated():
+    """Foveated stereo: reduced-res render + warp expansion
+    (rasterization-rate-map equivalent)."""
+    from gsm_renderer_tpu.stereo import make_rate_maps
+    w, h = 128, 96
+    ds = generate_visible_gaussians(300, sh_degree=0, scale_range=(0.01, 0.06))
+    cam = G.make_camera(w, h)
+    stereo = G.make_side_by_side_stereo(cam, ipd=0.1)
+    target = make_rate_maps(w, h, min_rate=0.5)
+    assert target.render_width < w and target.render_height < h
+
+    r = G.DepthFirstRenderer(G.RendererConfig(sh_degree=0), use_xla_blend=True)
+    out = r.render_stereo_foveated(ds.to_input(), stereo, target)
+    color = np.asarray(out.color)
+    # physical (reduced-rate) target, like the reference's foveated drawable
+    assert color.shape == (target.render_height, 2 * target.render_width, 4)
+    assert np.isfinite(color).all()
+    assert color[..., :3].max() > 0.05
+
+    # display-side expansion recovers the full-res image at the fovea (rate 1)
+    from gsm_renderer_tpu.stereo import expand_foveated
+    expanded = np.asarray(expand_foveated(out.color, target, stereo=True))
+    full = np.asarray(r.render_stereo(ds.to_input(), stereo, w, h).color)
+    cy, cx = h // 2, w // 2
+    a = expanded[cy - 8:cy + 8, cx - 8:cx + 8, :3]
+    b = full[cy - 8:cy + 8, cx - 8:cx + 8, :3]
+    # double bilinear resampling softens high-frequency splat noise slightly
+    assert np.abs(a - b).mean() < 0.06
