@@ -93,13 +93,13 @@ def main():
     overhead_ms = measure_overhead()
 
     def run_one(n, w, h, sh, renderer, scale_range=(0.002, 0.012),
-                precision=None):
+                precision=None, cap_factor=4):
         r, gi, cam = _build(n, w, h, sh, scale_range, renderer,
                             precision=precision)
         # capacity = 4 x gaussians, the reference's instance-capacity model
         # (DepthFirstResources.swift:80-81); the bench scene fits it
         import dataclasses
-        r.config = dataclasses.replace(r.config, max_instances=4 * n)
+        r.config = dataclasses.replace(r.config, max_instances=cap_factor * n)
         out = r.render(gi, cam, w, h)  # compile
         ov = int(out.header.overflow)
         stats = time_frames(lambda: r.render(gi, cam, w, h))
@@ -117,7 +117,10 @@ def main():
         for name, n, w, h, sh, rend in matrix:
             import gsm_renderer_tpu as G
             prec = G.Precision.FLOAT16 if "fp16" in name else None
-            ms, stats, ov, ti = run_one(n, w, h, sh, rend, precision=prec)
+            # 4K quadruples the per-gaussian tile footprint
+            cf = 12 if "4k" in name else 4
+            ms, stats, ov, ti = run_one(n, w, h, sh, rend, precision=prec,
+                                        cap_factor=cf)
             results[name] = dict(ms=round(ms, 3), min=round(stats["min"], 3),
                                  max=round(stats["max"], 3), overflow=ov,
                                  instances=ti,

@@ -121,57 +121,72 @@ def sorted_instance_attrs(sorted_words, sorted_tile_key, *, tiles_x: int,
     }
 
 
+def fused_binning_words(visible, min_tx, min_ty, max_tx, rect_count,
+                        depth_sort_word, word_list, *, capacity: int,
+                        tiles_x: int, fused_depth16: bool, use_pallas: bool,
+                        interpret: bool = False, exact_test: bool = False,
+                        tile_w: int = 16, tile_h: int = 16,
+                        alpha_threshold: float = 0.005):
+    """Core fused binning over arbitrary carried word lists (mono carries the
+    4-word record; stereo carries 8 words = both eyes' records).
+
+    Returns (sorted_tile (C,), sorted word tuple, total () i32, overflow).
+    """
+    import jax
+    from ..kernels import expand as E
+    from ..ops import binning as B
+
+    rect_word = B.pack_rect_word(min_tx, min_ty, (max_tx - min_tx + 1))
+    rect_word = jnp.where(visible, rect_word,
+                          rect_word | jnp.uint32(E.CULLED_BIT))
+    counts = jnp.maximum(rect_count, 1)
+    aux = jnp.stack([depth_sort_word.astype(jnp.uint32)]
+                    + [w.astype(jnp.uint32) for w in word_list], axis=1)
+
+    expand = E.expand_slots_pallas if use_pallas else E.expand_slots_xla
+    kw = {} if not use_pallas else {"interpret": interpret}
+    outs = expand(counts, rect_word, aux, capacity=capacity, tiles_x=tiles_x,
+                  fused_depth16=fused_depth16, exact_test=exact_test,
+                  tile_w=tile_w, tile_h=tile_h,
+                  alpha_threshold=alpha_threshold, **kw)
+    key, d_slot = outs[0], outs[1]
+    slot_words = outs[2:-2]
+    total, overflow = outs[-2], outs[-1]
+
+    if fused_depth16:
+        ops = jax.lax.sort((key, *slot_words), num_keys=1)
+        sorted_key, sw = ops[0], ops[1:]
+        sorted_tile = jnp.where(sorted_key == jnp.uint32(E.SENTINEL),
+                                jnp.uint32(E.SENTINEL), sorted_key >> 16)
+    else:
+        ops = jax.lax.sort((key, d_slot, *slot_words), num_keys=2)
+        sorted_key, sw = ops[0], ops[2:]
+        sorted_tile = sorted_key
+    return sorted_tile, sw, total, overflow
+
+
 def fused_binning(pr, depth_sort_word, *, capacity: int, tiles_x: int,
                   fused_depth16: bool, use_pallas: bool,
                   interpret: bool = False, exact_test: bool = False,
                   tile_w: int = 16, tile_h: int = 16,
                   alpha_threshold: float = 0.005):
-    """Shared v2 binning: input-order emission, Pallas windowed expansion, one
-    radix sort carrying the quantized record as payload.
+    """Mono fused binning: one radix sort carrying the 4-word quantized record.
 
-    ``depth_sort_word``: (N,) uint32 per-gaussian depth ordering word.
     ``fused_depth16``: True -> single fused key [tile:16 | depth_word:16]
     (Global/Local); False -> two sort keys (tile, depth_word): stability then
     orders ties by input index, matching the reference's stable
     depth-then-tile sort output (DepthFirst).
 
-    Every gaussian (visible or not) owns >= 1 slot so the slot->gaussian map is
-    contiguous-windowed for the expand kernel; culled slots get sentinel keys.
-
-    Returns (sorted_key (C,), sorted_words (C, 4), total_live, overflow).
+    Returns (sorted_tile (C,), sorted_words (C, 4), total_live, overflow, sw).
     """
-    import jax
-    from .. import mathlib as M
-    from ..kernels import expand as E
-    from ..ops import binning as B
-
     words = pack_record_words(pr.record)
-    rect_word = B.pack_rect_word(pr.min_tx, pr.min_ty,
-                                 (pr.max_tx - pr.min_tx + 1))
-    rect_word = jnp.where(pr.visible, rect_word,
-                          rect_word | jnp.uint32(E.CULLED_BIT))
-
-    counts = jnp.maximum(pr.rect_count, 1)
-    aux = jnp.concatenate([depth_sort_word[:, None].astype(jnp.uint32), words],
-                          axis=1)  # (N, 5)
-
-    expand = E.expand_slots_pallas if use_pallas else E.expand_slots_xla
-    kw = {} if not use_pallas else {"interpret": interpret}
-    key, d_slot, w0, w1, w2, w3, total, overflow = expand(
-        counts, rect_word, aux, capacity=capacity, tiles_x=tiles_x,
-        fused_depth16=fused_depth16, exact_test=exact_test, tile_w=tile_w,
-        tile_h=tile_h, alpha_threshold=alpha_threshold, **kw)
-
-    if fused_depth16:
-        ops = jax.lax.sort((key, w0, w1, w2, w3), num_keys=1)
-        sorted_key, sw = ops[0], ops[1:]
-        sorted_tile = jnp.where(sorted_key == jnp.uint32(E.SENTINEL),
-                                jnp.uint32(E.SENTINEL), sorted_key >> 16)
-    else:
-        ops = jax.lax.sort((key, d_slot, w0, w1, w2, w3), num_keys=2)
-        sorted_key, sw = ops[0], ops[2:]
-        sorted_tile = sorted_key
-
+    word_list = [words[:, k] for k in range(4)]
+    sorted_tile, sw, total, overflow = fused_binning_words(
+        pr.visible, pr.min_tx, pr.min_ty, pr.max_tx, pr.rect_count,
+        depth_sort_word, word_list, capacity=capacity, tiles_x=tiles_x,
+        fused_depth16=fused_depth16, use_pallas=use_pallas,
+        interpret=interpret, exact_test=exact_test, tile_w=tile_w,
+        tile_h=tile_h, alpha_threshold=alpha_threshold)
     sorted_words = jnp.stack(sw, axis=-1)  # (C, 4)
     total_live = jnp.sum(jnp.where(pr.visible, pr.rect_count, 0)).astype(jnp.int32)
     return sorted_tile, sorted_words, total_live, overflow, sw

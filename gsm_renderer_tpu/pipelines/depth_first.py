@@ -179,31 +179,27 @@ def depth_first_stereo_frame(
         input_is_srgb=input_is_srgb, scene_transform=scene_transform,
     )
 
-    _, order = B.depth_order(pr.depth_key)
-    rect_word = B.pack_rect_word(pr.min_tx, pr.min_ty, (pr.max_tx - pr.min_tx + 1))
+    # Fused binning carrying BOTH eyes' records (8 words) through one sort.
+    # Stereo instances cover the full union rect with a per-pixel r^2 <= 9
+    # cutoff instead of an exact per-tile test (createInstancesStereoKernel
+    # writes all union-rect tiles — DepthFirstShaders.metal:790-864).
+    from .common import fused_binning_words
     words_l = pack_record_words(pr.record_left)
     words_r = pack_record_words(pr.record_right)
-
-    counts_ordered = pr.rect_count[order]
-    rect_word_ordered = rect_word[order]
-    words_lo = words_l[order]
-    words_ro = words_r[order]
-
-    sm = B.build_slot_map(counts_ordered, capacity)
-    tile_key = B.slot_tile_ids(sm, rect_word_ordered, tiles_x)
-    sorted_key, sorted_rank = B.stable_sort_by_tile(tile_key, sm.rank)
-    idx = jnp.maximum(sorted_rank, 0)
-    starts, counts = B.extract_tile_ranges(sorted_key, num_tiles)
+    word_list = ([words_l[:, k] for k in range(4)]
+                 + [words_r[:, k] for k in range(4)])
+    sorted_tile, sw, _total, overflow = fused_binning_words(
+        pr.visible, pr.min_tx, pr.min_ty, pr.max_tx, pr.rect_count,
+        pr.depth_key, word_list, capacity=capacity, tiles_x=tiles_x,
+        fused_depth16=False, use_pallas=not use_xla_blend, interpret=interpret)
+    starts, counts = B.extract_tile_ranges(sorted_tile, num_tiles)
 
     eyes = []
-    for words_o in (words_lo, words_ro):
-        sorted_words = words_o[idx]
-        # stereo instances cover the full union rect with per-pixel r^2 <= 9
-        # cutoff instead of an exact per-tile test (createInstancesStereoKernel
-        # writes all union-rect tiles — DepthFirstShaders.metal:790-864)
+    for eye_words in (sw[0:4], sw[4:8]):
         if use_xla_blend:
+            sorted_words = jnp.stack(eye_words, axis=-1)
             attrs = sorted_instance_attrs(
-                sorted_words, sorted_key, tiles_x=tiles_x, tile_w=tile_w,
+                sorted_words, sorted_tile, tiles_x=tiles_x, tile_w=tile_w,
                 tile_h=tile_h, alpha_threshold=alpha_threshold,
                 exact_tile_test=False)
             table = K.build_blend_table(attrs, capacity)
@@ -213,7 +209,7 @@ def depth_first_stereo_frame(
                                        tile_w=tile_w, tile_h=tile_h,
                                        r2_cutoff=9.0)
         else:
-            wtable = K.build_words_table(sw, capacity)
+            wtable = K.build_words_table(eye_words, capacity)
             tc, td = K.blend_tiles_pallas(wtable, starts, counts,
                                           tiles_x=tiles_x, tiles_y=tiles_y,
                                           tile_w=tile_w, tile_h=tile_h,
@@ -227,8 +223,9 @@ def depth_first_stereo_frame(
 
     header = FrameHeader(
         visible_count=jnp.sum(pr.visible).astype(jnp.int32),
-        total_instances=sm.total,
-        overflow=sm.overflow,
+        total_instances=jnp.sum(
+            jnp.where(pr.visible, pr.rect_count, 0)).astype(jnp.int32),
+        overflow=overflow,
     )
     return RenderOutput(color=color, depth=depth, header=header)
 
