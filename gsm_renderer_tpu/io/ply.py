@@ -22,7 +22,6 @@ Swift); an optional C++ fast path lives in ``gsm_renderer_tpu/native``.
 from __future__ import annotations
 
 import io as _io
-from typing import Any
 
 import numpy as np
 

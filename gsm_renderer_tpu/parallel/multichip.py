@@ -17,7 +17,6 @@ This is a real DP+SP hybrid: the only traffic is one all-gather of ~28 B/gaussia
 
 from __future__ import annotations
 
-import functools
 from typing import Any
 
 import jax

@@ -22,7 +22,6 @@ TPU-native flow (one jitted program, no host syncs):
 
 from __future__ import annotations
 
-import functools
 from typing import Any
 
 import jax

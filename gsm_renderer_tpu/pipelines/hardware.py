@@ -21,7 +21,6 @@ draw the same sorted splats on the reference and are one compute path here.
 
 from __future__ import annotations
 
-import functools
 from typing import Any
 
 import jax
@@ -34,8 +33,7 @@ from ..ops import binning as B
 from ..ops.project import project_and_cull
 from ..types import FrameHeader, GaussianInput, RenderOutput
 from .base import AotProgram, GaussianRenderer, instance_capacity
-from .common import (fused_binning, pack_record_words,
-                     sorted_instance_attrs)
+from .common import fused_binning, sorted_instance_attrs
 
 Array = Any
 
