@@ -130,7 +130,7 @@ def _exact_tile_test(w0, w1, w2, w3, tx, ty, tile_w, tile_h, alpha_threshold):
     return d2min <= cutoff
 
 
-def _expand_kernel(r0_ref, total_ref, off_hbm, rect_hbm, aux_hbm,
+def _expand_kernel(r0_ref, total_ref, rowoff_ref, off_hbm, rect_hbm, aux_hbm,
                    *out_refs, tiles_x: int, n_aux: int, fused_depth16: bool,
                    exact_test: bool, tile_w: int, tile_h: int,
                    alpha_threshold: float):
@@ -202,9 +202,11 @@ def _expand_kernel(r0_ref, total_ref, off_hbm, rect_hbm, aux_hbm,
         if exact_test:
             # exclude instances whose max alpha within the tile is below tau
             # (reference excludes them at instance creation —
-            # DepthFirstShaders.metal:181-205); aux words 1..4 carry the record
+            # DepthFirstShaders.metal:181-205); aux words 1..4 carry the record.
+            # rowoff shifts band-local tile rows to global screen space
+            # (multichip band sharding).
             passes = _exact_tile_test(aux_vals[1], aux_vals[2], aux_vals[3],
-                                      aux_vals[4], t_x, t_y,
+                                      aux_vals[4], t_x, t_y + rowoff_ref[0],
                                       float(tile_w), float(tile_h),
                                       alpha_threshold)
             dead = jnp.logical_or(dead, jnp.logical_not(passes))
@@ -254,7 +256,8 @@ def expand_slots_pallas(counts, rect_word, aux_words, *, capacity: int,
                         tiles_x: int, fused_depth16: bool = False,
                         interpret: bool = False, exact_test: bool = False,
                         tile_w: int = 16, tile_h: int = 16,
-                        alpha_threshold: float = 0.005):
+                        alpha_threshold: float = 0.005,
+                        tile_row_offset=None):
     """Expand per-gaussian tables into per-slot sort operands.
 
     counts:    (N,) int32 instance counts, every entry >= 1
@@ -299,8 +302,10 @@ def expand_slots_pallas(counts, rect_word, aux_words, *, capacity: int,
     rect_t = jnp.pad(rect_t, ((0, rows - rect_t.shape[0]), (0, 0)))
     aux_t = jnp.pad(aux_t, ((0, rows - aux_t.shape[0]), (0, 0), (0, 0)))
 
+    if tile_row_offset is None:
+        tile_row_offset = jnp.zeros((), jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(n_blocks,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
         out_specs=tuple(
@@ -319,14 +324,16 @@ def expand_slots_pallas(counts, rect_word, aux_words, *, capacity: int,
             for _ in range(1 + n_aux)),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(block_r0, total.reshape(1), off_t, rect_t, aux_t)
+    )(block_r0, total.reshape(1),
+      tile_row_offset.reshape(1).astype(jnp.int32), off_t, rect_t, aux_t)
     return tuple(o.reshape(c) for o in outs) + (total, overflow)
 
 
 def expand_slots_xla(counts, rect_word, aux_words, *, capacity: int,
                      tiles_x: int, fused_depth16: bool = False,
                      exact_test: bool = False, tile_w: int = 16,
-                     tile_h: int = 16, alpha_threshold: float = 0.005):
+                     tile_h: int = 16, alpha_threshold: float = 0.005,
+                     tile_row_offset=None):
     """Pure-XLA mirror of :func:`expand_slots_pallas` (oracle + CPU fallback)."""
     from ..ops.binning import build_slot_map
 
@@ -346,8 +353,10 @@ def expand_slots_xla(counts, rect_word, aux_words, *, capacity: int,
     slot = jnp.arange(capacity, dtype=jnp.int32)
     dead = (slot >= sm.total) | culled
     if exact_test:
+        rowoff = (jnp.zeros((), jnp.int32) if tile_row_offset is None
+                  else tile_row_offset.astype(jnp.int32))
         t_x = (tile.astype(jnp.int32) % tiles_x)
-        t_y = (tile.astype(jnp.int32) // tiles_x)
+        t_y = (tile.astype(jnp.int32) // tiles_x) + rowoff
         passes = _exact_tile_test(aux[:, 1], aux[:, 2], aux[:, 3], aux[:, 4],
                                   t_x, t_y, float(tile_w), float(tile_h),
                                   alpha_threshold)

@@ -104,50 +104,44 @@ def build_sharded_depth_first(
         visible_here = (depth_key_g != jnp.uint32(0xFFFFFFFF)) & (rows_in_band > 0)
         counts = jnp.where(visible_here, rect_w_g * rows_in_band, 0)
 
-        # depth order over the full gaussian set (replicated tiny sort)
-        key = jnp.where(visible_here, depth_key_g, jnp.uint32(0xFFFFFFFF))
-        _, order = B.depth_order(key)
+        # fused binning in band-local tile space: every gathered gaussian owns
+        # >= 1 slot; not-in-band ones are flagged culled; the exact per-tile
+        # test runs in global coordinates via tile_row_offset
+        from ..pipelines.common import fused_binning_words, sorted_instance_attrs
+        min_tx_g = (rect_word_g & jnp.uint32(0x3FF)).astype(jnp.int32)
+        max_tx_g = min_tx_g + rect_w_g - 1
+        word_list = [words_g[:, k] for k in range(4)]
+        sorted_tile, sw, _total, _ovf = fused_binning_words(
+            visible_here, min_tx_g, bty0 - band0, max_tx_g, counts,
+            depth_key_g, word_list, capacity=capacity_per_device,
+            tiles_x=tiles_x, fused_depth16=False, use_pallas=not use_xla_blend,
+            exact_test=True, tile_w=tile_w, tile_h=tile_h,
+            alpha_threshold=alpha_threshold, tile_row_offset=band0)
 
-        counts_o = counts[order]
-        min_tx_o = (rect_word_g[order] & jnp.uint32(0x3FF)).astype(jnp.int32)
-        rect_w_o = rect_w_g[order]
-        bty0_o = bty0[order]
-        words_o = words_g[order]
-
-        band_rect = B.pack_rect_word(min_tx_o, bty0_o - band0, rect_w_o)
-        sm = B.build_slot_map(counts_o, capacity_per_device)
-        tile_key = B.slot_tile_ids(sm, band_rect, tiles_x)  # band-local tile ids
-        sorted_key, sorted_rank = B.stable_sort_by_tile(tile_key, sm.rank)
-        sorted_words = words_o[jnp.maximum(sorted_rank, 0)]
-
-        from ..pipelines.common import sorted_instance_attrs
-        # exact test needs global tile coords: shift the band-local tile row back
-        global_key = jnp.where(sorted_key == jnp.uint32(B.SENTINEL_KEY),
-                               jnp.uint32(B.SENTINEL_KEY),
-                               sorted_key + jnp.uint32(band0 * tiles_x))
-        attrs = sorted_instance_attrs(
-            sorted_words, global_key, tiles_x=tiles_x, tile_w=tile_w,
-            tile_h=tile_h, alpha_threshold=alpha_threshold, exact_tile_test=True)
-
-        # The blend kernel derives pixel coordinates from *band-local* tile rows;
-        # the linear forms use global screen coordinates.  Shift the constants by
-        # the band's pixel offset: c' = c + b * (band0 * tile_h).
-        band_py = (band0 * tile_h).astype(jnp.float32)
-        attrs = dict(attrs,
-                     c1=attrs["c1"] + attrs["b1"] * band_py,
-                     c2=attrs["c2"] + attrs["b2"] * band_py)
-
-        starts, cts = B.extract_tile_ranges(sorted_key, tiles_x * bands)
+        starts, cts = B.extract_tile_ranges(sorted_tile, tiles_x * bands)
 
         if use_xla_blend:
+            sorted_words = jnp.stack(sw, axis=-1)
+            global_key = jnp.where(sorted_tile == jnp.uint32(B.SENTINEL_KEY),
+                                   jnp.uint32(B.SENTINEL_KEY),
+                                   sorted_tile + jnp.uint32(band0 * tiles_x))
+            attrs = sorted_instance_attrs(
+                sorted_words, global_key, tiles_x=tiles_x, tile_w=tile_w,
+                tile_h=tile_h, alpha_threshold=alpha_threshold,
+                exact_tile_test=False)
+            # the XLA blend uses band-local pixel rows; shift the linear-form
+            # constants by the band's pixel offset
+            band_py = (band0 * tile_h).astype(jnp.float32)
+            attrs = dict(attrs,
+                         c1=attrs["c1"] + attrs["b1"] * band_py,
+                         c2=attrs["c2"] + attrs["b2"] * band_py)
             table = K.build_blend_table(attrs, capacity_per_device)
             tc, td = K.blend_tiles_xla(table, starts, cts, tiles_x=tiles_x,
                                        tiles_y=bands,
                                        max_per_tile=min(capacity_per_device, 2048),
                                        tile_w=tile_w, tile_h=tile_h)
         else:
-            wtable = K.build_words_table(
-                [sorted_words[:, k] for k in range(4)], capacity_per_device)
+            wtable = K.build_words_table(sw, capacity_per_device)
             tc, td = K.blend_tiles_pallas(wtable, starts, cts, tiles_x=tiles_x,
                                           tiles_y=bands, tile_w=tile_w,
                                           tile_h=tile_h,

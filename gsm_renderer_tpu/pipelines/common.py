@@ -126,7 +126,8 @@ def fused_binning_words(visible, min_tx, min_ty, max_tx, rect_count,
                         tiles_x: int, fused_depth16: bool, use_pallas: bool,
                         interpret: bool = False, exact_test: bool = False,
                         tile_w: int = 16, tile_h: int = 16,
-                        alpha_threshold: float = 0.005):
+                        alpha_threshold: float = 0.005,
+                        tile_row_offset=None):
     """Core fused binning over arbitrary carried word lists (mono carries the
     4-word record; stereo carries 8 words = both eyes' records).
 
@@ -148,7 +149,8 @@ def fused_binning_words(visible, min_tx, min_ty, max_tx, rect_count,
     outs = expand(counts, rect_word, aux, capacity=capacity, tiles_x=tiles_x,
                   fused_depth16=fused_depth16, exact_test=exact_test,
                   tile_w=tile_w, tile_h=tile_h,
-                  alpha_threshold=alpha_threshold, **kw)
+                  alpha_threshold=alpha_threshold,
+                  tile_row_offset=tile_row_offset, **kw)
     key, d_slot = outs[0], outs[1]
     slot_words = outs[2:-2]
     total, overflow = outs[-2], outs[-1]
