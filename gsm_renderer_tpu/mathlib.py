@@ -92,13 +92,14 @@ def sh_basis(direction, degree: int):
 def compute_sh_color(harmonics, positions, camera_center, degree: int):
     """Evaluate SH color for N gaussians.
 
-    ``harmonics``: (N, n_coeffs, 3) planar per-channel layout (the reference stores
-    [R0..Rn, G0..Gn, B0..Bn] per gaussian — GaussianShared.h:86-106; our axis order
-    (coeff, channel) is the transposed SoA equivalent).
+    ``harmonics``: channel-planar (3, n_coeffs, N) (GaussianInput storage
+    layout; the reference's per-gaussian planar [R0..Rn, G0..Gn, B0..Bn] —
+    GaussianShared.h:86-106 — transposed once at input construction so every op
+    here runs on (N,)-wide lanes).
     ``positions``: (N, 3) world positions; ``camera_center``: (3,).
     Returns (N, 3) linear color (pre +0.5 offset).
     """
-    harmonics = harmonics.astype(jnp.float32)
+    hp = harmonics.astype(jnp.float32)  # (3, C, N)
     if degree == 0:
         # keep a (value-less) dependency on camera_center: programs whose
         # argument sets differ only by dropped unused args trip an XLA:CPU
@@ -106,18 +107,15 @@ def compute_sh_color(harmonics, positions, camera_center, degree: int):
         # program expected 9") on repeat dispatch.  XLA cannot fold 0*x for a
         # runtime float (NaN semantics), so this survives as a no-op use.
         keep_alive = 0.0 * jnp.sum(camera_center)
-        return harmonics[:, 0, :] * SH_C0 + keep_alive
+        return jnp.stack([hp[ch, 0] * SH_C0 + keep_alive for ch in range(3)],
+                         axis=-1)
     d = camera_center[None, :] - positions
     d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
     n_coeffs = (degree + 1) ** 2
-    # Channel-planar layout: (N, C, 3) -> (3, C, N) once, then the whole
-    # evaluation runs on (N,)-wide lanes (slicing the 3-wide trailing axis of
-    # (N, C, 3) makes every op a 3-lane vector — ~100x VPU waste).
-    hp = jnp.transpose(harmonics[:, :n_coeffs, :], (2, 1, 0))  # (3, C, N)
     basis = sh_basis(d, degree)  # (N, C) — d components are (N,) already
     out = []
     for ch in range(3):
-        acc = hp[ch, 0] * SH_C0 if degree == 0 else hp[ch, 0] * basis[:, 0]
+        acc = hp[ch, 0] * basis[:, 0]
         for c in range(1, n_coeffs):
             acc = acc + hp[ch, c] * basis[:, c]
         out.append(acc)

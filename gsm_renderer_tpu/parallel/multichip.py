@@ -32,10 +32,19 @@ from ..types import GaussianInput
 Array = Any
 
 
+def _gi_partition_specs(axis: str):
+    """Per-field PartitionSpecs: every field shards its gaussian axis (the
+    leading axis, except channel-planar harmonics whose gaussian axis is last)."""
+    return GaussianInput(
+        positions=P(axis), scales=P(axis), rotations=P(axis),
+        opacities=P(axis), harmonics=P(None, None, axis))
+
+
 def shard_gaussian_input(gi: GaussianInput, mesh: Mesh, axis: str = "dp"):
-    """Place a GaussianInput with its leading (gaussian) axis sharded over the mesh."""
-    sh = NamedSharding(mesh, P(axis))
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), gi)
+    """Place a GaussianInput with its gaussian axis sharded over the mesh."""
+    specs = _gi_partition_specs(axis)
+    return jax.tree_util.tree_map(
+        lambda x, sp: jax.device_put(x, NamedSharding(mesh, sp)), gi, specs)
 
 
 def build_sharded_depth_first(
@@ -153,8 +162,7 @@ def build_sharded_depth_first(
 
     mapped = jax.shard_map(
         local_frame, mesh=mesh,
-        in_specs=(jax.tree_util.tree_map(lambda _: P(axis), _gi_spec()),
-                  P(), P(), P()),
+        in_specs=(_gi_partition_specs(axis), P(), P(), P()),
         out_specs=(P(axis), P(axis)),
         check_vma=False,
     )
@@ -167,7 +175,4 @@ def build_sharded_depth_first(
     return render
 
 
-def _gi_spec():
-    """Pytree prototype matching GaussianInput structure for in_specs."""
-    return GaussianInput(positions=0, scales=0, rotations=0, opacities=0,
-                         harmonics=0)
+

@@ -56,7 +56,8 @@ def profile_depth_first_stages(gi, camera, width: int, height: int, *,
 
     n = gi.count
     if capacity <= 0:
-        capacity = -(-max(cfg.INSTANCE_CAPACITY_FACTOR * n, n + 1) // 4096) * 4096
+        capacity = max(cfg.INSTANCE_CAPACITY_FACTOR * n, n + 1)
+    capacity = -(-capacity // 4096) * 4096
     tiles_x, tiles_y = cfg.tiles_for(width, height, 16, 16)
     view, proj, center = camera.astuple_jax()
 

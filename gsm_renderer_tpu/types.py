@@ -36,7 +36,10 @@ class GaussianInput:
 
     ``positions`` (N, 3) f32; ``scales`` (N, 3) and ``opacities`` (N,) in the input
     precision; ``rotations`` (N, 4) quaternion (x, y, z, w); ``harmonics``
-    (N, n_coeffs, 3) with planar per-channel semantics (R, G, B along the last axis).
+    stored channel-planar as (3, n_coeffs, N) — the TPU-native layout (every SH
+    op runs on (N,)-wide lanes; converting per frame would cost a ~190 MB
+    transpose at 1M/SH3).  :func:`make_gaussian_input` accepts the natural
+    (N, n_coeffs, 3) order and converts once at construction.
 
     Equivalent of ``GaussianInput`` (GaussianRendererProtocol.swift:9-26): the
     reference carries (worldBuffer, harmonicsBuffer, gaussianCount, shComponents).
@@ -54,7 +57,7 @@ class GaussianInput:
 
     @property
     def sh_n_coeffs(self) -> int:
-        return self.harmonics.shape[1]
+        return self.harmonics.shape[1]  # (3, n_coeffs, N)
 
     def validate(self) -> None:
         """Shape/size validation (BufferValidation, GaussianRendererProtocol.swift:326-416)."""
@@ -68,9 +71,11 @@ class GaussianInput:
         for got, want, name in checks:
             if tuple(got) != tuple(want):
                 raise RendererError(f"{name}: expected shape {want}, got {tuple(got)}")
-        if self.harmonics.ndim != 3 or self.harmonics.shape[0] != n or self.harmonics.shape[2] != 3:
+        if (self.harmonics.ndim != 3 or self.harmonics.shape[0] != 3
+                or self.harmonics.shape[2] != n):
             raise RendererError(
-                f"harmonics: expected (N, n_coeffs, 3), got {tuple(self.harmonics.shape)}"
+                f"harmonics: expected channel-planar (3, n_coeffs, N), got "
+                f"{tuple(self.harmonics.shape)}"
             )
         if self.harmonics.shape[1] not in (1, 4, 9, 16):
             raise RendererError(
@@ -80,8 +85,13 @@ class GaussianInput:
 
 def make_gaussian_input(positions, scales, rotations, opacities, harmonics,
                         precision: Precision = Precision.FLOAT32) -> GaussianInput:
-    """Build a validated :class:`GaussianInput`, casting to the requested precision."""
+    """Build a validated :class:`GaussianInput`, casting to the requested
+    precision.  ``harmonics`` in the natural (N, n_coeffs, 3) order; stored
+    channel-planar (3, n_coeffs, N)."""
     dt = jnp.float32 if precision == Precision.FLOAT32 else jnp.float16
+    harmonics = np.asarray(harmonics)
+    if harmonics.ndim == 3 and harmonics.shape[2] == 3 and harmonics.shape[0] != 3:
+        harmonics = np.ascontiguousarray(harmonics.transpose(2, 1, 0))
     gi = GaussianInput(
         positions=jnp.asarray(positions, jnp.float32),
         scales=jnp.asarray(scales, dt),
@@ -150,6 +160,7 @@ def unpack_world_gaussians(buf: bytes | np.ndarray, precision: Precision,
                 f"(count={n} x coeffs={n_coeffs} x 3), got {flat.size}"
             )
         # planar [R0..Rn, G0..Gn, B0..Bn] per gaussian -> (N, n_coeffs, 3)
+        # (make_gaussian_input converts to channel-planar storage)
         harmonics = flat.reshape(n, 3, n_coeffs).transpose(0, 2, 1)
     return make_gaussian_input(positions, scales, rotations, opacities, harmonics,
                                precision)
@@ -171,7 +182,8 @@ def pack_world_gaussians(gi: GaussianInput, precision: Precision) -> tuple[bytes
     rec["rx"], rec["ry"], rec["rz"], rec["rw"] = rot[:, 0], rot[:, 1], rot[:, 2], rot[:, 3]
     rec["opacity"] = np.asarray(gi.opacities)
     hdt = np.float32 if precision == Precision.FLOAT32 else np.float16
-    harm = np.asarray(gi.harmonics, hdt).transpose(0, 2, 1)  # (N, 3, n_coeffs) planar
+    # stored (3, n_coeffs, N) -> reference layout (N, 3, n_coeffs) planar
+    harm = np.asarray(gi.harmonics, hdt).transpose(2, 0, 1)
     return rec.tobytes(), np.ascontiguousarray(harm).tobytes()
 
 

@@ -100,18 +100,33 @@ def test_half_depth_key16_order(rng):
 
 
 def test_sh_color_degree0():
-    harm = jnp.zeros((4, 1, 3)).at[:, 0, :].set(1.0)
+    # channel-planar storage layout: (3, n_coeffs, N)
+    harm = jnp.ones((3, 1, 4))
     col = np.asarray(M.compute_sh_color(harm, jnp.zeros((4, 3)),
                                         jnp.zeros(3), 0))
     np.testing.assert_allclose(col, M.SH_C0, atol=1e-6)
 
 
 def test_sh_color_direction_dependence(rng):
-    harm = jnp.asarray(rng.normal(size=(1, 16, 3)), jnp.float32)
+    harm = jnp.asarray(rng.normal(size=(3, 16, 1)), jnp.float32)
     pos = jnp.array([[0.0, 0.0, 5.0]])
     c1 = np.asarray(M.compute_sh_color(harm, pos, jnp.array([0.0, 0.0, 0.0]), 3))
     c2 = np.asarray(M.compute_sh_color(harm, pos, jnp.array([3.0, 1.0, 0.0]), 3))
     assert np.abs(c1 - c2).max() > 1e-4
+
+
+def test_sh_color_matches_einsum(rng):
+    n = 32
+    harm_nat = rng.normal(size=(n, 16, 3)).astype(np.float32)
+    harm = jnp.asarray(harm_nat.transpose(2, 1, 0))
+    pos = jnp.asarray(rng.normal(size=(n, 3)), jnp.float32)
+    center = jnp.array([1.0, 2.0, 3.0])
+    got = np.asarray(M.compute_sh_color(harm, pos, center, 3))
+    d = np.array([1.0, 2.0, 3.0]) - np.asarray(pos)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    basis = np.asarray(M.sh_basis(jnp.asarray(d), 3))
+    want = np.einsum("nc,nck->nk", basis, harm_nat)
+    np.testing.assert_allclose(got, want, atol=1e-5)
 
 
 def test_projection_z_sign_agnostic():
