@@ -135,8 +135,9 @@ def main():
                                         scale_range=(0.002, 0.012))
         cam = G.make_camera(1920, 1080, far=50.0)
         stereo = G.make_side_by_side_stereo(cam)
+        # stereo union rects need more instance headroom
         r = G.DepthFirstRenderer(G.RendererConfig(sh_degree=3,
-                                                  max_instances=4_000_000))
+                                                  max_instances=6_000_000))
         gi = ds.to_input()
         out = r.render_stereo(gi, stereo, 1920, 1080)
         st = time_frames(lambda: r.render_stereo(gi, stereo, 1920, 1080))
