@@ -70,8 +70,10 @@ def build_sharded_depth_first(
     bands = -(-tiles_y // n_dev)
     tiles_y_pad = bands * n_dev
     if capacity_per_device <= 0:
-        capacity_per_device = -(-(cfg.INSTANCE_CAPACITY_FACTOR * n_total // n_dev)
-                                // 128) * 128
+        capacity_per_device = (cfg.INSTANCE_CAPACITY_FACTOR * n_total) // n_dev
+    # expand_slots_pallas requires capacity % 1024 == 0 (kernels/expand.py BLK);
+    # round up to 4096 like the mono instance_capacity helper.
+    capacity_per_device = -(-capacity_per_device // 4096) * 4096
     if use_xla_blend is None:
         use_xla_blend = jax.default_backend() not in ("tpu", "axon")
 
@@ -120,7 +122,7 @@ def build_sharded_depth_first(
         min_tx_g = (rect_word_g & jnp.uint32(0x3FF)).astype(jnp.int32)
         max_tx_g = min_tx_g + rect_w_g - 1
         word_list = [words_g[:, k] for k in range(4)]
-        sorted_tile, sw, _total, _ovf = fused_binning_words(
+        sorted_tile, sw, _total, ovf = fused_binning_words(
             visible_here, min_tx_g, bty0 - band0, max_tx_g, counts,
             depth_key_g, word_list, capacity=capacity_per_device,
             tiles_x=tiles_x, fused_depth16=False, use_pallas=not use_xla_blend,
@@ -158,19 +160,23 @@ def build_sharded_depth_first(
         color, depth = K.assemble_image(tc, td, tiles_x=tiles_x, tiles_y=bands,
                                         width=width, height=bands * tile_h,
                                         tile_w=tile_w, tile_h=tile_h)
-        return color, depth
+        # propagate per-band capacity overflow (the mono header reports it;
+        # the sharded path must too — a hot band silently dropping instances
+        # is otherwise invisible)
+        overflow = jax.lax.pmax(ovf.astype(jnp.int32), axis)
+        return color, depth, overflow
 
     mapped = jax.shard_map(
         local_frame, mesh=mesh,
         in_specs=(_gi_partition_specs(axis), P(), P(), P()),
-        out_specs=(P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P()),
         check_vma=False,
     )
 
     @jax.jit
     def render(gi_sharded, view, proj, center):
-        color, depth = mapped(gi_sharded, view, proj, center)
-        return color[:height], depth[:height]
+        color, depth, overflow = mapped(gi_sharded, view, proj, center)
+        return color[:height], depth[:height], overflow
 
     return render
 

@@ -1,0 +1,68 @@
+"""Exact per-tile instance-list membership AND order vs the NumPy oracle.
+
+The north star demands pixel-exact depth ordering; color-tolerance compares can
+hide swapped instances.  This test extracts the pipeline's actual sorted
+per-tile instance lists (by carrying the gaussian index as an extra sort
+operand through the production binning) and asserts them equal to the oracle's
+depth-ordered lists (reference semantics: stable depth sort then stable tile
+sort — DepthFirstShaders.metal:866-1256)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+import gsm_renderer_tpu as G
+from gsm_renderer_tpu.io.scene import generate_visible_gaussians
+from gsm_renderer_tpu.ops import binning as B
+from gsm_renderer_tpu.ops.project import project_and_cull
+from gsm_renderer_tpu.pipelines.common import (fused_binning_words,
+                                               pack_record_words)
+from reference_impl import render_reference
+
+
+def _pipeline_tile_lists(ds, cam, w, h, capacity=8192):
+    tiles_x, tiles_y = -(-w // 16), -(-h // 16)
+    gi = ds.to_input()
+    view, proj, center = cam.astuple_jax()
+    pr = project_and_cull(
+        gi, view, proj, center, width=w, height=h, tile_w=16, tile_h=16,
+        sh_degree=0, near_plane=0.1, far_plane=10.0, alpha_threshold=0.005,
+        total_ink_threshold=2.0, input_is_srgb=False)
+    words = pack_record_words(pr.record)
+    # carry the gaussian index as a 5th word so sorted instances are identifiable
+    idx_word = jnp.arange(gi.count, dtype=jnp.uint32)
+    word_list = [words[:, k] for k in range(4)] + [idx_word]
+    sorted_tile, sw, _total, overflow = fused_binning_words(
+        pr.visible, pr.min_tx, pr.min_ty, pr.max_tx, pr.rect_count,
+        pr.depth_key, word_list, capacity=capacity, tiles_x=tiles_x,
+        fused_depth16=False, use_pallas=False, exact_test=True)
+    assert int(overflow) == 0
+    starts, counts = B.extract_tile_ranges(sorted_tile, tiles_x * tiles_y)
+    starts, counts = np.asarray(starts), np.asarray(counts)
+    sidx = np.asarray(sw[4])
+    lists = {}
+    for t in range(tiles_x * tiles_y):
+        if counts[t]:
+            lists[t] = sidx[starts[t]:starts[t] + counts[t]].tolist()
+    return lists
+
+
+def test_depth_first_exact_per_tile_ordering():
+    w, h = 128, 96
+    ds = generate_visible_gaussians(400, sh_degree=0, scale_range=(0.01, 0.08))
+    cam = G.make_camera(w, h)
+    _c, _d, aux = render_reference(
+        ds, cam.view_matrix, cam.projection_matrix, cam.position, w, h,
+        sh_degree=0)
+    oracle = {
+        t: [aux["records"][r]["index"] for r in ranks]
+        for t, ranks in aux["tile_lists"].items()
+    }
+    got = _pipeline_tile_lists(ds, cam, w, h)
+
+    assert set(got) == set(oracle), (
+        f"tile membership differs: only-pipeline={set(got) - set(oracle)}, "
+        f"only-oracle={set(oracle) - set(got)}")
+    for t in sorted(oracle):
+        assert got[t] == oracle[t], (
+            f"tile {t}: pipeline order {got[t]} != oracle order {oracle[t]}")
+    assert sum(len(v) for v in oracle.values()) > 400  # non-trivial scene

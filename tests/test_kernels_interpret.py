@@ -1,0 +1,106 @@
+"""Interpret-mode coverage for the production Pallas kernels.
+
+Round-1 gap: every pipeline test ran ``use_xla_blend=True`` so
+``expand_slots_pallas`` / ``blend_tiles_pallas`` had zero automated coverage
+(regressions were only caught by the manual TPU bench).  These tests run the
+kernels in Pallas interpret mode against their XLA mirrors — the same pairing
+the reference uses for its standalone kernel tests
+(DepthFirstUnitTests.swift:120-468).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import gsm_renderer_tpu as G
+from gsm_renderer_tpu.kernels import expand as E
+from gsm_renderer_tpu.io.scene import generate_visible_gaussians
+from gsm_renderer_tpu.pipelines.depth_first import (
+    depth_first_frame, depth_first_stereo_frame)
+
+
+def _expand_inputs(rng, n, n_aux, tiles_x=12, tiles_y=8):
+    counts = rng.integers(1, 5, n).astype(np.int32)
+    min_tx = rng.integers(0, tiles_x - 3, n).astype(np.int32)
+    min_ty = rng.integers(0, tiles_y - 3, n).astype(np.int32)
+    rect_w = rng.integers(1, 4, n).astype(np.int32)
+    culled = rng.random(n) < 0.15
+    rect = (min_tx | (min_ty << 10) | (rect_w << 20)).astype(np.uint32)
+    rect = np.where(culled, rect | np.uint32(E.CULLED_BIT), rect)
+    aux = rng.integers(0, 2**32, (n, n_aux), dtype=np.uint64).astype(np.uint32)
+    return jnp.asarray(counts), jnp.asarray(rect), jnp.asarray(aux)
+
+
+@pytest.mark.parametrize("fused_depth16", [False, True])
+def test_expand_pallas_interpret_matches_xla(rng, fused_depth16):
+    counts, rect, aux = _expand_inputs(rng, 600, 5)
+    kw = dict(capacity=4096, tiles_x=12, fused_depth16=fused_depth16)
+    outs_p = E.expand_slots_pallas(counts, rect, aux, interpret=True, **kw)
+    outs_x = E.expand_slots_xla(counts, rect, aux, **kw)
+    assert len(outs_p) == len(outs_x)
+    for i, (p, x) in enumerate(zip(outs_p, outs_x)):
+        np.testing.assert_array_equal(np.asarray(p), np.asarray(x),
+                                      err_msg=f"output {i}")
+
+
+def test_expand_pallas_interpret_overflow(rng):
+    counts, rect, aux = _expand_inputs(rng, 3000, 5)
+    outs_p = E.expand_slots_pallas(counts, rect, aux, capacity=4096, tiles_x=12,
+                                   interpret=True)
+    outs_x = E.expand_slots_xla(counts, rect, aux, capacity=4096, tiles_x=12)
+    assert int(outs_p[-1]) == 1  # overflow flagged
+    for p, x in zip(outs_p, outs_x):
+        np.testing.assert_array_equal(np.asarray(p), np.asarray(x))
+
+
+def _frame_kwargs(w, h, n):
+    return dict(width=w, height=h, capacity=4096, sh_degree=1,
+                alpha_threshold=0.005, total_ink_threshold=2.0,
+                near_plane=0.1, far_plane=20.0, input_is_srgb=False)
+
+
+def test_depth_first_frame_pallas_interpret_matches_xla():
+    """Full mono frame through the production kernels (interpret) vs the XLA
+    mirror path — covers expand (exact test) + blend end to end."""
+    w, h = 96, 64
+    ds = generate_visible_gaussians(200, sh_degree=1, scale_range=(0.01, 0.06))
+    cam = G.make_camera(w, h, far=20.0)
+    gi = ds.to_input()
+    view, proj, center = cam.astuple_jax()
+    kw = _frame_kwargs(w, h, 200)
+
+    out_x = depth_first_frame(gi, view, proj, center, use_xla_blend=True, **kw)
+    out_p = depth_first_frame(gi, view, proj, center, use_xla_blend=False,
+                              interpret=True, **kw)
+    assert int(out_p.header.visible_count) == int(out_x.header.visible_count)
+    assert int(out_p.header.overflow) == 0
+    assert np.asarray(out_p.color)[..., :3].max() > 0.05
+    np.testing.assert_allclose(np.asarray(out_p.color),
+                               np.asarray(out_x.color), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out_p.depth),
+                               np.asarray(out_x.depth), atol=2e-2)
+
+
+def test_stereo_frame_pallas_interpret_matches_xla():
+    """Stereo frame (8 carried words + r^2 cutoff blend) interpret parity."""
+    w, h = 64, 64
+    ds = generate_visible_gaussians(120, sh_degree=0, scale_range=(0.01, 0.06))
+    cam = G.make_side_by_side_stereo(G.make_camera(w, h, far=20.0), ipd=0.1)
+    gi = ds.to_input()
+    views = jnp.stack([jnp.asarray(cam.left.view_matrix, jnp.float32),
+                       jnp.asarray(cam.right.view_matrix, jnp.float32)])
+    projs = jnp.stack([jnp.asarray(cam.left.projection_matrix, jnp.float32),
+                       jnp.asarray(cam.right.projection_matrix, jnp.float32)])
+    centers = jnp.stack([jnp.asarray(cam.left.position, jnp.float32),
+                         jnp.asarray(cam.right.position, jnp.float32)])
+    st = jnp.eye(4, dtype=jnp.float32)
+    kw = dict(width=w, height=h, capacity=4096, sh_degree=0,
+              alpha_threshold=0.005, total_ink_threshold=2.0,
+              near_plane=0.1, far_plane=20.0, input_is_srgb=False)
+
+    out_x = depth_first_stereo_frame(gi, views, projs, centers, st,
+                                     use_xla_blend=True, **kw)
+    out_p = depth_first_stereo_frame(gi, views, projs, centers, st,
+                                     use_xla_blend=False, interpret=True, **kw)
+    np.testing.assert_allclose(np.asarray(out_p.color),
+                               np.asarray(out_x.color), atol=2e-3)
