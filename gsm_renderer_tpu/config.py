@@ -55,8 +55,10 @@ class HardwareBackend(enum.Enum):
     """Hardware-renderer backend selector (HardwareRenderer.swift:267-272).
 
     There is no rasterizer on a TPU; both backends share a depth-sorted splatting
-    compute path.  ``MESH_SHADERS`` and ``INSTANCED`` are kept for API parity and
-    select minor scheduling variants.
+    compute path and differ in submission granularity, like the reference's
+    backends: ``MESH_SHADERS`` streams 512-instance blend chunks, ``INSTANCED``
+    1024-instance chunks (the reference's 1024 splats per instanced draw).
+    See pipelines/hardware.py.
     """
 
     MESH_SHADERS = "meshShaders"

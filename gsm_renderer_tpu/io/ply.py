@@ -45,6 +45,54 @@ class PLYError(ValueError):
     pass
 
 
+# Property-name alias table (PLYLoader.swift:548-567): canonical <- variants,
+# matched on the lowercased property name.
+_CANONICAL = {}
+for _canon, _variants in {
+    "x": ("x", "px", "pos_x", "position_x"),
+    "y": ("y", "py", "pos_y", "position_y"),
+    "z": ("z", "pz", "pos_z", "position_z"),
+    "scale_0": ("scale_0", "scale0", "sx", "scale_x"),
+    "scale_1": ("scale_1", "scale1", "sy", "scale_y"),
+    "scale_2": ("scale_2", "scale2", "sz", "scale_z"),
+    "rot_0": ("rot_0", "rot0", "qw", "rotation_w"),
+    "rot_1": ("rot_1", "rot1", "qx", "rotation_x"),
+    "rot_2": ("rot_2", "rot2", "qy", "rotation_y"),
+    "rot_3": ("rot_3", "rot3", "qz", "rotation_z"),
+    "opacity": ("opacity", "alpha"),
+}.items():
+    for _v in _variants:
+        _CANONICAL[_v] = _canon
+
+
+def _canonical_prop_map(raw_names):
+    """Map canonical property names -> actual names present in the file.
+
+    Handles the reference's alias table plus ``sh_N`` /
+    ``spherical_harmonics_N`` SH naming (PLYLoader.swift:548-585: sh_0..sh_2
+    sort like DC terms, sh_3.. like rest terms).
+    """
+    m = {}
+    for nm in raw_names:
+        low = nm.lower()
+        canon = _CANONICAL.get(low)
+        if canon is None:
+            if low.startswith("f_dc_") or low.startswith("f_rest_"):
+                canon = low
+            else:
+                for prefix in ("sh_", "spherical_harmonics_"):
+                    if low.startswith(prefix):
+                        try:
+                            i = int(low[len(prefix):])
+                        except ValueError:
+                            break
+                        canon = f"f_dc_{i}" if i < 3 else f"f_rest_{i - 3}"
+                        break
+        if canon is not None and canon not in m:
+            m[canon] = nm
+    return m
+
+
 def parse_header(data: bytes):
     """Parse the PLY header; returns (format, elements, body_offset) where
     elements is a list of (name, count, [(prop_name, np_type), ...])."""
@@ -128,12 +176,14 @@ def _load_standard(data, vertex, elements, body, endian) -> GaussianDataset:
 
     dt = _element_dtype(props, endian)
     arr = np.frombuffer(data, dtype=dt, count=count, offset=offset)
+    canon = _canonical_prop_map(arr.dtype.names)
 
-    native = _load_standard_native(data, props, count, offset, endian)
+    native = _load_standard_native(data, props, count, offset, endian, canon)
     if native is not None:
         return native
 
     def col(nm, default=0.0):
+        nm = canon.get(nm, nm)
         if nm in arr.dtype.names:
             c = arr[nm].astype(np.float32)
             if arr.dtype[nm].kind == "u" and arr.dtype[nm].itemsize == 1:
@@ -180,8 +230,12 @@ def _load_standard(data, vertex, elements, body, endian) -> GaussianDataset:
     opacities = opacities[keep].astype(np.float32)
 
     # SH: f_dc_0..2 + f_rest_0..(3*(C-1)-1)
-    n_rest = sum(1 for nm in arr.dtype.names if nm.startswith("f_rest_"))
-    has_dc = "f_dc_0" in arr.dtype.names
+    n_rest = sum(1 for nm in canon if nm.startswith("f_rest_"))
+    if n_rest % 3 != 0:
+        import warnings
+        warnings.warn(f"PLY has {n_rest} f_rest properties (not divisible by "
+                      "3); trailing coefficients ignored", stacklevel=2)
+    has_dc = "f_dc_0" in canon
     n_coeffs = 1 + n_rest // 3 if has_dc else 0
     # clamp to a supported degree (1/4/9/16 coefficients)
     for allowed in (16, 9, 4, 1):
@@ -197,6 +251,9 @@ def _load_standard(data, vertex, elements, body, endian) -> GaussianDataset:
         n_coeffs = 1
     else:
         higher = n_coeffs - 1
+        # channel stride in the FILE is its true per-channel count, not the
+        # degree-clamped one (PLYLoader.swift:687-721 keeps the real shStride)
+        file_higher = n_rest // 3
         harmonics = np.zeros((n, n_coeffs, 3), np.float32)
         harmonics[:, 0, 0] = col("f_dc_0")[keep]
         harmonics[:, 0, 1] = col("f_dc_1")[keep]
@@ -204,8 +261,8 @@ def _load_standard(data, vertex, elements, body, endian) -> GaussianDataset:
         # PLY layout: [R1..Rk, G1..Gk, B1..Bk] planar in f_rest
         # (PLYLoader.swift:699-721)
         for ch in range(3):
-            for c in range(higher):
-                harmonics[:, 1 + c, ch] = col(f"f_rest_{ch * higher + c}")[keep]
+            for c in range(min(higher, file_higher)):
+                harmonics[:, 1 + c, ch] = col(f"f_rest_{ch * file_higher + c}")[keep]
 
     # Recenter (PLYLoader.swift:723-731)
     if n:
@@ -222,7 +279,7 @@ def _load_standard(data, vertex, elements, body, endian) -> GaussianDataset:
     )
 
 
-def _load_standard_native(data, props, count, offset, endian):
+def _load_standard_native(data, props, count, offset, endian, canon):
     """Bulk-decode via the C++ library when the layout qualifies (all-float32
     little-endian standard 3DGS properties).  Returns None to fall back."""
     if endian != "<" or count == 0:
@@ -234,12 +291,13 @@ def _load_standard_native(data, props, count, offset, endian):
     if lib is None:
         return None
 
-    offs = {}
+    raw_offs = {}
     pos = 0
     for nm, _t in props:
-        offs[nm] = pos
+        raw_offs[nm] = pos
         pos += 4
     stride = pos
+    offs = {c: raw_offs[nm] for c, nm in canon.items() if nm in raw_offs}
     required = ["x", "y", "z", "scale_0", "scale_1", "scale_2",
                 "rot_0", "rot_1", "rot_2", "rot_3", "opacity"]
     if any(nm not in offs for nm in required):
@@ -260,12 +318,13 @@ def _load_standard_native(data, props, count, offset, endian):
     # autodetect on the first 100 vertices (same rule as the NumPy path)
     head = np.frombuffer(data, _element_dtype(props, endian),
                          count=min(100, count), offset=offset)
-    ss = np.stack([head["scale_0"], head["scale_1"], head["scale_2"]]).ravel()
+    ss = np.stack([head[canon["scale_0"]], head[canon["scale_1"]],
+                   head[canon["scale_2"]]]).ravel()
     scale_is_log = True
     if ss.size and not (ss < 0).any():
         if not (ss > 1.0).any() and 0 < ss.mean() < 0.5:
             scale_is_log = False
-    so = head["opacity"]
+    so = head[canon["opacity"]]
     opacity_is_logit = bool(so.size and ((so.min() < 0) or (so.max() > 1.0)))
 
     positions = np.empty((count, 3), np.float32)

@@ -96,6 +96,9 @@ int64_t ply_decode_standard(
     }
     const int64_t n = static_cast<int64_t>(kept.size());
     const int higher = n_coeffs - 1;
+    // channel stride in the file is its true per-channel count, not the
+    // degree-clamped one (PLYLoader.swift:687-721 keeps the real shStride)
+    const int file_higher = static_cast<int>(n_rest / 3);
 
     parallel_for(n, [&](int64_t lo, int64_t hi) {
         for (int64_t i = lo; i < hi; ++i) {
@@ -133,8 +136,8 @@ int64_t ply_decode_standard(
                 h[0 * 3 + 2] = off_dc2 >= 0 ? load_f32(p + off_dc2) : 0.f;
                 // PLY layout: [R1..Rk, G1..Gk, B1..Bk] (PLYLoader.swift:699-721)
                 for (int ch = 0; ch < 3; ++ch) {
-                    for (int c = 0; c < higher; ++c) {
-                        int idx = ch * higher + c;
+                    for (int c = 0; c < higher && c < file_higher; ++c) {
+                        int idx = ch * file_higher + c;
                         float val = (idx < n_rest)
                             ? load_f32(p + sh_rest_offset + idx * 4) : 0.f;
                         h[(1 + c) * 3 + ch] = val;

@@ -354,12 +354,17 @@ def stereo_project_and_cull(
         # Invisible eye: mean pushed far off-screen so alpha underflows to zero
         # (the reference writes -1e10 — DepthFirstShaders.metal:459-483; that
         # overflows float16 to -inf and would NaN the linear-form constants, so
-        # we use the largest finite offset: q >= (6e4 / sigma_max)^2 > 2000 for
-        # any stabilized sigma, making exp(-q/2) exactly 0).
-        off = jnp.where(vis, 0.0, -6e4)
+        # we REPLACE the mean with the largest finite offset: the invisible
+        # eye's raw screen coordinate is itself unbounded (perspective divide
+        # guards w at 1e-12), so adding an offset would still overflow f16.
+        # q >= (6e4 / sigma_max)^2 > 2000 for any stabilized sigma, making
+        # exp(-q/2) exactly 0.
+        def safe_mean(coord):
+            return jnp.where(vis, coord, -6e4).astype(jnp.float16)
+
         return RenderRecord(
-            mean_x=(eye["screen"][i, :, 0] + off).astype(jnp.float16),
-            mean_y=(eye["screen"][i, :, 1] + off).astype(jnp.float16),
+            mean_x=safe_mean(eye["screen"][i, :, 0]),
+            mean_y=safe_mean(eye["screen"][i, :, 1]),
             theta=M.pack_theta_u16(jnp.where(vis, eye["theta"][i], 0.0)),
             sigma1=jnp.where(vis, eye["sigma1"][i], 1.0).astype(jnp.float16),
             sigma2=jnp.where(vis, eye["sigma2"][i], 1.0).astype(jnp.float16),

@@ -134,6 +134,24 @@ class GaussianRenderer:
 
     # -- public API ---------------------------------------------------------------
 
+    def validate_inputs(self, gi: GaussianInput, width: int, height: int) -> None:
+        """Input validation against the configured limits — the equivalent of
+        ``BufferValidation.validate`` throwing ``RendererError``
+        (GaussianRendererProtocol.swift:326-416)."""
+        from ..types import RendererError
+        gi.validate()
+        c = self.config
+        if gi.count > c.max_gaussians:
+            raise RendererError(
+                f"gaussian count {gi.count} exceeds config.max_gaussians "
+                f"{c.max_gaussians}")
+        if width <= 0 or height <= 0:
+            raise RendererError(f"invalid render size {width}x{height}")
+        if width > c.max_width or height > c.max_height:
+            raise RendererError(
+                f"render size {width}x{height} exceeds configured maximum "
+                f"{c.max_width}x{c.max_height}")
+
     def render(self, gi: GaussianInput, camera: CameraParams,
                width: int, height: int) -> RenderOutput:
         raise NotImplementedError

@@ -103,7 +103,7 @@ class GlobalRenderer(GaussianRenderer):
 
     def render(self, gi: GaussianInput, camera: CameraParams,
                width: int, height: int) -> RenderOutput:
-        gi.validate()
+        self.validate_inputs(gi, width, height)
         n = gi.count
         c = self.config
         view, proj, center = camera.astuple_jax()

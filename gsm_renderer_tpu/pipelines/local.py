@@ -106,7 +106,7 @@ class LocalRenderer(GaussianRenderer):
 
     def render(self, gi: GaussianInput, camera: CameraParams,
                width: int, height: int) -> RenderOutput:
-        gi.validate()
+        self.validate_inputs(gi, width, height)
         n = gi.count
         c = self.config
         view, proj, center = camera.astuple_jax()

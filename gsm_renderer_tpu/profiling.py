@@ -7,8 +7,9 @@ unimplemented ``lastGPUTime`` stub (SURVEY.md section 5).  Here:
 * :func:`profile_depth_first_stages` measures a per-stage time split
   (project / binning / sort / blend) by timing cumulative prefix programs on
   the device — the measurement BASELINE.md requires alongside ms/frame,
-* frame functions are annotated with ``jax.named_scope`` so device traces
-  (``jax.profiler.trace``) group by pipeline stage.
+* the DepthFirst frame program annotates its stages with ``jax.named_scope``
+  (pipelines/depth_first.py: project_cull / fused_binning / tile_ranges /
+  blend / assemble) so device traces (``jax.profiler.trace``) group by stage.
 """
 
 from __future__ import annotations

@@ -220,3 +220,72 @@ def test_native_morton_matches_numpy():
     native = morton_sort_indices(ds.positions)
     ref = np.argsort(morton_codes(ds.positions), kind="stable")
     np.testing.assert_array_equal(native, ref)
+
+
+def _rename_ply_props(data: bytes, mapping: dict) -> bytes:
+    """Rewrite property names in a PLY header (body untouched)."""
+    end = data.find(b"end_header")
+    end = data.find(b"\n", end) + 1
+    header = data[:end].decode("ascii")
+    lines = []
+    for ln in header.splitlines():
+        parts = ln.split()
+        if len(parts) == 3 and parts[0] == "property" and parts[2] in mapping:
+            parts[2] = mapping[parts[2]]
+            ln = " ".join(parts)
+        lines.append(ln)
+    return ("\n".join(lines) + "\n").encode("ascii") + data[end:]
+
+
+def test_ply_property_aliases():
+    """Alias table parity (PLYLoader.swift:548-585): px/pos_x, sx/scale_y,
+    qw/rotation_x, alpha, sh_N all load like the canonical names."""
+    ds = make_ds(40, sh_degree=1, seed=5)
+    buf = io.BytesIO()
+    ply.write_ply(ds, buf)
+    canonical = ply.load_ply(buf.getvalue())
+
+    mapping = {
+        "x": "px", "y": "pos_y", "z": "position_z",
+        "scale_0": "sx", "scale_1": "scale_y", "scale_2": "scale2",
+        "rot_0": "qw", "rot_1": "rotation_x", "rot_2": "qy", "rot_3": "rot3",
+        "opacity": "alpha",
+    }
+    for i in range(3):
+        mapping[f"f_dc_{i}"] = f"sh_{i}"
+    for j in range(9):
+        mapping[f"f_rest_{j}"] = f"sh_{j + 3}"
+    aliased = ply.load_ply(_rename_ply_props(buf.getvalue(), mapping))
+
+    np.testing.assert_array_equal(aliased.positions, canonical.positions)
+    np.testing.assert_array_equal(aliased.scales, canonical.scales)
+    np.testing.assert_array_equal(aliased.rotations, canonical.rotations)
+    np.testing.assert_array_equal(aliased.opacities, canonical.opacities)
+    np.testing.assert_array_equal(aliased.harmonics, canonical.harmonics)
+
+
+def test_ply_nonstandard_sh_count_keeps_file_stride():
+    """A PLY with 15 f_rest props (5/channel) clamps to degree 1 (3 higher
+    coeffs/channel) but must index with the FILE stride of 5 — the clamped
+    stride silently mixed R-band coefficients into G/B
+    (PLYLoader.swift:687-721 keeps the true shStride)."""
+    ds = make_ds(16, sh_degree=0, seed=7)
+    n = ds.count
+    # distinctive per-channel higher-order values: ch*100 + coeff index
+    harm = np.zeros((n, 6, 3), np.float32)
+    harm[:, 0, :] = ds.harmonics[:, 0, :]
+    for ch in range(3):
+        for c in range(5):
+            harm[:, 1 + c, ch] = ch * 100.0 + c + 1
+    ds = GaussianDataset(positions=ds.positions, scales=ds.scales,
+                         rotations=ds.rotations, opacities=ds.opacities,
+                         harmonics=harm)
+    buf = io.BytesIO()
+    ply.write_ply(ds, buf)  # writes f_rest_0..14 with per-channel stride 5
+    out = ply.load_ply(buf.getvalue())
+    assert out.harmonics.shape[1] == 4  # clamped to degree 1
+    np.testing.assert_array_equal(out.harmonics[:, 0, :], harm[:, 0, :])
+    for ch in range(3):
+        for c in range(3):
+            np.testing.assert_array_equal(out.harmonics[:, 1 + c, ch],
+                                          harm[:, 1 + c, ch])
