@@ -51,6 +51,7 @@ def depth_first_frame(
     exact_tile_test: bool = True,
     back_to_front: bool = False,
     depth_key_bits: int = 32,
+    tile_id_bits: int = 16,
     max_per_tile: int = 0,
     use_xla_blend: bool = False,
     interpret: bool = False,
@@ -58,14 +59,22 @@ def depth_first_frame(
     """The complete DepthFirst frame program (jit-compatible; all kwargs static)."""
     tiles_x, tiles_y = cfg.tiles_for(width, height, tile_w, tile_h)
     num_tiles = tiles_x * tiles_y
+    # tileIdPrecision (DepthFirstRenderer.swift:45-50): 16-bit instance tile
+    # ids require the tile grid to fit u16 (it does at <= 4K-wide surfaces).
+    if tile_id_bits == 16 and num_tiles > 0xFFFF:
+        raise ValueError(
+            f"tile_id_precision BITS16 cannot address {num_tiles} tiles; use "
+            "TileIdPrecision.BITS32")
 
-    pr = project_and_cull(
-        gi, view, proj, center,
-        width=width, height=height, tile_w=tile_w, tile_h=tile_h,
-        sh_degree=sh_degree, near_plane=near_plane, far_plane=far_plane,
-        alpha_threshold=alpha_threshold, total_ink_threshold=total_ink_threshold,
-        input_is_srgb=input_is_srgb,
-    )
+    with jax.named_scope("project_cull"):
+        pr = project_and_cull(
+            gi, view, proj, center,
+            width=width, height=height, tile_w=tile_w, tile_h=tile_h,
+            sh_degree=sh_degree, near_plane=near_plane, far_plane=far_plane,
+            alpha_threshold=alpha_threshold,
+            total_ink_threshold=total_ink_threshold,
+            input_is_srgb=input_is_srgb,
+        )
 
     depth_key = pr.depth_key
     if depth_key_bits == 16:
@@ -78,37 +87,52 @@ def depth_first_frame(
     # two blend orders produce identical radiance; see pipelines/hardware.py).
     del back_to_front
 
-    sorted_tile, sorted_words, total_live, overflow, sw = fused_binning(
-        pr, depth_key, capacity=capacity, tiles_x=tiles_x, fused_depth16=False,
-        use_pallas=not use_xla_blend, interpret=interpret,
-        exact_test=exact_tile_test, tile_w=tile_w, tile_h=tile_h,
-        alpha_threshold=alpha_threshold)
+    # With 16-bit tile ids AND 16-bit depth keys both orderings fit one fused
+    # 32-bit key [tile:16 | depth16:16] — a single-key sort, exactly the
+    # reference's combined (tileIdPrecision=bits16, depthSortKeyPrecision=
+    # bits16) configuration.  Tie order (equal quantized depths within a tile)
+    # is input order in both systems: the reference's stable depth sort
+    # preserves input order of ties and its stable tile sort preserves that.
+    fuse_key = (tile_id_bits == 16 and depth_key_bits == 16)
+
+    with jax.named_scope("fused_binning"):
+        sorted_tile, sorted_words, total_live, overflow, sw = fused_binning(
+            pr, depth_key, capacity=capacity, tiles_x=tiles_x,
+            fused_depth16=fuse_key,
+            use_pallas=not use_xla_blend, interpret=interpret,
+            exact_test=exact_tile_test, tile_w=tile_w, tile_h=tile_h,
+            alpha_threshold=alpha_threshold)
 
     # the exact per-tile test already ran at expansion (reference semantics)
     attrs = sorted_instance_attrs(
         sorted_words, sorted_tile, tiles_x=tiles_x, tile_w=tile_w, tile_h=tile_h,
         alpha_threshold=alpha_threshold, exact_tile_test=False)
 
-    starts, counts = B.extract_tile_ranges(sorted_tile, num_tiles)
+    with jax.named_scope("tile_ranges"):
+        starts, counts = B.extract_tile_ranges(sorted_tile, num_tiles)
     if max_per_tile > 0:
         # Local-renderer parity: silent per-tile drop past the fixed capacity
         # (LocalShaders.metal:660-664).
         counts = jnp.minimum(counts, max_per_tile)
 
-    if use_xla_blend:
-        table = K.build_blend_table(attrs, capacity)
-        mpt = max_per_tile if max_per_tile > 0 else min(capacity, 4096)
-        tc, td = K.blend_tiles_xla(table, starts, counts, tiles_x=tiles_x,
-                                   tiles_y=tiles_y, max_per_tile=mpt,
-                                   tile_w=tile_w, tile_h=tile_h)
-    else:
-        wtable = K.build_words_table(sw, capacity)
-        tc, td = K.blend_tiles_pallas(wtable, starts, counts, tiles_x=tiles_x,
-                                      tiles_y=tiles_y, tile_w=tile_w,
-                                      tile_h=tile_h, interpret=interpret)
-    color, depth = K.assemble_image(tc, td, tiles_x=tiles_x, tiles_y=tiles_y,
-                                    width=width, height=height,
-                                    tile_w=tile_w, tile_h=tile_h)
+    with jax.named_scope("blend"):
+        if use_xla_blend:
+            table = K.build_blend_table(attrs, capacity)
+            mpt = max_per_tile if max_per_tile > 0 else min(capacity, 4096)
+            tc, td = K.blend_tiles_xla(table, starts, counts, tiles_x=tiles_x,
+                                       tiles_y=tiles_y, max_per_tile=mpt,
+                                       tile_w=tile_w, tile_h=tile_h)
+        else:
+            wtable = K.build_words_table(sw, capacity)
+            tc, td = K.blend_tiles_pallas(wtable, starts, counts,
+                                          tiles_x=tiles_x,
+                                          tiles_y=tiles_y, tile_w=tile_w,
+                                          tile_h=tile_h, interpret=interpret)
+    with jax.named_scope("assemble"):
+        color, depth = K.assemble_image(tc, td, tiles_x=tiles_x,
+                                        tiles_y=tiles_y,
+                                        width=width, height=height,
+                                        tile_w=tile_w, tile_h=tile_h)
 
     header = FrameHeader(
         visible_count=jnp.sum(pr.visible).astype(jnp.int32),
@@ -129,7 +153,7 @@ class DepthFirstRenderer(GaussianRenderer):
 
     def render(self, gi: GaussianInput, camera: CameraParams,
                width: int, height: int) -> RenderOutput:
-        gi.validate()
+        self.validate_inputs(gi, width, height)
         n = gi.count
         c = self.config
         view, proj, center = camera.astuple_jax()
@@ -142,6 +166,7 @@ class DepthFirstRenderer(GaussianRenderer):
             input_is_srgb=(c.gaussian_color_space == cfg.GaussianColorSpace.SRGB),
             tile_w=cfg.DEPTH_FIRST_TILE[0], tile_h=cfg.DEPTH_FIRST_TILE[1],
             depth_key_bits=c.depth_sort_key_precision.value,
+            tile_id_bits=c.tile_id_precision.value,
             back_to_front=c.back_to_front,
             use_xla_blend=self.use_xla_blend,
         )
@@ -158,13 +183,22 @@ def depth_first_stereo_frame(
     sh_degree: int, alpha_threshold: float, total_ink_threshold: float,
     near_plane: float, far_plane: float, input_is_srgb: bool,
     tile_w: int = 16, tile_h: int = 16,
+    depth_mode: str = "weighted",
+    blocks_per_dma: int = 4,
     use_xla_blend: bool = False,
     interpret: bool = False,
 ):
     """Stereo side-by-side frame (encodeStereoPipeline equivalent,
     DepthFirstRenderer.swift:595-831): one shared instance list built from the
     union of both eyes' tile bounds, per-eye blending with an r^2 > 9 ellipse
-    skip (DepthFirstShaders.metal:1825-1982), composited into an (H, 2W) image."""
+    skip (DepthFirstShaders.metal:1825-1982), composited into an (H, 2W) image.
+
+    ``depth_mode``/``blocks_per_dma`` parametrize the HardwareRenderer's stereo
+    path (alpha-normalized depth resolve + backend submission granularity —
+    HardwareGaussianShaders.metal:483-526, pipelines/hardware.py), which shares
+    this frame program: the reference's HardwareRenderer stereo is likewise the
+    center-eye depth sort + per-eye projection + dual-eye r^2 <= 9 blend
+    (HardwareRenderer.swift:604-727, HardwareGaussianShaders.metal:170-303)."""
     from ..ops.project import stereo_project_and_cull
 
     tiles_x, tiles_y = cfg.tiles_for(width, height, tile_w, tile_h)
@@ -206,12 +240,14 @@ def depth_first_stereo_frame(
                                        tiles_y=tiles_y,
                                        max_per_tile=min(capacity, 4096),
                                        tile_w=tile_w, tile_h=tile_h,
-                                       r2_cutoff=9.0)
+                                       depth_mode=depth_mode, r2_cutoff=9.0)
         else:
             wtable = K.build_words_table(eye_words, capacity)
             tc, td = K.blend_tiles_pallas(wtable, starts, counts,
                                           tiles_x=tiles_x, tiles_y=tiles_y,
                                           tile_w=tile_w, tile_h=tile_h,
+                                          depth_mode=depth_mode,
+                                          blocks_per_dma=blocks_per_dma,
                                           r2_cutoff=9.0, interpret=interpret)
         eyes.append(K.assemble_image(tc, td, tiles_x=tiles_x, tiles_y=tiles_y,
                                      width=width, height=height,
@@ -230,9 +266,10 @@ def depth_first_stereo_frame(
 
 
 def _stereo_render_method(self, gi, camera, width, height):
-    """render_stereo implementation bound onto DepthFirstRenderer."""
-    import numpy as _np
-    gi.validate()
+    """render_stereo implementation shared by DepthFirstRenderer and
+    HardwareRenderer (the latter overrides ``_stereo_statics`` /
+    ``_stereo_key`` for its normalized-depth resolve + backend granularity)."""
+    self.validate_inputs(gi, width, height)
     n = gi.count
     c = self.config
     left, right = camera.left, camera.right
@@ -253,12 +290,23 @@ def _stereo_render_method(self, gi, camera, width, height):
         input_is_srgb=(c.gaussian_color_space == cfg.GaussianColorSpace.SRGB),
         use_xla_blend=self.use_xla_blend,
     )
-    key = ("df_stereo", n, gi.sh_n_coeffs, str(gi.scales.dtype), tuple(sorted(statics.items())))
+    statics.update(self._stereo_statics())
+    key = (self._stereo_key, n, gi.sh_n_coeffs, str(gi.scales.dtype),
+           tuple(sorted(statics.items())))
     prog = self._program(key, lambda: AotProgram(depth_first_stereo_frame, key, statics))
     return prog(gi, views, projs, centers, st)
 
 
 DepthFirstRenderer.render_stereo = _stereo_render_method
+DepthFirstRenderer._stereo_statics = lambda self: {}
+DepthFirstRenderer._stereo_key = "df_stereo"
+
+# HardwareRenderer stereo shares this frame program (hardware.py defines the
+# _stereo_statics/_stereo_key hooks; no import cycle — hardware.py does not
+# import this module).
+from .hardware import HardwareRenderer as _HardwareRenderer  # noqa: E402
+
+_HardwareRenderer.render_stereo = _stereo_render_method
 
 
 def _stereo_foveated_render_method(self, gi, camera, target):

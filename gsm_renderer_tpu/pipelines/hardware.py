@@ -15,8 +15,14 @@ so this pipeline reproduces the *semantics* computationally:
   and back-to-front "over" compositing produce identical radiance, so both map
   to the same kernel with reversed emission order.
 
-``backend`` (mesh_shaders / instanced) is accepted for API parity; both backends
-draw the same sorted splats on the reference and are one compute path here.
+``backend`` (mesh_shaders / instanced): on the reference both backends draw the
+same sorted splats and differ only in submission granularity (mesh: 64
+gaussians per object threadgroup, HardwareGaussianShaders.metal:858-886;
+instanced: 1024 splats per indexed instance, :631-682).  Here the analogue of
+submission granularity is the blend kernel's DMA chunk: MESH_SHADERS streams
+512-instance chunks (4 blocks), INSTANCED 1024-instance chunks (8 blocks,
+matching the reference's 1024 splats/instance).  Identical output either way,
+like the reference.
 """
 
 from __future__ import annotations
@@ -49,6 +55,7 @@ def hardware_frame(
     near_plane: float, far_plane: float, input_is_srgb: bool,
     tile_w: int = 16, tile_h: int = 16,
     back_to_front: bool = False,
+    blocks_per_dma: int = 4,
     use_xla_blend: bool = False,
     interpret: bool = False,
 ):
@@ -93,6 +100,7 @@ def hardware_frame(
         tc, td = K.blend_tiles_pallas(wtable, starts, counts, tiles_x=tiles_x,
                                       tiles_y=tiles_y, tile_w=tile_w,
                                       tile_h=tile_h, depth_mode="normalized",
+                                      blocks_per_dma=blocks_per_dma,
                                       r2_cutoff=R2_CUTOFF, interpret=interpret)
     color, depth = K.assemble_image(tc, td, tiles_x=tiles_x, tiles_y=tiles_y,
                                     width=width, height=height,
@@ -107,11 +115,12 @@ def hardware_frame(
 
 
 class HardwareRenderer(GaussianRenderer):
-    """Hardware-rasterization-equivalent renderer (mesh/instanced backends)."""
+    """Hardware-rasterization-equivalent renderer (mesh/instanced backends),
+    mono and stereo (HardwareRenderer.swift:360-386, 604-727)."""
 
     def render(self, gi: GaussianInput, camera: CameraParams,
                width: int, height: int) -> RenderOutput:
-        gi.validate()
+        self.validate_inputs(gi, width, height)
         n = gi.count
         c = self.config
         view, proj, center = camera.astuple_jax()
@@ -123,8 +132,27 @@ class HardwareRenderer(GaussianRenderer):
             near_plane=camera.near_plane, far_plane=camera.far_plane,
             input_is_srgb=(c.gaussian_color_space == cfg.GaussianColorSpace.SRGB),
             back_to_front=c.back_to_front,
+            # submission granularity (see module docstring): mesh = 512-instance
+            # chunks, instanced = 1024 (the reference's splats-per-instance)
+            blocks_per_dma=(8 if c.hardware_backend == cfg.HardwareBackend.INSTANCED
+                            else 4),
             use_xla_blend=self.use_xla_blend,
         )
         key = ('hw', n, gi.sh_n_coeffs, str(gi.scales.dtype), tuple(sorted(statics.items())))
         prog = self._program(key, lambda: AotProgram(hardware_frame, key, statics))
         return prog(gi, view, proj, center)
+
+    # Stereo (HardwareRenderer.swift:604-727): center-eye depth sort, per-eye
+    # projection, dual-eye r^2 <= 9 blend into an (H, 2W) side-by-side target,
+    # alpha-normalized depth resolve (postprocessFragmentShader,
+    # HardwareGaussianShaders.metal:483-526).  Shares the stereo frame program
+    # (pipelines/depth_first.py:depth_first_stereo_frame) with the
+    # hardware-specific depth mode and submission granularity.
+    _stereo_key = "hw_stereo"
+
+    def _stereo_statics(self):
+        return dict(
+            depth_mode="normalized",
+            blocks_per_dma=(8 if self.config.hardware_backend
+                            == cfg.HardwareBackend.INSTANCED else 4),
+        )

@@ -75,3 +75,72 @@ def test_stereo_foveated():
     b = full[cy - 8:cy + 8, cx - 8:cx + 8, :3]
     # double bilinear resampling softens high-frequency splat noise slightly
     assert np.abs(a - b).mean() < 0.06
+
+
+def test_stereo_invisible_eye_unbounded_screen_no_nan():
+    """A gaussian visible in one eye whose OTHER eye projects to an unbounded
+    screen coordinate (perspective divide w ~ 0) must not poison the frame:
+    the invisible eye's record mean is replaced (not offset) with the finite
+    off-screen constant, so no f16 overflow -> inf -> NaN alpha can occur."""
+    from gsm_renderer_tpu.ops.project import stereo_project_and_cull
+
+    w, h = 64, 64
+    ds = generate_visible_gaussians(64, sh_degree=0, scale_range=(0.02, 0.05))
+    left = G.make_camera(w, h, far=50.0)
+    # right eye rotated 90 degrees about Y: the scene sits in its image plane,
+    # so w ~ 0 and raw screen coordinates explode for that eye
+    rot = np.array([[0, 0, -1, 0], [0, 1, 0, 0], [1, 0, 0, 0], [0, 0, 0, 1]],
+                   np.float32)
+    right = G.make_camera(w, h, view_matrix=rot, far=50.0)
+    stereo = G.StereoCameraParams(left=left, right=right)
+
+    gi = ds.to_input()
+    pr = stereo_project_and_cull(
+        gi,
+        np.stack([left.view_matrix, right.view_matrix]),
+        np.stack([left.projection_matrix, right.projection_matrix]),
+        np.stack([left.position, right.position]),
+        width=w, height=h, tile_w=16, tile_h=16, sh_degree=0,
+        near_plane=0.1, far_plane=50.0, alpha_threshold=0.005,
+        total_ink_threshold=2.0, input_is_srgb=False)
+    assert int(np.asarray(pr.visible).sum()) > 0
+    assert np.isfinite(np.asarray(pr.record_right.mean_x, np.float32)).all()
+    assert np.isfinite(np.asarray(pr.record_right.mean_y, np.float32)).all()
+
+    r = G.DepthFirstRenderer(G.RendererConfig(sh_degree=0), use_xla_blend=True)
+    out = r.render_stereo(gi, stereo, w, h)
+    color = np.asarray(out.color)
+    assert np.isfinite(color).all()
+    assert color[:, :w, :3].max() > 0.05  # left eye still renders the scene
+
+
+def test_hardware_stereo_parity_with_depth_first():
+    """HardwareRenderer stereo (HardwareRenderer.swift:604-727): same binning,
+    projection and r^2 <= 9 dual-eye blend as the DepthFirst stereo path, so
+    the color output must match; depth is alpha-normalized
+    (postprocessFragmentShader semantics) instead of alpha-weighted."""
+    w, h = 96, 96
+    ds = generate_visible_gaussians(250, sh_degree=1, scale_range=(0.01, 0.06))
+    cam = G.make_camera(w, h)
+    stereo = G.make_side_by_side_stereo(cam, ipd=0.15)
+    gi = ds.to_input()
+    cfg = G.RendererConfig(sh_degree=1)
+    out_hw = G.HardwareRenderer(cfg, use_xla_blend=True).render_stereo(
+        gi, stereo, w, h)
+    out_df = G.DepthFirstRenderer(cfg, use_xla_blend=True).render_stereo(
+        gi, stereo, w, h)
+
+    c_hw = np.asarray(out_hw.color)
+    c_df = np.asarray(out_df.color)
+    assert c_hw.shape == (h, 2 * w, 4)
+    np.testing.assert_allclose(c_hw, c_df, atol=1e-5)
+    assert c_hw[..., :3].max() > 0.05
+
+    # depth: hardware normalizes by alpha; where alpha is solid they agree
+    d_hw = np.asarray(out_hw.depth)
+    d_df = np.asarray(out_df.depth)
+    a = c_df[..., 3]
+    solid = a > 0.5
+    assert solid.any()
+    np.testing.assert_allclose(d_hw[solid], d_df[solid] / a[solid], rtol=1e-3,
+                               atol=1e-3)
