@@ -348,6 +348,12 @@ def _row_blend_kernel(starts_ref, counts_ref, oyoff_ref, table_ref, out_ref, *,
                 def sub_block(rb, carry2):
                     acc2, trans2, fh2 = carry2
                     g0 = (blk0 + c * r_dma + rb) * LANES
+                    # skip sub-blocks past the tile's span AND saturated
+                    # sub-blocks (every pixel's transmittance below 1/255 —
+                    # the reference's early-exit at 128-instance granularity,
+                    # DepthFirstShaders.metal:1745-1747)
+                    alive = jnp.logical_and(
+                        g0 < end, jnp.max(trans2) >= MIN_TRANSMITTANCE)
 
                     def live(carry3):
                         acc3, trans3, fh3 = carry3
@@ -396,8 +402,7 @@ def _row_blend_kernel(starts_ref, counts_ref, oyoff_ref, table_ref, out_ref, *,
                                  fh3[1:2, :] + jnp.transpose(dfh)], axis=0)
                         return acc3 + contrib, trans3 * ttot, fh3
 
-                    # skip sub-blocks entirely past the tile's span
-                    return jax.lax.cond(g0 < end, live, lambda c3: c3,
+                    return jax.lax.cond(alive, live, lambda c3: c3,
                                         (acc2, trans2, fh2))
 
                 carry2 = (acc, trans, fh)

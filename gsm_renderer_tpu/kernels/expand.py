@@ -130,108 +130,117 @@ def _exact_tile_test(w0, w1, w2, w3, tx, ty, tile_w, tile_h, alpha_threshold):
     return d2min <= cutoff
 
 
-def _expand_kernel(r0_ref, total_ref, rowoff_ref, off_hbm, rect_hbm, aux_hbm,
-                   *out_refs, tiles_x: int, n_aux: int, fused_depth16: bool,
+def _expand_kernel(r0_ref, total_ref, rowoff_ref, tab_hbm,
+                   *out_args, tiles_x: int, n_aux: int, fused_depth16: bool,
                    exact_test: bool, tile_w: int, tile_h: int,
                    alpha_threshold: float):
+    """One grid step expands BLK slots.
+
+    The three per-gaussian tables (offsets / rect / aux words) are packed as
+    planes of ONE combined (rows, 2 + n_aux, 128) table so each block costs a
+    single DMA, and windows are double-buffered across grid steps: while block
+    i computes, block i+1's window is already in flight (the synchronous
+    copy-then-compute version exposed the full DMA latency on every one of the
+    thousands of blocks and dominated the kernel).
+    """
+    out_refs = out_args[:1 + n_aux]
+    win, sem = out_args[1 + n_aux:]
     i = pl.program_id(0)
+    nb = pl.num_programs(0)
     r0 = r0_ref[i]
     row0 = r0 // LANES
 
-    def body(off_win, rect_win, aux_win, sem0, sem1, sem2):
-        cp0 = pltpu.make_async_copy(off_hbm.at[pl.ds(row0, WIN_ROWS)],
-                                    off_win, sem0)
-        cp0.start()
-        cp1 = pltpu.make_async_copy(rect_hbm.at[pl.ds(row0, WIN_ROWS)],
-                                    rect_win, sem1)
-        cp1.start()
-        cp2 = pltpu.make_async_copy(aux_hbm.at[pl.ds(row0, WIN_ROWS)],
-                                    aux_win, sem2)
-        cp2.start()
-        cp0.wait()
+    def dma(buf, blk):
+        row = r0_ref[blk] // LANES
+        return pltpu.make_async_copy(tab_hbm.at[pl.ds(row, WIN_ROWS)],
+                                     win.at[buf], sem.at[buf])
 
-        # slot ids for this block
-        sub_iota = jax.lax.broadcasted_iota(jnp.int32, (BLK_SUB, LANES), 0)
-        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (BLK_SUB, LANES), 1)
-        slot = i * BLK + sub_iota * LANES + lane_iota
+    slot_buf = jax.lax.rem(i, 2)
 
-        # Vectorized binary search: largest window index k with
-        # off_win[k] <= slot.  Offsets are strictly increasing (count >= 1) and
-        # the window is padded with OFFSET_PAD past the last gaussian.
-        # Invariant: off_win[r0 - row0*128] <= first slot of the block.
-        lo = jnp.broadcast_to((r0 - row0 * LANES).astype(jnp.int32),
-                              (BLK_SUB, LANES))
-        step = 1024  # power-of-two ascent covering the window (BLK+1 entries)
-        while step >= 1:
-            cand = lo + step
-            val = _win_at(off_win, jnp.minimum(cand, WIN - 1))
-            ok = jnp.logical_and(cand <= WIN - 1, val <= slot)
-            lo = jnp.where(ok, cand, lo)
-            step //= 2
+    @pl.when(i == 0)
+    def _():
+        dma(0, 0).start()
 
-        local = lo                      # window-local gaussian index
-        widx = local >> 7
-        wlane = local & 127
-        jj = slot - _windowed_gather(off_win, widx, wlane)
+    dma(slot_buf, i).wait()
 
-        cp1.wait()
-        rect = _windowed_gather(rect_win, widx, wlane)
-        rect_u = pltpu.bitcast(rect, jnp.uint32)
-        min_tx = (rect_u & jnp.uint32(0x3FF)).astype(jnp.int32)
-        min_ty = ((rect_u >> 10) & jnp.uint32(0x3FF)).astype(jnp.int32)
-        rect_w = ((rect_u >> 20) & jnp.uint32(0x3FF)).astype(jnp.int32)
-        culled = (rect_u & jnp.uint32(CULLED_BIT)) != 0
+    @pl.when(i + 1 < nb)
+    def _():
+        dma(1 - slot_buf, i + 1).start()
 
-        rw = jnp.maximum(rect_w, 1)
-        jf = jj.astype(jnp.float32)
-        q = jnp.floor(jf * (1.0 / rw.astype(jnp.float32))).astype(jnp.int32)
-        r = jj - q * rw
-        q = jnp.where(r < 0, q - 1, jnp.where(r >= rw, q + 1, q))
-        r = jj - q * rw
-        t_y = min_ty + q
-        t_x = min_tx + r
-        tile = (t_y * tiles_x + t_x).astype(jnp.uint32)
+    wblk = win[slot_buf]                      # (WIN_ROWS, 2 + n_aux, LANES)
+    off_win = wblk[:, 0, :]
+    rect_win = wblk[:, 1, :]
 
-        cp2.wait()
-        aux_vals = []
-        for a in range(n_aux):
-            v = _windowed_gather(aux_win[:, a, :], widx, wlane)
-            aux_vals.append(pltpu.bitcast(v, jnp.uint32))
+    # slot ids for this block
+    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (BLK_SUB, LANES), 0)
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (BLK_SUB, LANES), 1)
+    slot = i * BLK + sub_iota * LANES + lane_iota
 
-        dead = jnp.logical_or(slot >= total_ref[0], culled)
-        if exact_test:
-            # exclude instances whose max alpha within the tile is below tau
-            # (reference excludes them at instance creation —
-            # DepthFirstShaders.metal:181-205); aux words 1..4 carry the record.
-            # rowoff shifts band-local tile rows to global screen space
-            # (multichip band sharding).
-            passes = _exact_tile_test(aux_vals[1], aux_vals[2], aux_vals[3],
-                                      aux_vals[4], t_x, t_y + rowoff_ref[0],
-                                      float(tile_w), float(tile_h),
-                                      alpha_threshold)
-            dead = jnp.logical_or(dead, jnp.logical_not(passes))
+    # Vectorized binary search: largest window index k with
+    # off_win[k] <= slot.  Offsets are strictly increasing (count >= 1) and
+    # the window is padded with OFFSET_PAD past the last gaussian.
+    # Invariant: off_win[r0 - row0*128] <= first slot of the block.
+    lo = jnp.broadcast_to((r0 - row0 * LANES).astype(jnp.int32),
+                          (BLK_SUB, LANES))
+    step = 1024  # power-of-two ascent covering the window (BLK+1 entries)
+    while step >= 1:
+        cand = lo + step
+        val = _win_at(off_win, jnp.minimum(cand, WIN - 1))
+        ok = jnp.logical_and(cand <= WIN - 1, val <= slot)
+        lo = jnp.where(ok, cand, lo)
+        step //= 2
 
-        if fused_depth16:
-            # Global/Local: key = [tile:16 | depth16:16]; aux word 0 carries
-            # the 16-bit half depth key (GlobalShaders.metal:266-300)
-            key = (tile << 16) | (aux_vals[0] & jnp.uint32(0xFFFF))
-        else:
-            key = tile
-        key = jnp.where(dead, jnp.uint32(SENTINEL), key)
+    local = lo                      # window-local gaussian index
+    widx = local >> 7
+    wlane = local & 127
+    jj = slot - _windowed_gather(off_win, widx, wlane)
 
-        out_refs[0][0] = key
-        for a in range(n_aux):
-            out_refs[1 + a][0] = jnp.where(dead, jnp.uint32(0), aux_vals[a])
+    rect = _windowed_gather(rect_win, widx, wlane)
+    rect_u = pltpu.bitcast(rect, jnp.uint32)
+    min_tx = (rect_u & jnp.uint32(0x3FF)).astype(jnp.int32)
+    min_ty = ((rect_u >> 10) & jnp.uint32(0x3FF)).astype(jnp.int32)
+    rect_w = ((rect_u >> 20) & jnp.uint32(0x3FF)).astype(jnp.int32)
+    culled = (rect_u & jnp.uint32(CULLED_BIT)) != 0
 
-    pl.run_scoped(
-        body,
-        off_win=pltpu.VMEM((WIN_ROWS, LANES), jnp.int32),
-        rect_win=pltpu.VMEM((WIN_ROWS, LANES), jnp.int32),
-        aux_win=pltpu.VMEM((WIN_ROWS, n_aux, LANES), jnp.int32),
-        sem0=pltpu.SemaphoreType.DMA,
-        sem1=pltpu.SemaphoreType.DMA,
-        sem2=pltpu.SemaphoreType.DMA,
-    )
+    rw = jnp.maximum(rect_w, 1)
+    jf = jj.astype(jnp.float32)
+    q = jnp.floor(jf * (1.0 / rw.astype(jnp.float32))).astype(jnp.int32)
+    r = jj - q * rw
+    q = jnp.where(r < 0, q - 1, jnp.where(r >= rw, q + 1, q))
+    r = jj - q * rw
+    t_y = min_ty + q
+    t_x = min_tx + r
+    tile = (t_y * tiles_x + t_x).astype(jnp.uint32)
+
+    aux_vals = []
+    for a in range(n_aux):
+        v = _windowed_gather(wblk[:, 2 + a, :], widx, wlane)
+        aux_vals.append(pltpu.bitcast(v, jnp.uint32))
+
+    dead = jnp.logical_or(slot >= total_ref[0], culled)
+    if exact_test:
+        # exclude instances whose max alpha within the tile is below tau
+        # (reference excludes them at instance creation —
+        # DepthFirstShaders.metal:181-205); aux words 1..4 carry the record.
+        # rowoff shifts band-local tile rows to global screen space
+        # (multichip band sharding).
+        passes = _exact_tile_test(aux_vals[1], aux_vals[2], aux_vals[3],
+                                  aux_vals[4], t_x, t_y + rowoff_ref[0],
+                                  float(tile_w), float(tile_h),
+                                  alpha_threshold)
+        dead = jnp.logical_or(dead, jnp.logical_not(passes))
+
+    if fused_depth16:
+        # Global/Local: key = [tile:16 | depth16:16]; aux word 0 carries
+        # the 16-bit half depth key (GlobalShaders.metal:266-300)
+        key = (tile << 16) | (aux_vals[0] & jnp.uint32(0xFFFF))
+    else:
+        key = tile
+    key = jnp.where(dead, jnp.uint32(SENTINEL), key)
+
+    out_refs[0][0] = key
+    for a in range(n_aux):
+        out_refs[1 + a][0] = jnp.where(dead, jnp.uint32(0), aux_vals[a])
 
 
 def _pad_rows(x, n):
@@ -295,23 +304,30 @@ def expand_slots_pallas(counts, rect_word, aux_words, *, capacity: int,
                     constant_values=OFFSET_PAD).reshape(np_rows, LANES)
     rect_t = _pad_rows(rect_word, n)
     aux_t = _pad_rows(aux_words, n)
-    # align row counts (DMA windows index all three tables by the same rows)
+    # align row counts and pack as planes of ONE combined table (one DMA per
+    # block window): [offsets, rect, aux_0 .. aux_{K-1}]
     rows = max(off_t.shape[0], rect_t.shape[0])
     off_t = jnp.pad(off_t, ((0, rows - off_t.shape[0]), (0, 0)),
                     constant_values=OFFSET_PAD)
     rect_t = jnp.pad(rect_t, ((0, rows - rect_t.shape[0]), (0, 0)))
     aux_t = jnp.pad(aux_t, ((0, rows - aux_t.shape[0]), (0, 0), (0, 0)))
+    tab = jnp.concatenate([off_t[:, None, :], rect_t[:, None, :], aux_t],
+                          axis=1)  # (rows, 2 + n_aux, 128)
 
     if tile_row_offset is None:
         tile_row_offset = jnp.zeros((), jnp.int32)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_blocks,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=tuple(
             pl.BlockSpec((1, BLK_SUB, LANES), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM)
             for _ in range(1 + n_aux)),
+        scratch_shapes=[
+            pltpu.VMEM((2, WIN_ROWS, 2 + n_aux, LANES), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
     )
     kernel = functools.partial(_expand_kernel, tiles_x=tiles_x, n_aux=n_aux,
                                fused_depth16=fused_depth16,
@@ -325,7 +341,7 @@ def expand_slots_pallas(counts, rect_word, aux_words, *, capacity: int,
         grid_spec=grid_spec,
         interpret=interpret,
     )(block_r0, total.reshape(1),
-      tile_row_offset.reshape(1).astype(jnp.int32), off_t, rect_t, aux_t)
+      tile_row_offset.reshape(1).astype(jnp.int32), tab)
     return tuple(o.reshape(c) for o in outs) + (total, overflow)
 
 
