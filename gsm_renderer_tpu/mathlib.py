@@ -54,13 +54,13 @@ MIN_PROJECTED_RADIUS = 0.5
 
 # --- Spherical harmonics ---------------------------------------------------------
 
-def sh_basis(direction, degree: int):
-    """SH basis values for unit ``direction`` (..., 3) up to ``degree`` (0..3).
+def sh_basis_c(x, y, z, degree: int):
+    """SH basis values for unit direction components up to ``degree`` (0..3).
 
-    Returns (..., n_coeffs) with n_coeffs = (degree+1)^2.
+    Returns a list of n_coeffs = (degree+1)^2 arrays (component SoA form —
+    no (N, n_coeffs) stack; every term stays an (N,)-wide lane vector).
     Matches GaussianShared.h:55-80.
     """
-    x, y, z = direction[..., 0], direction[..., 1], direction[..., 2]
     out = [jnp.full_like(x, SH_C0)]
     if degree >= 1:
         out += [-SH_C1 * y, SH_C1 * z, -SH_C1 * x]
@@ -86,17 +86,30 @@ def sh_basis(direction, degree: int):
             SH_C3[5] * z * (xx - yy),
             SH_C3[6] * x * (xx - 3.0 * yy),
         ]
-    return jnp.stack(out, axis=-1)
+    return out
+
+
+def sh_basis(direction, degree: int):
+    """SH basis for unit ``direction`` (..., 3) -> (..., n_coeffs) (wrapper)."""
+    return jnp.stack(
+        sh_basis_c(direction[..., 0], direction[..., 1], direction[..., 2],
+                   degree), axis=-1)
 
 
 def compute_sh_color(harmonics, positions, camera_center, degree: int):
-    """Evaluate SH color for N gaussians.
+    """Evaluate SH color for N gaussians ((N, 3) positions wrapper)."""
+    return compute_sh_color_c(harmonics, positions[..., 0], positions[..., 1],
+                              positions[..., 2], camera_center, degree)
+
+
+def compute_sh_color_c(harmonics, px, py, pz, camera_center, degree: int):
+    """Evaluate SH color for N gaussians (component form).
 
     ``harmonics``: channel-planar (3, n_coeffs, N) (GaussianInput storage
     layout; the reference's per-gaussian planar [R0..Rn, G0..Gn, B0..Bn] —
     GaussianShared.h:86-106 — transposed once at input construction so every op
     here runs on (N,)-wide lanes).
-    ``positions``: (N, 3) world positions; ``camera_center``: (3,).
+    ``px/py/pz``: (N,) world position components; ``camera_center``: (3,).
     Returns (N, 3) linear color (pre +0.5 offset).
     """
     hp = harmonics.astype(jnp.float32)  # (3, C, N)
@@ -109,15 +122,17 @@ def compute_sh_color(harmonics, positions, camera_center, degree: int):
         keep_alive = 0.0 * jnp.sum(camera_center)
         return jnp.stack([hp[ch, 0] * SH_C0 + keep_alive for ch in range(3)],
                          axis=-1)
-    d = camera_center[None, :] - positions
-    d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
+    dx = camera_center[0] - px
+    dy = camera_center[1] - py
+    dz = camera_center[2] - pz
+    inv = jax.lax.rsqrt(jnp.maximum(dx * dx + dy * dy + dz * dz, 1e-24))
     n_coeffs = (degree + 1) ** 2
-    basis = sh_basis(d, degree)  # (N, C) — d components are (N,) already
+    basis = sh_basis_c(dx * inv, dy * inv, dz * inv, degree)  # list of (N,)
     out = []
     for ch in range(3):
-        acc = hp[ch, 0] * basis[:, 0]
+        acc = hp[ch, 0] * basis[0]
         for c in range(1, n_coeffs):
-            acc = acc + hp[ch, c] * basis[:, c]
+            acc = acc + hp[ch, c] * basis[c]
         out.append(acc)
     return jnp.stack(out, axis=-1)
 
@@ -138,29 +153,46 @@ def ndc_to_screen(ndc, width, height):
     )
 
 
+def apply_mat4_c(m, x, y, z):
+    """(4, 4) applied to homogeneous component vectors -> 4 component arrays.
+
+    Explicit linear combinations so TPU matmul default (bf16) precision never
+    applies — the projection feeds depth sort keys and must be exact float32.
+    Component (SoA) form: every operand is an (N,)-wide lane vector (ops on
+    (N, 3)/(N, 4) arrays use 3-4 of 128 lanes on the VPU)."""
+    return tuple(m[i, 0] * x + m[i, 1] * y + m[i, 2] * z + m[i, 3]
+                 for i in range(4))
+
+
 def apply_mat4(m, positions):
-    """(4, 4) x (N, 3 homogeneous) -> (N, 4), written as explicit linear
-    combinations so TPU matmul default (bf16) precision never applies — the
-    projection feeds depth sort keys and must be exact float32."""
-    x, y, z = positions[..., 0], positions[..., 1], positions[..., 2]
-    out = [m[i, 0] * x + m[i, 1] * y + m[i, 2] * z + m[i, 3] for i in range(4)]
+    """(4, 4) x (N, 3 homogeneous) -> (N, 4) (array-shaped wrapper)."""
+    out = apply_mat4_c(m, positions[..., 0], positions[..., 1],
+                       positions[..., 2])
     return jnp.stack(out, axis=-1)
 
 
-def project_points(positions, view, proj, near):
-    """Project (N, 3) world points; Z-sign-agnostic (GaussianShared.h:199-234).
+def project_points_c(px, py, pz, view, proj, near):
+    """Component-form projection; Z-sign-agnostic (GaussianShared.h:199-234).
 
-    Returns (view_pos (N,3), screen (N,2), depth (N,), in_front (N,) bool).
-    ``depth`` is clip.w (positive in front for both conventions).
-    """
-    view_pos = apply_mat4(view, positions)  # (N, 4)
-    clip = apply_mat4(proj, view_pos[..., :3])
-    # apply_mat4 assumes w == 1; view_pos w is 1 for affine view matrices.
-    depth = clip[..., 3]
+    Returns (vx, vy, vz, ndc_x, ndc_y, depth, in_front); ``depth`` is clip.w
+    (positive in front for both conventions)."""
+    vx, vy, vz, _vw = apply_mat4_c(view, px, py, pz)
+    cx, cy, _cz, cw = apply_mat4_c(proj, vx, vy, vz)
+    depth = cw
     in_front = depth > near
     safe_w = jnp.where(jnp.abs(depth) > 1e-12, depth, 1e-12)
-    ndc = clip[..., :2] / safe_w[..., None]
-    return view_pos[..., :3], ndc, depth, in_front
+    inv_w = 1.0 / safe_w
+    return vx, vy, vz, cx * inv_w, cy * inv_w, depth, in_front
+
+
+def project_points(positions, view, proj, near):
+    """Project (N, 3) world points (array-shaped wrapper around
+    :func:`project_points_c`)."""
+    vx, vy, vz, nx, ny, depth, in_front = project_points_c(
+        positions[..., 0], positions[..., 1], positions[..., 2],
+        view, proj, near)
+    return (jnp.stack([vx, vy, vz], -1), jnp.stack([nx, ny], -1), depth,
+            in_front)
 
 
 # --- Covariance ------------------------------------------------------------------
@@ -183,35 +215,55 @@ def quaternion_to_matrix(quat):
     return jnp.stack([row0, row1, row2], axis=-2)
 
 
+def build_covariance_3d_c(sx, sy, sz, qx, qy, qz, qw):
+    """Component-form Sigma = R S S^T R^T (GaussianShared.h:289-324).
+
+    Takes per-component (N,) scale / quaternion lane vectors; returns the six
+    upper-triangle components (c00, c01, c02, c11, c12, c22).  Everything runs
+    on (N,)-wide lanes — (N, 3, 3)-shaped intermediates put the matrix dims on
+    the minor (lane) axes and waste 121/128 lanes per op.
+    """
+    inv_norm = jax.lax.rsqrt(
+        jnp.maximum(qx * qx + qy * qy + qz * qz + qw * qw, 1e-8))
+    x, y, z, r = qx * inv_norm, qy * inv_norm, qz * inv_norm, qw * inv_norm
+    xx, yy, zz = x * x, y * y, z * z
+    xy, xz, yz = x * y, x * z, y * z
+    # rotation rows scaled by the scale columns: rs[i][k] = R[i][k] * s[k]
+    rs = [
+        [(1 - 2 * (yy + zz)) * sx, 2 * (xy - r * z) * sy, 2 * (xz + r * y) * sz],
+        [2 * (xy + r * z) * sx, (1 - 2 * (xx + zz)) * sy, 2 * (yz - r * x) * sz],
+        [2 * (xz - r * y) * sx, 2 * (yz + r * x) * sy, (1 - 2 * (xx + yy)) * sz],
+    ]
+
+    def dot(i, j):
+        return rs[i][0] * rs[j][0] + rs[i][1] * rs[j][1] + rs[i][2] * rs[j][2]
+
+    return dot(0, 0), dot(0, 1), dot(0, 2), dot(1, 1), dot(1, 2), dot(2, 2)
+
+
 def build_covariance_3d(scales, quats):
     """Sigma = R S S^T R^T for (N, 3) scales / (N, 4) quats -> (N, 3, 3)
-    (GaussianShared.h:307-324)."""
-    q = normalize_quaternion(quats)
-    rot = quaternion_to_matrix(q)  # (N, 3, 3)
-    rs = rot * scales[..., None, :]  # scale columns
-    # Explicit elementwise contraction: batched (3,3)x(3,3) einsums lower to
-    # per-element MXU matmuls with catastrophic padding on TPU; six fused
-    # multiply-adds per output element on the VPU are exact f32 and ~20x faster.
-    out = [[None] * 3 for _ in range(3)]
-    for i in range(3):
-        for j in range(i, 3):
-            out[i][j] = (rs[..., i, 0] * rs[..., j, 0]
-                         + rs[..., i, 1] * rs[..., j, 1]
-                         + rs[..., i, 2] * rs[..., j, 2])
-    rows = [jnp.stack([out[0][0], out[0][1], out[0][2]], -1),
-            jnp.stack([out[0][1], out[1][1], out[1][2]], -1),
-            jnp.stack([out[0][2], out[1][2], out[2][2]], -1)]
+    (array-shaped wrapper around :func:`build_covariance_3d_c`)."""
+    c00, c01, c02, c11, c12, c22 = build_covariance_3d_c(
+        scales[..., 0], scales[..., 1], scales[..., 2],
+        quats[..., 0], quats[..., 1], quats[..., 2], quats[..., 3])
+    rows = [jnp.stack([c00, c01, c02], -1),
+            jnp.stack([c01, c11, c12], -1),
+            jnp.stack([c02, c12, c22], -1)]
     return jnp.stack(rows, axis=-2)
 
 
-def project_covariance_2d(cov3d, view_pos, view_rot, proj, width, height):
-    """Z-sign-agnostic EWA 2D covariance (GaussianShared.h:326-375).
+def project_covariance_2d_c(c3d, vx, vy, vz, view_rot, proj, width, height):
+    """Component-form Z-sign-agnostic EWA 2D covariance
+    (GaussianShared.h:326-375).
 
-    ``cov3d``: (N, 3, 3); ``view_pos``: (N, 3) view-space positions;
-    ``view_rot``: (3, 3) upper-left of the view matrix; ``proj``: (4, 4).
-    Returns (N, 2, 2) with the 0.3px low-pass already added.
+    ``c3d``: 6-tuple of upper-triangle cov3d components (c00..c22);
+    ``vx/vy/vz``: view-space position components; ``view_rot``: (3, 3)
+    upper-left of the view matrix; ``proj``: (4, 4).
+    Returns (a, b, d) 2D covariance components, 0.3px low-pass added.
     """
-    z = view_pos[..., 2]
+    s00, s01, s02, s11, s12, s22 = c3d
+    z = vz
     abs_z = jnp.abs(z)
     sign_z = jnp.where(z >= 0.0, 1.0, -1.0)
     safe_abs_z = jnp.maximum(abs_z, 1e-4)
@@ -223,42 +275,48 @@ def project_covariance_2d(cov3d, view_pos, view_rot, proj, width, height):
     lim_x = 1.3 * tan_fov_x
     lim_y = 1.3 * tan_fov_y
 
-    tx = view_pos[..., 0] * inv_z
-    ty = view_pos[..., 1] * inv_z
-    x_cl = jnp.clip(tx, -lim_x, lim_x) * safe_abs_z
-    y_cl = jnp.clip(ty, -lim_y, lim_y) * safe_abs_z
+    x_cl = jnp.clip(vx * inv_z, -lim_x, lim_x) * safe_abs_z
+    y_cl = jnp.clip(vy * inv_z, -lim_y, lim_y) * safe_abs_z
 
     focal_x = width * jnp.abs(proj[0, 0]) * 0.5
     focal_y = height * jnp.abs(proj[1, 1]) * 0.5
 
-    zeros = jnp.zeros_like(z)
     # J rows (reference builds columns; identical matrix): row-major
     #   [fx/|z|, 0, -fx*x*signZ/|z|^2]
     #   [0, fy/|z|, -fy*y*signZ/|z|^2]
-    #   [0, 0, 0]
     j00 = focal_x * inv_z
     j11 = focal_y * inv_z
     j02 = -focal_x * x_cl * sign_z * inv_z2
     j12 = -focal_y * y_cl * sign_z * inv_z2
-    # J is sparse: row0 = [j00, 0, j02], row1 = [0, j11, j12].  All contractions
-    # written elementwise (batched tiny einsums are pathological on TPU).
     # T = J @ view_rot: T[0, k] = j00 * R[0, k] + j02 * R[2, k]
     t0 = [j00 * view_rot[0, k] + j02 * view_rot[2, k] for k in range(3)]
     t1 = [j11 * view_rot[1, k] + j12 * view_rot[2, k] for k in range(3)]
 
     # M = T @ cov3d (rows of T against the symmetric cov3d), then
-    # cov2d = M @ T^T
+    # cov2d = M @ T^T — all elementwise (batched tiny einsums are pathological
+    # on TPU).
+    sym = [[s00, s01, s02], [s01, s11, s12], [s02, s12, s22]]
+
     def m_row(t):
-        return [t[0] * cov3d[..., 0, k] + t[1] * cov3d[..., 1, k]
-                + t[2] * cov3d[..., 2, k] for k in range(3)]
+        return [t[0] * sym[0][k] + t[1] * sym[1][k] + t[2] * sym[2][k]
+                for k in range(3)]
 
     m0 = m_row(t0)
     m1 = m_row(t1)
-    c00 = m0[0] * t0[0] + m0[1] * t0[1] + m0[2] * t0[2] + 0.3
-    c01 = m0[0] * t1[0] + m0[1] * t1[1] + m0[2] * t1[2]
-    c11 = m1[0] * t1[0] + m1[1] * t1[1] + m1[2] * t1[2] + 0.3
-    return jnp.stack([jnp.stack([c00, c01], -1), jnp.stack([c01, c11], -1)],
-                     axis=-2)
+    a = m0[0] * t0[0] + m0[1] * t0[1] + m0[2] * t0[2] + 0.3
+    b = m0[0] * t1[0] + m0[1] * t1[1] + m0[2] * t1[2]
+    d = m1[0] * t1[0] + m1[1] * t1[1] + m1[2] * t1[2] + 0.3
+    return a, b, d
+
+
+def project_covariance_2d(cov3d, view_pos, view_rot, proj, width, height):
+    """Array-shaped wrapper: (N, 3, 3) cov3d + (N, 3) view_pos -> (N, 2, 2)."""
+    c3d = (cov3d[..., 0, 0], cov3d[..., 0, 1], cov3d[..., 0, 2],
+           cov3d[..., 1, 1], cov3d[..., 1, 2], cov3d[..., 2, 2])
+    a, b, d = project_covariance_2d_c(
+        c3d, view_pos[..., 0], view_pos[..., 1], view_pos[..., 2],
+        view_rot, proj, width, height)
+    return jnp.stack([jnp.stack([a, b], -1), jnp.stack([b, d], -1)], axis=-2)
 
 
 def _sym_eigen_2x2(a, b, d, min_lambda2):
@@ -278,17 +336,14 @@ def _sym_eigen_2x2(a, b, d, min_lambda2):
     return lam1, lam2, vx * inv, vy * inv
 
 
-def stabilize_covariance_2d(cov2d, width, height):
-    """Covariance stabilization (GaussianShared.h:660-714): variance floors,
-    det repair, screen-bound eigenvalue clamp and 256x axis-ratio cap."""
+def stabilize_covariance_2d_c(a, b, d, width, height):
+    """Component-form covariance stabilization (GaussianShared.h:660-714):
+    variance floors, det repair, screen-bound eigenvalue clamp and 256x
+    axis-ratio cap.  Returns (a, b, d)."""
     max_cond = COV_MAX_AXIS_RATIO * COV_MAX_AXIS_RATIO
     max_dim = jnp.maximum(jnp.asarray(width, jnp.float32), jnp.asarray(height, jnp.float32))
     max_extent_px = max_dim * 2.0
     max_eig = (max_extent_px / COV_BOUNDS_RADIUS) ** 2
-
-    a = cov2d[..., 0, 0]
-    b = 0.5 * (cov2d[..., 0, 1] + cov2d[..., 1, 0])
-    d = cov2d[..., 1, 1]
 
     finite = jnp.isfinite(a) & jnp.isfinite(b) & jnp.isfinite(d)
     a = jnp.where(finite, a, 1.0)
@@ -313,18 +368,25 @@ def stabilize_covariance_2d(cov2d, width, height):
     out_a = lam1 * v1x * v1x + lam2 * v2x * v2x
     out_b = lam1 * v1x * v1y + lam2 * v2x * v2y
     out_d = lam1 * v1y * v1y + lam2 * v2y * v2y
-    out = jnp.stack(
-        [jnp.stack([out_a, out_b], -1), jnp.stack([out_b, out_d], -1)], axis=-2
-    )
-    eye = jnp.broadcast_to(jnp.eye(2, dtype=out.dtype), out.shape)
-    return jnp.where(finite[..., None, None], out, eye)
+    one = jnp.ones_like(out_a)
+    zero = jnp.zeros_like(out_a)
+    return (jnp.where(finite, out_a, one), jnp.where(finite, out_b, zero),
+            jnp.where(finite, out_d, one))
 
 
-def covariance_to_theta_sigmas(cov2d):
-    """(N, 2, 2) -> (theta in [0, pi), sigma1, sigma2, ok) (GaussianShared.h:446-488)."""
-    a = jnp.maximum(cov2d[..., 0, 0], 1e-8)
-    b = 0.5 * (cov2d[..., 0, 1] + cov2d[..., 1, 0])
-    d = jnp.maximum(cov2d[..., 1, 1], 1e-8)
+def stabilize_covariance_2d(cov2d, width, height):
+    """Array-shaped wrapper: (N, 2, 2) -> (N, 2, 2)."""
+    a, b, d = stabilize_covariance_2d_c(
+        cov2d[..., 0, 0], 0.5 * (cov2d[..., 0, 1] + cov2d[..., 1, 0]),
+        cov2d[..., 1, 1], width, height)
+    return jnp.stack([jnp.stack([a, b], -1), jnp.stack([b, d], -1)], axis=-2)
+
+
+def covariance_to_theta_sigmas_c(a, b, d):
+    """Component form of :func:`covariance_to_theta_sigmas`
+    (GaussianShared.h:446-488)."""
+    a = jnp.maximum(a, 1e-8)
+    d = jnp.maximum(d, 1e-8)
     finite = jnp.isfinite(a) & jnp.isfinite(b) & jnp.isfinite(d)
     det = a * d - b * b
     ok = finite & jnp.isfinite(det) & (det > 0.0)
@@ -350,6 +412,14 @@ def covariance_to_theta_sigmas(cov2d):
     sigma2 = jnp.sqrt(lam2)
     ok = ok & jnp.isfinite(theta) & jnp.isfinite(sigma1) & jnp.isfinite(sigma2)
     return theta, sigma1, sigma2, ok
+
+
+def covariance_to_theta_sigmas(cov2d):
+    """(N, 2, 2) -> (theta in [0, pi), sigma1, sigma2, ok)
+    (array-shaped wrapper around :func:`covariance_to_theta_sigmas_c`)."""
+    return covariance_to_theta_sigmas_c(
+        cov2d[..., 0, 0], 0.5 * (cov2d[..., 0, 1] + cov2d[..., 1, 0]),
+        cov2d[..., 1, 1])
 
 
 def pack_theta_u16(theta):
@@ -382,12 +452,9 @@ def conic_from_theta_sigmas(theta, sigma1, sigma2, min_sigma: float = 1e-4):
     return A, B, C
 
 
-def compute_obb_extents(cov2d, sigma_multiplier=3.0):
-    """Axis-aligned extents of the oriented sigma_multiplier-sigma box
-    (GaussianShared.h:402-427)."""
-    a = cov2d[..., 0, 0]
-    b = cov2d[..., 0, 1]
-    d = cov2d[..., 1, 1]
+def compute_obb_extents_c(a, b, d, sigma_multiplier=3.0):
+    """Component form of :func:`compute_obb_extents`
+    (GaussianShared.h:402-427); returns (x_extent, y_extent)."""
     det = a * d - b * b
     mid = 0.5 * (a + d)
     disc = jnp.maximum(mid * mid - det, 1e-6)
@@ -403,7 +470,15 @@ def compute_obb_extents(cov2d, sigma_multiplier=3.0):
     vx, vy = vx / vlen, vy / vlen
     x_extent = jnp.abs(vx) * e1 + jnp.abs(vy) * e2
     y_extent = jnp.abs(vy) * e1 + jnp.abs(vx) * e2
-    return jnp.stack([x_extent, y_extent], axis=-1)
+    return x_extent, y_extent
+
+
+def compute_obb_extents(cov2d, sigma_multiplier=3.0):
+    """Axis-aligned extents of the oriented sigma_multiplier-sigma box
+    (GaussianShared.h:402-427); array-shaped wrapper."""
+    ex, ey = compute_obb_extents_c(cov2d[..., 0, 0], cov2d[..., 0, 1],
+                                   cov2d[..., 1, 1], sigma_multiplier)
+    return jnp.stack([ex, ey], axis=-1)
 
 
 def compute_conic_and_radius(cov2d):
@@ -496,9 +571,14 @@ def gaussian_intersects_tile(pix_min_x, pix_min_y, pix_max_x, pix_max_y,
 
 # --- Culling ---------------------------------------------------------------------
 
+def cull_by_scale_c(sx, sy, sz):
+    """Component form: max scale < 5e-4 (GaussianShared.h:719-722)."""
+    return jnp.maximum(jnp.maximum(sx, sy), sz) < MIN_GAUSSIAN_SCALE
+
+
 def cull_by_scale(scales):
     """max scale < 5e-4 (GaussianShared.h:719-722)."""
-    return jnp.max(scales, axis=-1) < MIN_GAUSSIAN_SCALE
+    return cull_by_scale_c(scales[..., 0], scales[..., 1], scales[..., 2])
 
 
 def cull_by_radius(radius):
@@ -524,32 +604,43 @@ def cull_by_total_ink(opacity, det_cov2d, depth, near_plane, far_plane, threshol
     return total_ink < compute_depth_factor(depth, near_plane, far_plane) * threshold
 
 
+def cull_by_screen_bounds_c(sx, sy, ex, ey, width, height):
+    """Component form of the off-screen cull (GaussianShared.h:771-781)."""
+    return ((sx + ex < 0.0) | (sx - ex > width)
+            | (sy + ey < 0.0) | (sy - ey > height))
+
+
 def cull_by_screen_bounds(screen, obb_extents, width, height):
     """Off-screen cull using OBB extents (GaussianShared.h:771-781)."""
-    return (
-        (screen[..., 0] + obb_extents[..., 0] < 0.0)
-        | (screen[..., 0] - obb_extents[..., 0] > width)
-        | (screen[..., 1] + obb_extents[..., 1] < 0.0)
-        | (screen[..., 1] - obb_extents[..., 1] > height)
-    )
+    return cull_by_screen_bounds_c(screen[..., 0], screen[..., 1],
+                                   obb_extents[..., 0], obb_extents[..., 1],
+                                   width, height)
 
 
-def compute_tile_bounds(screen, obb_extents, width, height, tile_w, tile_h,
-                        tiles_x, tiles_y):
-    """Clamped inclusive tile rect (GaussianShared.h:791-828).
-
-    Returns int32 (min_tx, max_tx, min_ty, max_ty); invalid when min > max.
-    """
-    xmin = jnp.clip(screen[..., 0] - obb_extents[..., 0], 0.0, width - 1.0)
-    xmax = jnp.clip(screen[..., 0] + obb_extents[..., 0], 0.0, width - 1.0)
-    ymin = jnp.clip(screen[..., 1] - obb_extents[..., 1], 0.0, height - 1.0)
-    ymax = jnp.clip(screen[..., 1] + obb_extents[..., 1], 0.0, height - 1.0)
+def compute_tile_bounds_c(sx, sy, ex, ey, width, height, tile_w, tile_h,
+                          tiles_x, tiles_y):
+    """Component form of the clamped inclusive tile rect
+    (GaussianShared.h:791-828).  Returns int32 (min_tx, max_tx, min_ty,
+    max_ty); invalid when min > max."""
+    xmin = jnp.clip(sx - ex, 0.0, width - 1.0)
+    xmax = jnp.clip(sx + ex, 0.0, width - 1.0)
+    ymin = jnp.clip(sy - ey, 0.0, height - 1.0)
+    ymax = jnp.clip(sy + ey, 0.0, height - 1.0)
 
     min_tx = jnp.maximum(jnp.floor(xmin / tile_w).astype(jnp.int32), 0)
     max_tx = jnp.minimum(jnp.ceil(xmax / tile_w).astype(jnp.int32) - 1, tiles_x - 1)
     min_ty = jnp.maximum(jnp.floor(ymin / tile_h).astype(jnp.int32), 0)
     max_ty = jnp.minimum(jnp.ceil(ymax / tile_h).astype(jnp.int32) - 1, tiles_y - 1)
     return min_tx, max_tx, min_ty, max_ty
+
+
+def compute_tile_bounds(screen, obb_extents, width, height, tile_w, tile_h,
+                        tiles_x, tiles_y):
+    """Clamped inclusive tile rect (array-shaped wrapper)."""
+    return compute_tile_bounds_c(screen[..., 0], screen[..., 1],
+                                 obb_extents[..., 0], obb_extents[..., 1],
+                                 width, height, tile_w, tile_h,
+                                 tiles_x, tiles_y)
 
 
 # --- Sortable depth keys ---------------------------------------------------------

@@ -65,68 +65,89 @@ def project_and_cull(
     input_is_srgb: bool,
     scene_transform: Array | None = None,
 ) -> ProjectionResult:
-    """Fused projection + culling + record quantization for N gaussians."""
+    """Fused projection + culling + record quantization for N gaussians.
+
+    Fully component-SoA: positions/scales/rotations are sliced ONCE into (N,)
+    lane vectors and every subsequent op runs full-width on the VPU ((N, 3) /
+    (N, 4) / (N, 3, 3)-shaped intermediates put tiny dims on the lane axis and
+    waste 121+/128 lanes per op).
+    """
     f32 = jnp.float32
-    positions = gi.positions.astype(f32)
+    px = gi.positions[..., 0].astype(f32)
+    py = gi.positions[..., 1].astype(f32)
+    pz = gi.positions[..., 2].astype(f32)
     if scene_transform is not None:
-        positions = M.apply_mat4(scene_transform, positions)[..., :3]
-    scales = gi.scales.astype(f32)
+        px, py, pz, _ = M.apply_mat4_c(scene_transform, px, py, pz)
+    sx = gi.scales[..., 0].astype(f32)
+    sy = gi.scales[..., 1].astype(f32)
+    sz = gi.scales[..., 2].astype(f32)
     opacity = gi.opacities.astype(f32)
 
     tiles_x, tiles_y = -(-width // tile_w), -(-height // tile_h)
 
     # Cull: scale (GaussianShared.h:719-722)
-    alive = ~M.cull_by_scale(scales)
+    alive = ~M.cull_by_scale_c(sx, sy, sz)
 
     # Projection (Z-sign agnostic, GaussianShared.h:199-234)
-    view_pos, ndc, depth, in_front = M.project_points(positions, view, proj, near_plane)
+    vx, vy, vz, nx, ny, depth, in_front = M.project_points_c(
+        px, py, pz, view, proj, near_plane)
     alive &= in_front
     alive &= ~M.cull_by_far_plane(depth, far_plane)
-    screen = M.ndc_to_screen(ndc, float(width), float(height))
+    screen_x = (nx + 1.0) * (0.5 * width)
+    screen_y = (ny + 1.0) * (0.5 * height)
 
     # Opacity threshold (DepthFirstShaders.metal:93-99)
     alive &= opacity >= alpha_threshold
 
-    # Covariance chain
-    cov3d = M.build_covariance_3d(scales, gi.rotations.astype(f32))
+    # Covariance chain (component form throughout)
+    c3d = M.build_covariance_3d_c(sx, sy, sz,
+                                  gi.rotations[..., 0].astype(f32),
+                                  gi.rotations[..., 1].astype(f32),
+                                  gi.rotations[..., 2].astype(f32),
+                                  gi.rotations[..., 3].astype(f32))
     if scene_transform is not None:
         rot_s = scene_transform[:3, :3]
+        s00, s01, s02, s11, s12, s22 = c3d
+        sym = [[s00, s01, s02], [s01, s11, s12], [s02, s12, s22]]
         # R_s @ cov3d @ R_s^T, written elementwise (see mathlib on batched einsum)
-        tmp = [[sum(rot_s[i, k] * cov3d[..., k, j] for k in range(3))
+        tmp = [[sum(rot_s[i, k] * sym[k][j] for k in range(3))
                 for j in range(3)] for i in range(3)]
-        out = [[sum(tmp[i][k] * rot_s[j, k] for k in range(3))
-                for j in range(3)] for i in range(3)]
-        cov3d = jnp.stack([jnp.stack(r, -1) for r in out], axis=-2)
-    view_rot = view[:3, :3]
-    cov2d = M.project_covariance_2d(cov3d, view_pos, view_rot, proj,
-                                    float(width), float(height))
-    cov2d = M.stabilize_covariance_2d(cov2d, float(width), float(height))
 
-    theta, sigma1, sigma2, eig_ok = M.covariance_to_theta_sigmas(cov2d)
+        def rotated(i, j):
+            return sum(tmp[i][k] * rot_s[j, k] for k in range(3))
+
+        c3d = (rotated(0, 0), rotated(0, 1), rotated(0, 2),
+               rotated(1, 1), rotated(1, 2), rotated(2, 2))
+    ca, cb, cd = M.project_covariance_2d_c(c3d, vx, vy, vz, view[:3, :3], proj,
+                                           float(width), float(height))
+    ca, cb, cd = M.stabilize_covariance_2d_c(ca, cb, cd, float(width),
+                                             float(height))
+
+    theta, sigma1, sigma2, eig_ok = M.covariance_to_theta_sigmas_c(ca, cb, cd)
     alive &= eig_ok
 
     radius = 3.0 * jnp.maximum(sigma1, sigma2)
     alive &= ~M.cull_by_radius(radius)
 
-    det2d = (cov2d[..., 0, 0] * cov2d[..., 1, 1]
-             - 0.25 * (cov2d[..., 0, 1] + cov2d[..., 1, 0]) ** 2)
+    det2d = ca * cd - cb * cb
     alive &= ~M.cull_by_total_ink(opacity, det2d, depth, near_plane, far_plane,
                                   total_ink_threshold)
 
-    obb = M.compute_obb_extents(cov2d, 3.0)
-    alive &= ~M.cull_by_screen_bounds(screen, obb, float(width), float(height))
+    obb_x, obb_y = M.compute_obb_extents_c(ca, cb, cd, 3.0)
+    alive &= ~M.cull_by_screen_bounds_c(screen_x, screen_y, obb_x, obb_y,
+                                        float(width), float(height))
 
     # SH color (+0.5 clamp, optional sRGB decode — DepthFirstShaders.metal:139-141)
-    color = M.compute_sh_color(gi.harmonics, positions, camera_center.astype(f32),
-                               sh_degree)
+    color = M.compute_sh_color_c(gi.harmonics, px, py, pz,
+                                 camera_center.astype(f32), sh_degree)
     color = jnp.maximum(color + 0.5, 0.0)
     if input_is_srgb:
         color = M.srgb_to_linear(color)
 
     # Quantized record (GaussianRenderData semantics, BridgingTypes.h:75-84)
     record = RenderRecord(
-        mean_x=screen[..., 0].astype(jnp.float16),
-        mean_y=screen[..., 1].astype(jnp.float16),
+        mean_x=screen_x.astype(jnp.float16),
+        mean_y=screen_y.astype(jnp.float16),
         theta=M.pack_theta_u16(theta),
         sigma1=sigma1.astype(jnp.float16),
         sigma2=sigma2.astype(jnp.float16),
@@ -136,8 +157,9 @@ def project_and_cull(
     )
 
     # Tile rect from OBB (GaussianShared.h:791-828)
-    min_tx, max_tx, min_ty, max_ty = M.compute_tile_bounds(
-        screen, obb, float(width), float(height), tile_w, tile_h, tiles_x, tiles_y)
+    min_tx, max_tx, min_ty, max_ty = M.compute_tile_bounds_c(
+        screen_x, screen_y, obb_x, obb_y, float(width), float(height),
+        tile_w, tile_h, tiles_x, tiles_y)
     rect_valid = (min_tx <= max_tx) & (min_ty <= max_ty)
     alive &= rect_valid
 
@@ -237,45 +259,44 @@ class StereoProjectionResult:
     center_depth: Array   # (N,) float16
 
 
-def _project_one_eye(gi, view, proj, scene_transform, width, height,
+def _project_one_eye(pos_c, c3d, view, proj, width, height,
                      tile_w, tile_h, near_plane, far_plane):
-    """Eye-dependent projection chain (vmapped over the eye axis).
+    """Eye-dependent projection chain (component form; run once per eye).
 
-    Mirrors ``projectToEye`` (DepthFirstShaders.metal:250-341): the scene scale
-    is folded into the gaussian scale as a uniform factor, the covariance is
-    built in scene orientation and projected through the eye view matrix.
+    Mirrors ``projectToEye`` (DepthFirstShaders.metal:250-341): the covariance
+    is built once in scene orientation (``c3d``, eye-independent — the scene
+    scale is folded into the gaussian scale by the caller) and projected
+    through each eye's view matrix here.
     """
-    f32 = jnp.float32
+    px, py, pz = pos_c
     tiles_x, tiles_y = -(-width // tile_w), -(-height // tile_h)
-    positions = M.apply_mat4(scene_transform, gi.positions.astype(f32))[..., :3]
-    scene_scale = jnp.linalg.norm(scene_transform[:3, 0])
-    scales = gi.scales.astype(f32) * scene_scale
 
-    view_pos, ndc, depth, in_front = M.project_points(positions, view, proj,
-                                                      near_plane)
+    vx, vy, vz, nx, ny, depth, in_front = M.project_points_c(
+        px, py, pz, view, proj, near_plane)
     ok = in_front & ~M.cull_by_far_plane(depth, far_plane)
-    screen = M.ndc_to_screen(ndc, float(width), float(height))
+    screen_x = (nx + 1.0) * (0.5 * width)
+    screen_y = (ny + 1.0) * (0.5 * height)
 
-    cov3d = M.build_covariance_3d(scales, gi.rotations.astype(f32))
-    cov2d = M.project_covariance_2d(cov3d, view_pos, view[:3, :3], proj,
-                                    float(width), float(height))
-    cov2d = M.stabilize_covariance_2d(cov2d, float(width), float(height))
-    theta, sigma1, sigma2, eig_ok = M.covariance_to_theta_sigmas(cov2d)
+    ca, cb, cd = M.project_covariance_2d_c(c3d, vx, vy, vz, view[:3, :3],
+                                           proj, float(width), float(height))
+    ca, cb, cd = M.stabilize_covariance_2d_c(ca, cb, cd, float(width),
+                                             float(height))
+    theta, sigma1, sigma2, eig_ok = M.covariance_to_theta_sigmas_c(ca, cb, cd)
     ok &= eig_ok
-    det2d = (cov2d[..., 0, 0] * cov2d[..., 1, 1]
-             - 0.25 * (cov2d[..., 0, 1] + cov2d[..., 1, 0]) ** 2)
+    det2d = ca * cd - cb * cb
 
     radius = 3.0 * jnp.maximum(sigma1, sigma2)
     ok &= ~M.cull_by_radius(radius)
-    obb = M.compute_obb_extents(cov2d, 3.0)
-    ok &= ~M.cull_by_screen_bounds(screen, obb, float(width), float(height))
+    obb_x, obb_y = M.compute_obb_extents_c(ca, cb, cd, 3.0)
+    ok &= ~M.cull_by_screen_bounds_c(screen_x, screen_y, obb_x, obb_y,
+                                     float(width), float(height))
 
-    min_tx, max_tx, min_ty, max_ty = M.compute_tile_bounds(
-        screen, obb, float(width), float(height), tile_w, tile_h,
-        tiles_x, tiles_y)
+    min_tx, max_tx, min_ty, max_ty = M.compute_tile_bounds_c(
+        screen_x, screen_y, obb_x, obb_y, float(width), float(height),
+        tile_w, tile_h, tiles_x, tiles_y)
     ok &= (min_tx <= max_tx) & (min_ty <= max_ty)
-    return dict(screen=screen, depth=depth, theta=theta, sigma1=sigma1,
-                sigma2=sigma2, det=det2d, visible=ok,
+    return dict(screen_x=screen_x, screen_y=screen_y, depth=depth, theta=theta,
+                sigma1=sigma1, sigma2=sigma2, det=det2d, visible=ok,
                 min_tx=min_tx, max_tx=max_tx, min_ty=min_ty, max_ty=max_ty)
 
 
@@ -295,15 +316,35 @@ def stereo_project_and_cull(
     if scene_transform is None:
         scene_transform = jnp.eye(4, dtype=f32)
 
-    scales_raw = gi.scales.astype(f32)
+    sx = gi.scales[..., 0].astype(f32)
+    sy = gi.scales[..., 1].astype(f32)
+    sz = gi.scales[..., 2].astype(f32)
     opacity = gi.opacities.astype(f32)
-    shared_ok = ~M.cull_by_scale(scales_raw)
+    shared_ok = ~M.cull_by_scale_c(sx, sy, sz)
     shared_ok &= opacity >= alpha_threshold
 
-    eye = jax.vmap(
-        lambda v, p: _project_one_eye(gi, v, p, scene_transform, width, height,
-                                      tile_w, tile_h, near_plane, far_plane))(
-        views.astype(f32), projs.astype(f32))
+    # Eye-independent work ONCE: scene-transformed positions + covariance in
+    # scene orientation with the scene scale folded into the gaussian scale
+    # (projectToEye, DepthFirstShaders.metal:250-341).
+    px, py, pz, _ = M.apply_mat4_c(scene_transform,
+                                   gi.positions[..., 0].astype(f32),
+                                   gi.positions[..., 1].astype(f32),
+                                   gi.positions[..., 2].astype(f32))
+    scene_scale = jnp.linalg.norm(scene_transform[:3, 0])
+    c3d = M.build_covariance_3d_c(sx * scene_scale, sy * scene_scale,
+                                  sz * scene_scale,
+                                  gi.rotations[..., 0].astype(f32),
+                                  gi.rotations[..., 1].astype(f32),
+                                  gi.rotations[..., 2].astype(f32),
+                                  gi.rotations[..., 3].astype(f32))
+
+    per_eye = [
+        _project_one_eye((px, py, pz), c3d, views[i].astype(f32),
+                         projs[i].astype(f32), width, height, tile_w, tile_h,
+                         near_plane, far_plane)
+        for i in range(2)
+    ]
+    eye = {k: jnp.stack([per_eye[0][k], per_eye[1][k]]) for k in per_eye[0]}
 
     vis_l = eye["visible"][0] & shared_ok
     vis_r = eye["visible"][1] & shared_ok
@@ -319,9 +360,8 @@ def stereo_project_and_cull(
                                     far_plane, total_ink_threshold)
 
     # mid-camera SH color (DepthFirstShaders.metal:420-426)
-    positions = M.apply_mat4(scene_transform, gi.positions.astype(f32))[..., :3]
     mid = 0.5 * (centers[0] + centers[1]).astype(f32)
-    color = M.compute_sh_color(gi.harmonics, positions, mid, sh_degree)
+    color = M.compute_sh_color_c(gi.harmonics, px, py, pz, mid, sh_degree)
     color = jnp.maximum(color + 0.5, 0.0)
     if input_is_srgb:
         color = M.srgb_to_linear(color)
@@ -363,8 +403,8 @@ def stereo_project_and_cull(
             return jnp.where(vis, coord, -6e4).astype(jnp.float16)
 
         return RenderRecord(
-            mean_x=safe_mean(eye["screen"][i, :, 0]),
-            mean_y=safe_mean(eye["screen"][i, :, 1]),
+            mean_x=safe_mean(eye["screen_x"][i]),
+            mean_y=safe_mean(eye["screen_y"][i]),
             theta=M.pack_theta_u16(jnp.where(vis, eye["theta"][i], 0.0)),
             sigma1=jnp.where(vis, eye["sigma1"][i], 1.0).astype(jnp.float16),
             sigma2=jnp.where(vis, eye["sigma2"][i], 1.0).astype(jnp.float16),
