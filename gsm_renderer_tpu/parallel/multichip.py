@@ -40,8 +40,29 @@ def _gi_partition_specs(axis: str):
         opacities=P(axis), harmonics=P(None, None, axis))
 
 
+def pad_gaussian_input(gi: GaussianInput, multiple: int) -> GaussianInput:
+    """Pad the gaussian axis to a multiple (shard_map needs evenly divisible
+    shards).  Pad gaussians are inert: zero scale trips the scale cull
+    (mathlib.cull_by_scale), so they contribute one sentinel slot and nothing
+    else."""
+    n = gi.count
+    pad = (-n) % multiple
+    if pad == 0:
+        return gi
+    rot = jnp.zeros((pad, 4), gi.rotations.dtype).at[:, 3].set(1)
+    return GaussianInput(
+        positions=jnp.pad(gi.positions, ((0, pad), (0, 0))),
+        scales=jnp.pad(gi.scales, ((0, pad), (0, 0))),
+        rotations=jnp.concatenate([gi.rotations, rot]),
+        opacities=jnp.pad(gi.opacities, (0, pad)),
+        harmonics=jnp.pad(gi.harmonics, ((0, 0), (0, 0), (0, pad))),
+    )
+
+
 def shard_gaussian_input(gi: GaussianInput, mesh: Mesh, axis: str = "dp"):
-    """Place a GaussianInput with its gaussian axis sharded over the mesh."""
+    """Place a GaussianInput with its gaussian axis sharded over the mesh,
+    padding to a device multiple when needed."""
+    gi = pad_gaussian_input(gi, mesh.shape[axis])
     specs = _gi_partition_specs(axis)
     return jax.tree_util.tree_map(
         lambda x, sp: jax.device_put(x, NamedSharding(mesh, sp)), gi, specs)
