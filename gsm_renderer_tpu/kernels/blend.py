@@ -111,10 +111,14 @@ def build_words_table(sorted_word_list, capacity: int):
 def blend_tiles_xla(table, starts, counts, *, tiles_x: int, tiles_y: int,
                     max_per_tile: int, tile_w: int = 16, tile_h: int = 16,
                     tile_chunk: int = 64, depth_mode: str = "weighted",
-                    r2_cutoff: float = 0.0):
+                    r2_cutoff: float = 0.0, pixel_coords=None):
     """Reference blend: same math as the Pallas kernel, O(T * max_per_tile) memory.
 
     ``table``: (CB, 16, 128) blend table; ``starts``/``counts``: (T,) int32.
+    ``pixel_coords``: optional (coord_x (TXP, P), coord_y (TY, P)) tables giving
+    every pixel's coordinate in the gaussians' screen space — the foveated
+    (rasterization-rate-map) path rasterizes a reduced physical target whose
+    pixels sample non-uniform display coordinates.  None = uniform pixel grid.
     Returns (color (T, P, 4) with alpha, depth (T, P)) with P = tile_w * tile_h.
     Intended for tests and small scenes.
     """
@@ -126,10 +130,17 @@ def blend_tiles_xla(table, starts, counts, *, tiles_x: int, tiles_y: int,
     py = (jnp.arange(pix, dtype=jnp.float32) // tile_w)
 
     t_iota = jnp.arange(tiles_x * tiles_y, dtype=jnp.int32)
-    origin_x = (t_iota % tiles_x).astype(jnp.float32) * tile_w
-    origin_y = (t_iota // tiles_x).astype(jnp.float32) * tile_h
+    if pixel_coords is None:
+        coord_x = ((t_iota % tiles_x).astype(jnp.float32) * tile_w)[:, None] \
+            + px[None, :]
+        coord_y = ((t_iota // tiles_x).astype(jnp.float32) * tile_h)[:, None] \
+            + py[None, :]
+    else:
+        cx_tab, cy_tab = pixel_coords  # (TXP, P), (TY, P)
+        coord_x = cx_tab[t_iota % tiles_x]
+        coord_y = cy_tab[t_iota // tiles_x]
 
-    def tile_block(start, count, ox, oy):
+    def tile_block(start, count, cx, cy):
         k = jnp.arange(max_per_tile, dtype=jnp.int32)
         idx = jnp.clip(start + k, 0, cmax - 1)
         valid = k < count
@@ -139,8 +150,8 @@ def blend_tiles_xla(table, starts, counts, *, tiles_x: int, tiles_y: int,
         r, g, b = get(CR), get(CG), get(CB_)
         d, op = get(CD), get(COP)
 
-        pxa = ox + px[None, :]  # (1, P) absolute pixel x
-        pya = oy + py[None, :]
+        pxa = cx[None, :]  # (1, P) pixel x in gaussian screen space
+        pya = cy[None, :]
         u = a1[:, None] * pxa + b1[:, None] * pya + c1[:, None]
         v = a2[:, None] * pxa + b2[:, None] * pya + c2[:, None]
         q = u * u + v * v
@@ -178,8 +189,10 @@ def blend_tiles_xla(table, starts, counts, *, tiles_x: int, tiles_y: int,
 
     n_t = tiles_x * tiles_y
     pad = -(-n_t // tile_chunk) * tile_chunk - n_t
-    args = tuple(jnp.pad(x, (0, pad)).reshape(-1, tile_chunk)
-                 for x in (starts, counts, origin_x, origin_y))
+    args = (jnp.pad(starts, (0, pad)).reshape(-1, tile_chunk),
+            jnp.pad(counts, (0, pad)).reshape(-1, tile_chunk),
+            jnp.pad(coord_x, ((0, pad), (0, 0))).reshape(-1, tile_chunk, pix),
+            jnp.pad(coord_y, ((0, pad), (0, 0))).reshape(-1, tile_chunk, pix))
     col, depth = jax.lax.map(chunk_fn, args)
     return col.reshape(-1, pix, 4)[:n_t], depth.reshape(-1, pix)[:n_t]
 
@@ -252,10 +265,10 @@ def _add_scan_exclusive(x):
     return excl, y[g - 1:g, :]
 
 
-def _row_blend_kernel(starts_ref, counts_ref, oyoff_ref, table_ref, out_ref, *,
+def _row_blend_kernel(starts_ref, counts_ref, oyoff_ref, table_ref, *rest,
                       tiles_x: int, tile_w: int, tile_h: int,
                       blocks_per_dma: int, depth_mode: str = "weighted",
-                      r2_cutoff: float = 0.0):
+                      r2_cutoff: float = 0.0, warped: bool = False):
     """One grid step = one tile row.
 
     DMA latency is hidden with tile-level double buffering: while tile t's first
@@ -263,6 +276,13 @@ def _row_blend_kernel(starts_ref, counts_ref, oyoff_ref, table_ref, out_ref, *,
     (most tiles need exactly one chunk).  Extra chunks of heavy tiles fall back
     to synchronous copies into the same buffer.
     """
+    if warped:
+        # foveated: per-pixel coordinate tables in the gaussians' (display)
+        # screen space replace the uniform iota grid
+        xtab_ref, ytab_ref, out_ref = rest
+    else:
+        xtab_ref = ytab_ref = None
+        (out_ref,) = rest
     r_dma = blocks_per_dma
     pix = tile_w * tile_h
     first_hit = depth_mode == "first_hit"
@@ -309,10 +329,14 @@ def _row_blend_kernel(starts_ref, counts_ref, oyoff_ref, table_ref, out_ref, *,
             def _():
                 start_dma(1 - buf, first_block(tid + 1))
 
-            ox = (tx * tile_w).astype(jnp.float32)
-            oy = ((ty + oyoff_ref[0]) * tile_h).astype(jnp.float32)
-            pxa = px_row + ox                         # (1, P) absolute pixel x
-            pya = py_row + oy
+            if warped:
+                pxa = xtab_ref[tx]                    # (1, P) display-space x
+                pya = ytab_ref[0]
+            else:
+                ox = (tx * tile_w).astype(jnp.float32)
+                oy = ((ty + oyoff_ref[0]) * tile_h).astype(jnp.float32)
+                pxa = px_row + ox                     # (1, P) absolute pixel x
+                pya = py_row + oy
 
             def compute_chunk(c, buf2, acc, trans, fh):
                 # Decode the whole chunk's records ONCE at (r_dma, 128) shape —
@@ -477,7 +501,7 @@ def blend_tiles_pallas(table, starts, counts, *, tiles_x: int, tiles_y: int,
                        tile_w: int = 16, tile_h: int = 16,
                        blocks_per_dma: int = 4, interpret: bool = False,
                        depth_mode: str = "weighted", r2_cutoff: float = 0.0,
-                       tile_row_offset=None):
+                       tile_row_offset=None, pixel_coords=None):
     """Production blend.  Returns (tile_color (T, P, 4), tile_depth (T, P)).
 
     ``table``: (CB, 4, 128) record-word table (from :func:`build_words_table`)
@@ -485,6 +509,9 @@ def blend_tiles_pallas(table, starts, counts, *, tiles_x: int, tiles_y: int,
     ``tile_row_offset``: optional scalar — global tile-row index of this
     raster's first row (used by the multi-chip band-sharded path so pixel
     coordinates stay in global screen space).
+    ``pixel_coords``: optional (coord_x (TX, P), coord_y (TY, P)) f32 tables —
+    the foveated path's non-uniform display coordinates per physical pixel
+    (see blend_tiles_xla).
     """
     pix = tile_w * tile_h
     n_t = tiles_x * tiles_y
@@ -496,23 +523,40 @@ def blend_tiles_pallas(table, starts, counts, *, tiles_x: int, tiles_y: int,
     if tile_row_offset is None:
         tile_row_offset = jnp.zeros((), jnp.int32)
 
+    warped = pixel_coords is not None
+    extra_args = []
+    extra_specs = []
+    if warped:
+        cx_tab, cy_tab = pixel_coords
+        cx_tab = jnp.pad(cx_tab.astype(jnp.float32),
+                         ((0, txp - cx_tab.shape[0]), (0, 0)))[:, None, :]
+        cy_tab = cy_tab.astype(jnp.float32)[:, None, :]
+        extra_args = [cx_tab, cy_tab]  # (TXP, 1, P), (TY, 1, P)
+        extra_specs = [
+            pl.BlockSpec((txp, 1, pix), lambda ty, *_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, pix), lambda ty, *_: (ty, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+
     kernel = functools.partial(_row_blend_kernel, tiles_x=tiles_x, tile_w=tile_w,
                                tile_h=tile_h, blocks_per_dma=blocks_per_dma,
-                               depth_mode=depth_mode, r2_cutoff=r2_cutoff)
+                               depth_mode=depth_mode, r2_cutoff=r2_cutoff,
+                               warped=warped)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((tiles_y, 8, txp, pix), jnp.float32),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(tiles_y,),
-            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + extra_specs,
             out_specs=pl.BlockSpec((1, 8, txp, pix),
                                    lambda ty, *_: (ty, 0, 0, 0),
                                    memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
     )(starts.astype(jnp.int32), counts.astype(jnp.int32),
-      tile_row_offset.reshape(1).astype(jnp.int32), table)
+      tile_row_offset.reshape(1).astype(jnp.int32), table, *extra_args)
 
     # (TY, 8, TXP, P) -> (T, P, ch)
     out = out[:, :, :tiles_x, :]                      # (TY, 8, TX, P)

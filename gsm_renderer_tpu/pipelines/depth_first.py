@@ -309,17 +309,151 @@ from .hardware import HardwareRenderer as _HardwareRenderer  # noqa: E402
 _HardwareRenderer.render_stereo = _stereo_render_method
 
 
+def depth_first_stereo_foveated_frame(
+    gi: GaussianInput,
+    views: Array, projs: Array, centers: Array, scene_transform: Array,
+    lut_x_lo: Array, lut_x_hi: Array, lut_y_lo: Array, lut_y_hi: Array,
+    coord_x: Array, coord_y: Array,
+    *,
+    display_width: int, display_height: int,
+    render_width: int, render_height: int, capacity: int,
+    sh_degree: int, alpha_threshold: float, total_ink_threshold: float,
+    near_plane: float, far_plane: float, input_is_srgb: bool,
+    tile_w: int = 16, tile_h: int = 16,
+    use_xla_blend: bool = False,
+    interpret: bool = False,
+):
+    """TRUE foveated stereo: rasterize DIRECTLY into the reduced-rate physical
+    target (the reference attaches an ``MTLRasterizationRateMap`` so the copy
+    pass shades fewer fragments — DepthFirstStereoCopyEncoder.swift:28-100;
+    here the blend kernel itself shades only physical pixels, whose
+    display-space coordinates come from the warp tables).
+
+    Projection/culling happen in display space; binning maps each gaussian's
+    display tile rect to physical tiles through the conservative LUTs; the
+    blend evaluates alpha at the warped per-pixel display coordinates.  Cost
+    scales with the PHYSICAL pixel count — foveation makes the frame cheaper,
+    not more expensive.
+    """
+    from ..ops.project import stereo_project_and_cull
+
+    tiles_x, tiles_y = cfg.tiles_for(render_width, render_height, tile_w, tile_h)
+    num_tiles = tiles_x * tiles_y
+
+    pr = stereo_project_and_cull(
+        gi, views, projs, centers,
+        width=display_width, height=display_height, tile_w=tile_w,
+        tile_h=tile_h, sh_degree=sh_degree, near_plane=near_plane,
+        far_plane=far_plane, alpha_threshold=alpha_threshold,
+        total_ink_threshold=total_ink_threshold,
+        input_is_srgb=input_is_srgb, scene_transform=scene_transform,
+    )
+
+    # display tile rect -> conservative physical tile rect (tiny LUT gathers)
+    min_tx = lut_x_lo[pr.min_tx]
+    max_tx = lut_x_hi[jnp.maximum(pr.max_tx, 0)]
+    min_ty = lut_y_lo[pr.min_ty]
+    max_ty = lut_y_hi[jnp.maximum(pr.max_ty, 0)]
+    visible = pr.visible & (min_tx <= max_tx) & (min_ty <= max_ty)
+    rect_count = jnp.where(
+        visible, (max_tx - min_tx + 1) * (max_ty - min_ty + 1), 0
+    ).astype(jnp.int32)
+
+    from .common import fused_binning_words
+    words_l = pack_record_words(pr.record_left)
+    words_r = pack_record_words(pr.record_right)
+    word_list = ([words_l[:, k] for k in range(4)]
+                 + [words_r[:, k] for k in range(4)])
+    sorted_tile, sw, _total, overflow = fused_binning_words(
+        visible, min_tx, min_ty, max_tx, rect_count,
+        pr.depth_key, word_list, capacity=capacity, tiles_x=tiles_x,
+        fused_depth16=False, use_pallas=not use_xla_blend, interpret=interpret)
+    starts, counts = B.extract_tile_ranges(sorted_tile, num_tiles)
+
+    eyes = []
+    for eye_words in (sw[0:4], sw[4:8]):
+        if use_xla_blend:
+            sorted_words = jnp.stack(eye_words, axis=-1)
+            attrs = sorted_instance_attrs(
+                sorted_words, sorted_tile, tiles_x=tiles_x, tile_w=tile_w,
+                tile_h=tile_h, alpha_threshold=alpha_threshold,
+                exact_tile_test=False)
+            table = K.build_blend_table(attrs, capacity)
+            tc, td = K.blend_tiles_xla(
+                table, starts, counts, tiles_x=tiles_x, tiles_y=tiles_y,
+                max_per_tile=min(capacity, 4096), tile_w=tile_w, tile_h=tile_h,
+                r2_cutoff=9.0, pixel_coords=(coord_x, coord_y))
+        else:
+            wtable = K.build_words_table(eye_words, capacity)
+            tc, td = K.blend_tiles_pallas(
+                wtable, starts, counts, tiles_x=tiles_x, tiles_y=tiles_y,
+                tile_w=tile_w, tile_h=tile_h, r2_cutoff=9.0,
+                interpret=interpret, pixel_coords=(coord_x, coord_y))
+        eyes.append(K.assemble_image(tc, td, tiles_x=tiles_x, tiles_y=tiles_y,
+                                     width=render_width, height=render_height,
+                                     tile_w=tile_w, tile_h=tile_h))
+
+    color = jnp.concatenate([eyes[0][0], eyes[1][0]], axis=1)
+    depth = jnp.concatenate([eyes[0][1], eyes[1][1]], axis=1)
+    header = FrameHeader(
+        visible_count=jnp.sum(pr.visible).astype(jnp.int32),
+        total_instances=jnp.sum(jnp.where(visible, rect_count, 0)).astype(jnp.int32),
+        overflow=overflow,
+    )
+    return RenderOutput(color=color, depth=depth, header=header)
+
+
 def _stereo_foveated_render_method(self, gi, camera, target):
     """Foveated stereo (the reference's rasterization-rate-map path,
     DepthFirstRenderer.renderStereo(.foveated) — DepthFirstRenderer.swift:516-551).
 
-    Matches the reference's structure: the gaussians composite at full display
-    resolution, and the final copy pass resamples into the reduced-rate
-    physical target (the rasterization-rate-map analogue; the display side
-    expands with stereo.expand_foveated).  ``target``: a
+    Rasterizes DIRECTLY into the reduced-rate physical target via
+    :func:`depth_first_stereo_foveated_frame` — the frame costs LESS than a
+    full-resolution stereo frame (the rate map's purpose).  ``target``: a
     stereo.FoveatedStereoTarget; returns a render_height x 2*render_width
-    physical image.
+    physical image (expand with stereo.expand_foveated for display).
     """
+    import numpy as _np
+    from ..stereo import foveated_raster_tables
+
+    self.validate_inputs(gi, target.display_width, target.display_height)
+    n = gi.count
+    c = self.config
+    left, right = camera.left, camera.right
+    views = jnp.stack([jnp.asarray(left.view_matrix, jnp.float32),
+                       jnp.asarray(right.view_matrix, jnp.float32)])
+    projs = jnp.stack([jnp.asarray(left.projection_matrix, jnp.float32),
+                       jnp.asarray(right.projection_matrix, jnp.float32)])
+    centers = jnp.stack([jnp.asarray(left.position, jnp.float32),
+                         jnp.asarray(right.position, jnp.float32)])
+    st = camera.scene_transform
+    st = jnp.eye(4, dtype=jnp.float32) if st is None else jnp.asarray(st, jnp.float32)
+    tabs = foveated_raster_tables(target)
+    statics = dict(
+        display_width=target.display_width,
+        display_height=target.display_height,
+        render_width=target.render_width, render_height=target.render_height,
+        capacity=instance_capacity(c, n),
+        sh_degree=min(c.sh_degree, {1: 0, 4: 1, 9: 2, 16: 3}[gi.sh_n_coeffs]),
+        alpha_threshold=c.alpha_threshold,
+        total_ink_threshold=c.total_ink_threshold,
+        near_plane=left.near_plane, far_plane=left.far_plane,
+        input_is_srgb=(c.gaussian_color_space == cfg.GaussianColorSpace.SRGB),
+        use_xla_blend=self.use_xla_blend,
+    )
+    key = ("df_foveated", n, gi.sh_n_coeffs, str(gi.scales.dtype),
+           tuple(sorted(statics.items())))
+    prog = self._program(
+        key, lambda: AotProgram(depth_first_stereo_foveated_frame, key, statics))
+    return prog(gi, views, projs, centers, st,
+                jnp.asarray(tabs["lut_x_lo"]), jnp.asarray(tabs["lut_x_hi"]),
+                jnp.asarray(tabs["lut_y_lo"]), jnp.asarray(tabs["lut_y_hi"]),
+                jnp.asarray(tabs["coord_x"]), jnp.asarray(tabs["coord_y"]))
+
+
+def _stereo_foveated_compress_render_method(self, gi, camera, target):
+    """Legacy render-full-then-compress foveated path (the pre-rate-map
+    structure); kept for comparison tests."""
     from ..stereo import compress_foveated
     from ..types import RenderOutput
 
@@ -331,3 +465,5 @@ def _stereo_foveated_render_method(self, gi, camera, target):
 
 
 DepthFirstRenderer.render_stereo_foveated = _stereo_foveated_render_method
+DepthFirstRenderer.render_stereo_foveated_compress = (
+    _stereo_foveated_compress_render_method)

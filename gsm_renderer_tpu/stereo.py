@@ -86,6 +86,69 @@ def warp_tables(target: FoveatedStereoTarget):
             table(target.rate_y, target.render_height))
 
 
+def foveated_raster_tables(target: FoveatedStereoTarget, tile_w: int = 16,
+                           tile_h: int = 16):
+    """Host-side tables for rasterizing DIRECTLY into the reduced-rate
+    physical target (the true rasterization-rate-map equivalent: render *less*,
+    not render-then-compress).
+
+    Returns a dict of numpy arrays:
+      ``coord_x`` (tiles_x_phys, P): display-space x of every physical pixel,
+        laid out per tile (P = tile_w*tile_h, row-major within the tile);
+      ``coord_y`` (tiles_y_phys, P): display-space y per physical tile row;
+      ``lut_x_lo/lut_x_hi`` (tiles_x_disp,): conservative physical-tile range
+        covered by each display tile column (inclusive);
+      ``lut_y_lo/lut_y_hi`` (tiles_y_disp,).
+    """
+    xt, yt = warp_tables(target)  # physical index -> display coordinate
+    rw, rh = target.render_width, target.render_height
+    txp = -(-rw // tile_w)
+    typ = -(-rh // tile_h)
+    p = tile_w * tile_h
+
+    def pad_table(t, n):
+        # pad past the physical edge: continue the last step so padded pixels
+        # sample just outside the display (alpha 0 there)
+        step = t[-1] - t[-2] if len(t) > 1 else 1.0
+        extra = t[-1] + step * np.arange(1, n - len(t) + 1)
+        return np.concatenate([t, extra]).astype(np.float32)
+
+    xt_pad = pad_table(xt, txp * tile_w)
+    yt_pad = pad_table(yt, typ * tile_h)
+    coord_x = np.empty((txp, p), np.float32)
+    for t in range(txp):
+        coord_x[t] = np.tile(xt_pad[t * tile_w:(t + 1) * tile_w], tile_h)
+    coord_y = np.empty((typ, p), np.float32)
+    for t in range(typ):
+        coord_y[t] = np.repeat(yt_pad[t * tile_h:(t + 1) * tile_h], tile_w)
+
+    # display tile -> physical tile range (conservative: the physical tiles
+    # whose sample coordinates fall inside the display tile's pixel span)
+    def luts(t_pad, n_phys, tile, n_disp_tiles, disp_size):
+        # inverse map: display coordinate -> physical sample index
+        inv = np.interp(np.arange(disp_size + 1, dtype=np.float64),
+                        t_pad, np.arange(len(t_pad)))
+        lo = np.empty(n_disp_tiles, np.int32)
+        hi = np.empty(n_disp_tiles, np.int32)
+        n_tiles_phys = -(-n_phys // tile)
+        for t in range(n_disp_tiles):
+            p0 = inv[min(t * tile, disp_size)]
+            p1 = inv[min((t + 1) * tile, disp_size)]
+            lo[t] = max(int(np.floor(p0)) // tile, 0)
+            hi[t] = min(int(np.ceil(p1) - 1) // tile, n_tiles_phys - 1)
+        return lo, hi
+
+    tiles_x_disp = -(-target.display_width // tile_w)
+    tiles_y_disp = -(-target.display_height // tile_h)
+    lut_x_lo, lut_x_hi = luts(xt_pad, rw, tile_w, tiles_x_disp,
+                              target.display_width)
+    lut_y_lo, lut_y_hi = luts(yt_pad, rh, tile_h, tiles_y_disp,
+                              target.display_height)
+    return dict(coord_x=coord_x, coord_y=coord_y,
+                lut_x_lo=lut_x_lo, lut_x_hi=lut_x_hi,
+                lut_y_lo=lut_y_lo, lut_y_hi=lut_y_hi)
+
+
 def compress_foveated(full: Array, target: FoveatedStereoTarget,
                       stereo: bool = True) -> Array:
     """Resample a full-resolution render into the reduced-rate physical target

@@ -45,3 +45,126 @@ def test_expand_foveated_gradient_preserved():
     want = np.arange(64) + 0.5
     got = out[16, :64, 0]
     np.testing.assert_allclose(got, want, atol=1.0)
+
+
+def _scene_and_stereo(w, h, n=220, seed=2):
+    import gsm_renderer_tpu as G
+    from gsm_renderer_tpu.io.scene import generate_visible_gaussians
+    ds = generate_visible_gaussians(n, sh_degree=1, seed=seed,
+                                    scale_range=(0.01, 0.06))
+    cam = G.make_camera(w, h)
+    stereo = G.make_side_by_side_stereo(cam, ipd=0.1)
+    return ds.to_input(), stereo
+
+
+def test_true_foveated_renders_physical_target():
+    """render_stereo_foveated rasterizes DIRECTLY into the reduced-rate
+    physical target: output is physical-sized, finite, non-black, and its
+    expansion matches a full-resolution stereo render in the fovea (where the
+    rate is 1.0 the warp is near-identity)."""
+    import gsm_renderer_tpu as G
+
+    w, h = 128, 96
+    gi, stereo = _scene_and_stereo(w, h)
+    t = make_rate_maps(w, h, min_rate=0.4, radius=0.3)
+    r = G.DepthFirstRenderer(G.RendererConfig(sh_degree=1), use_xla_blend=True)
+
+    out = r.render_stereo_foveated(gi, stereo, t)
+    phys = np.asarray(out.color)
+    assert phys.shape == (t.render_height, 2 * t.render_width, 4)
+    assert np.isfinite(phys).all()
+    assert phys[..., :3].max() > 0.05
+
+    # expand to display and compare against the full-res stereo render;
+    # the direct rasterization must be at least as faithful as the legacy
+    # render-full-then-compress path (both resample through the same warp, so
+    # remaining error is the warp's sub-pixel blur, not a rendering defect)
+    disp = np.asarray(expand_foveated(out.color, t, stereo=True))
+    full = np.asarray(r.render_stereo(gi, stereo, w, h).color)
+    assert disp.shape == full.shape
+    comp = r.render_stereo_foveated_compress(gi, stereo, t)
+    disp_c = np.asarray(expand_foveated(comp.color, t, stereo=True))
+
+    err_direct = np.abs(disp[..., :3] - full[..., :3]).mean()
+    err_compress = np.abs(disp_c[..., :3] - full[..., :3]).mean()
+    assert err_direct < max(1.3 * err_compress, 0.01), (err_direct, err_compress)
+    assert err_direct < 0.05
+    # fovea (rate 1.0): direct must match compress quality there too
+    cy, cx = h // 2, w // 2
+    sl_y = slice(cy - 10, cy + 10)
+    for e in range(2):
+        sl_x = slice(e * w + cx - 10, e * w + cx + 10)
+        d = np.abs(disp[sl_y, sl_x, :3] - full[sl_y, sl_x, :3]).mean()
+        dc = np.abs(disp_c[sl_y, sl_x, :3] - full[sl_y, sl_x, :3]).mean()
+        assert d < max(1.3 * dc, 0.01), f"eye {e}: direct {d} vs compress {dc}"
+
+
+def test_foveated_compress_path_still_available():
+    """The legacy render-full-then-compress path is kept for comparison and
+    must agree with the reference-structure output shape."""
+    import gsm_renderer_tpu as G
+
+    w, h = 64, 64
+    gi, stereo = _scene_and_stereo(w, h, n=120)
+    t = make_rate_maps(w, h, min_rate=0.5)
+    r = G.DepthFirstRenderer(G.RendererConfig(sh_degree=1), use_xla_blend=True)
+    out = r.render_stereo_foveated_compress(gi, stereo, t)
+    assert np.asarray(out.color).shape == (t.render_height,
+                                           2 * t.render_width, 4)
+
+
+def test_foveated_raster_tables_invariants():
+    from gsm_renderer_tpu.stereo import foveated_raster_tables
+
+    t = make_rate_maps(128, 96, min_rate=0.4)
+    tabs = foveated_raster_tables(t)
+    txp = -(-t.render_width // 16)
+    typ = -(-t.render_height // 16)
+    assert tabs["coord_x"].shape == (txp, 256)
+    assert tabs["coord_y"].shape == (typ, 256)
+    # coordinates monotone within a tile row
+    row = tabs["coord_x"][0].reshape(16, 16)[0]
+    assert (np.diff(row) > 0).all()
+    # every display tile's physical range is sane and ordered
+    assert (tabs["lut_x_lo"] <= tabs["lut_x_hi"]).all()
+    assert (tabs["lut_y_lo"] <= tabs["lut_y_hi"]).all()
+    assert tabs["lut_x_hi"].max() <= txp - 1
+
+
+def test_foveated_pallas_interpret_parity():
+    """The warped-coordinate Pallas blend must match the XLA oracle."""
+    import gsm_renderer_tpu as G
+
+    w, h = 64, 48
+    gi, stereo = _scene_and_stereo(w, h, n=90, seed=4)
+    t = make_rate_maps(w, h, min_rate=0.5)
+    cfg = G.RendererConfig(sh_degree=1)
+    r_x = G.DepthFirstRenderer(cfg, use_xla_blend=True)
+    out_x = np.asarray(r_x.render_stereo_foveated(gi, stereo, t).color)
+
+    from gsm_renderer_tpu.pipelines.depth_first import (
+        depth_first_stereo_foveated_frame)
+    from gsm_renderer_tpu.pipelines.base import instance_capacity
+    from gsm_renderer_tpu.stereo import foveated_raster_tables
+    import functools, jax
+    import jax.numpy as jnp
+
+    tabs = foveated_raster_tables(t)
+    left, right = stereo.left, stereo.right
+    views = jnp.stack([jnp.asarray(left.view_matrix), jnp.asarray(right.view_matrix)])
+    projs = jnp.stack([jnp.asarray(left.projection_matrix), jnp.asarray(right.projection_matrix)])
+    centers = jnp.stack([jnp.asarray(left.position), jnp.asarray(right.position)])
+    fn = functools.partial(
+        depth_first_stereo_foveated_frame,
+        display_width=w, display_height=h,
+        render_width=t.render_width, render_height=t.render_height,
+        capacity=instance_capacity(cfg, gi.count), sh_degree=1,
+        alpha_threshold=0.005, total_ink_threshold=2.0,
+        near_plane=0.1, far_plane=10.0, input_is_srgb=False,
+        use_xla_blend=False, interpret=True)
+    out_p = jax.jit(fn)(gi, views, projs, centers, jnp.eye(4),
+                        jnp.asarray(tabs["lut_x_lo"]), jnp.asarray(tabs["lut_x_hi"]),
+                        jnp.asarray(tabs["lut_y_lo"]), jnp.asarray(tabs["lut_y_hi"]),
+                        jnp.asarray(tabs["coord_x"]), jnp.asarray(tabs["coord_y"]))
+    diff = np.abs(np.asarray(out_p.color) - out_x).max()
+    assert diff < 0.005, f"pallas-vs-xla foveated diff {diff}"
