@@ -441,6 +441,103 @@ def _load_compressed(data, elements, body, endian) -> GaussianDataset:
     )
 
 
+def _pack_unorm(v, shift, bits):
+    mask = float((1 << bits) - 1)
+    q = np.clip(np.round(np.clip(v, 0.0, 1.0) * mask), 0, mask)
+    return q.astype(np.uint32) << np.uint32(shift)
+
+
+def write_compressed_ply(ds: GaussianDataset, path=None) -> bytes:
+    """Write a PlayCanvas/splat-transform compressed PLY (the format
+    :func:`_load_compressed` reads — PLYLoader.swift:289-514): 256-vertex
+    chunks with min/max ranges, 11-10-11 packed position/log-scale, 2-bit
+    largest-component quaternion, 8888 color.  DC color only."""
+    n = ds.count
+    n_chunks = max(-(-n // 256), 1)
+    color = np.clip(0.5 + SH_C0 * ds.harmonics[:, 0, :], 0.0, 1.0)
+    opacity = np.clip(ds.opacities, 0.0, 1.0)
+    log_scale = np.log(np.maximum(ds.scales, 1e-12))
+
+    chunk_fields = (["min_x", "min_y", "min_z", "max_x", "max_y", "max_z",
+                     "min_scale_x", "min_scale_y", "min_scale_z",
+                     "max_scale_x", "max_scale_y", "max_scale_z",
+                     "min_r", "min_g", "min_b", "max_r", "max_g", "max_b"])
+    cdt = np.dtype([(f, "<f4") for f in chunk_fields])
+    vdt = np.dtype([("packed_position", "<u4"), ("packed_rotation", "<u4"),
+                    ("packed_scale", "<u4"), ("packed_color", "<u4")])
+    chunks = np.zeros(n_chunks, cdt)
+    verts = np.zeros(n, vdt)
+
+    for c in range(n_chunks):
+        sl = slice(c * 256, min((c + 1) * 256, n))
+        pos, lsc, col = ds.positions[sl], log_scale[sl], color[sl]
+        lo_p, hi_p = pos.min(0), pos.max(0)
+        lo_s, hi_s = lsc.min(0), lsc.max(0)
+        lo_c, hi_c = col.min(0), col.max(0)
+        for i, ax in enumerate("xyz"):
+            chunks[c][f"min_{ax}"] = lo_p[i]
+            chunks[c][f"max_{ax}"] = hi_p[i]
+            chunks[c][f"min_scale_{ax}"] = lo_s[i]
+            chunks[c][f"max_scale_{ax}"] = hi_s[i]
+        for i, ch in enumerate("rgb"):
+            chunks[c][f"min_{ch}"] = lo_c[i]
+            chunks[c][f"max_{ch}"] = hi_c[i]
+
+        def unit(v, lo, hi):
+            return (v - lo) / np.maximum(hi - lo, 1e-12)
+
+        up = unit(pos, lo_p, hi_p)
+        us = unit(lsc, lo_s, hi_s)
+        uc = unit(col, lo_c, hi_c)
+        verts["packed_position"][sl] = (_pack_unorm(up[:, 0], 21, 11)
+                                        | _pack_unorm(up[:, 1], 11, 10)
+                                        | _pack_unorm(up[:, 2], 0, 11))
+        verts["packed_scale"][sl] = (_pack_unorm(us[:, 0], 21, 11)
+                                     | _pack_unorm(us[:, 1], 11, 10)
+                                     | _pack_unorm(us[:, 2], 0, 11))
+        verts["packed_color"][sl] = (_pack_unorm(uc[:, 0], 24, 8)
+                                     | _pack_unorm(uc[:, 1], 16, 8)
+                                     | _pack_unorm(uc[:, 2], 8, 8)
+                                     | _pack_unorm(opacity[sl], 0, 8))
+
+    # 2-bit largest-component quaternion: ``which`` selects the LARGEST of
+    # (w, x, y, z); the other three are stored in the decoder's layout
+    # (which=0 stores (x,y,z); 1 -> (w,y,z); 2 -> (w,x,z); 3 -> (w,x,y))
+    q = ds.rotations / np.maximum(
+        np.linalg.norm(ds.rotations, axis=-1, keepdims=True), 1e-12)
+    wxyz = np.stack([q[:, 3], q[:, 0], q[:, 1], q[:, 2]], -1)
+    which = np.argmax(np.abs(wxyz), axis=-1)
+    sign = np.sign(np.take_along_axis(wxyz, which[:, None], 1)[:, 0])
+    wxyz = wxyz * np.where(sign == 0, 1.0, sign)[:, None]
+    stored = np.empty((n, 3), np.float32)
+    for w_val, keep in ((0, (1, 2, 3)), (1, (0, 2, 3)), (2, (0, 1, 3)),
+                        (3, (0, 1, 2))):
+        m = which == w_val
+        stored[m] = wxyz[m][:, keep]
+    norm = np.sqrt(2.0) * 0.5
+    u = stored * norm + 0.5
+    verts["packed_rotation"] = (which.astype(np.uint32) << np.uint32(30)
+                                | _pack_unorm(u[:, 0], 20, 10)
+                                | _pack_unorm(u[:, 1], 10, 10)
+                                | _pack_unorm(u[:, 2], 0, 10))
+
+    header = ["ply", "format binary_little_endian 1.0",
+              f"element chunk {n_chunks}"]
+    header += [f"property float {f}" for f in chunk_fields]
+    header += [f"element vertex {n}"]
+    header += [f"property uint {f}" for f in vdt.names]
+    header.append("end_header")
+    out = (("\n".join(header) + "\n").encode("ascii")
+           + chunks.tobytes() + verts.tobytes())
+    if path is not None:
+        if hasattr(path, "write"):
+            path.write(out)
+        else:
+            with open(path, "wb") as f:
+                f.write(out)
+    return out
+
+
 # --- Writer (for tests / interop) -------------------------------------------------
 
 def write_ply(ds: GaussianDataset, path, *, log_scale: bool = True,

@@ -289,3 +289,45 @@ def test_ply_nonstandard_sh_count_keeps_file_stride():
         for c in range(3):
             np.testing.assert_array_equal(out.harmonics[:, 1 + c, ch],
                                           harm[:, 1 + c, ch])
+
+
+def test_splat_roundtrip():
+    """antimatter15 .splat format: write -> load preserves everything within
+    the format's u8 quantization."""
+    from gsm_renderer_tpu.io import splat
+    ds = make_ds(80, sh_degree=0, seed=13)
+    ds.opacities = np.clip(ds.opacities, 0.05, 0.95)
+    data = splat.write_splat(ds)
+    assert len(data) == 80 * 32
+    out = splat.load_splat(data)
+    assert out.count == 80
+    np.testing.assert_allclose(out.positions, ds.positions, atol=1e-6)
+    np.testing.assert_allclose(out.scales, ds.scales, rtol=1e-6)
+    np.testing.assert_allclose(out.opacities, ds.opacities, atol=1 / 255)
+    np.testing.assert_allclose(out.harmonics, ds.harmonics, atol=1 / 255 / 0.28)
+    dots = np.abs(np.sum(out.rotations * ds.rotations, -1))
+    np.testing.assert_allclose(dots, 1.0, atol=2e-4)
+
+
+def test_compressed_ply_roundtrip():
+    """write_compressed_ply output must decode through the compressed loader
+    within the format's quantization (11/10-bit pos+scale, 10-bit quat, 8-bit
+    color)."""
+    ds = make_ds(600, sh_degree=0, seed=21)
+    ds.opacities = np.clip(ds.opacities, 0.02, 0.98)
+    data = ply.write_compressed_ply(ds)
+    out = ply.load_ply(data)
+    assert out.count == 600
+    # loader recenters; compare after recentering the source
+    span = (ds.positions.max(0) - ds.positions.min(0)).max()
+    center = 0.5 * (out.positions.min(0) + out.positions.max(0))
+    src_center = 0.5 * (ds.positions.min(0) + ds.positions.max(0))
+    np.testing.assert_allclose(out.positions + center,
+                               ds.positions - src_center + center,
+                               atol=span / 1024 * 2 + 1e-4)
+    np.testing.assert_allclose(np.log(out.scales), np.log(ds.scales),
+                               atol=2e-2)
+    np.testing.assert_allclose(out.opacities, ds.opacities, atol=1.5 / 255)
+    np.testing.assert_allclose(out.harmonics, ds.harmonics, atol=2.5 / 255 / 0.28)
+    dots = np.abs(np.sum(out.rotations * ds.rotations, -1))
+    np.testing.assert_allclose(dots, 1.0, atol=3e-3)
