@@ -331,3 +331,42 @@ def test_compressed_ply_roundtrip():
     np.testing.assert_allclose(out.harmonics, ds.harmonics, atol=2.5 / 255 / 0.28)
     dots = np.abs(np.sum(out.rotations * ds.rotations, -1))
     np.testing.assert_allclose(dots, 1.0, atol=3e-3)
+
+
+def test_camera_poses_json():
+    """INRIA cameras.json and nerfstudio transforms.json both decode to
+    CameraParams whose view matrix maps the camera center to the origin and
+    projects a point in front of the camera to the expected pixel."""
+    import json
+    from gsm_renderer_tpu.io import poses
+
+    rot = np.eye(3).tolist()  # camera looking +z (OpenCV c2w identity)
+    entry = dict(id=0, img_name="r_0", width=640, height=480,
+                 position=[1.0, 2.0, 3.0], rotation=rot, fx=500.0, fy=500.0)
+    cams = poses.load_cameras_json(json.dumps([entry]))
+    assert len(cams) == 1
+    cam, w, h, name = cams[0]
+    assert (w, h, name) == (640, 480, "r_0")
+    vp = cam.view_matrix @ np.array([1.0, 2.0, 3.0, 1.0])
+    np.testing.assert_allclose(vp[:3], 0.0, atol=1e-6)
+    # a point 2 units in front, 0.1 right: pixel x = cx + fx*0.1/2
+    import gsm_renderer_tpu.mathlib as M
+    p = np.array([[1.1, 2.0, 5.0]], np.float32)
+    _vp, ndc, depth, in_front = M.project_points(
+        p, cam.view_matrix, cam.projection_matrix, 0.01)
+    assert bool(in_front[0]) and float(depth[0]) > 0
+    px = (float(ndc[0, 0]) + 1) * 0.5 * 640
+    np.testing.assert_allclose(px, 320 + 500 * 0.1 / 2.0, rtol=1e-5)
+
+    # nerfstudio: identity transform looks down -z (OpenGL); the same
+    # world point at z=-5 must project in front
+    meta = dict(fl_x=500.0, fl_y=500.0, w=640, h=480, frames=[
+        dict(transform_matrix=np.eye(4).tolist(), file_path="f0")])
+    cams2 = poses.load_transforms_json(json.dumps(meta))
+    cam2 = cams2[0][0]
+    p2 = np.array([[0.1, 0.0, -5.0]], np.float32)
+    _vp, ndc2, depth2, in_front2 = M.project_points(
+        p2, cam2.view_matrix, cam2.projection_matrix, 0.01)
+    assert bool(in_front2[0])
+    px2 = (float(ndc2[0, 0]) + 1) * 0.5 * 640
+    np.testing.assert_allclose(px2, 320 + 500 * 0.1 / 5.0, rtol=1e-5)
