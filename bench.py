@@ -17,10 +17,24 @@ batches with a single scalar fetch at the end, divided by the batch size.
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+
+def _enable_compile_cache():
+    """Persistent compilation cache: remote (tunneled) compiles take 20-300 s;
+    caching makes repeated bench/profiling runs start in seconds."""
+    try:
+        import jax
+        cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
 
 TARGET_MS = 16.6
 
@@ -78,6 +92,7 @@ def measure_overhead():
 
 
 def main():
+    _enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--gaussians", type=int, default=1_000_000)
     ap.add_argument("--width", type=int, default=1920)

@@ -268,7 +268,8 @@ def _add_scan_exclusive(x):
 def _row_blend_kernel(starts_ref, counts_ref, oyoff_ref, table_ref, *rest,
                       tiles_x: int, tile_w: int, tile_h: int,
                       blocks_per_dma: int, depth_mode: str = "weighted",
-                      r2_cutoff: float = 0.0, warped: bool = False):
+                      r2_cutoff: float = 0.0, warped: bool = False,
+                      skip_period: int = 0):
     """One grid step = one tile row.
 
     DMA latency is hidden with tile-level double buffering: while tile t's first
@@ -338,7 +339,8 @@ def _row_blend_kernel(starts_ref, counts_ref, oyoff_ref, table_ref, *rest,
                 pxa = px_row + ox                     # (1, P) absolute pixel x
                 pya = py_row + oy
 
-            def compute_chunk(c, buf2, acc, trans, fh):
+            def compute_chunk(c, buf2, acc, trans, fh,
+                              first_chunk=False):
                 # Decode the whole chunk's records ONCE at (r_dma, 128) shape —
                 # per-sub-block decode on (128, 1) vectors uses 1/256th of the
                 # VPU and dominated the kernel.  Transposed to (128, r_dma) so
@@ -372,12 +374,18 @@ def _row_blend_kernel(starts_ref, counts_ref, oyoff_ref, table_ref, *rest,
                 def sub_block(rb, carry2):
                     acc2, trans2, fh2 = carry2
                     g0 = (blk0 + c * r_dma + rb) * LANES
-                    # skip sub-blocks past the tile's span AND saturated
-                    # sub-blocks (every pixel's transmittance below 1/255 —
-                    # the reference's early-exit at 128-instance granularity,
-                    # DepthFirstShaders.metal:1745-1747)
-                    alive = jnp.logical_and(
-                        g0 < end, jnp.max(trans2) >= MIN_TRANSMITTANCE)
+                    # skip sub-blocks past the tile's span AND (every
+                    # ``skip_period``-th sub-block) saturated ones — the
+                    # reference's early-exit at 128-instance granularity
+                    # (DepthFirstShaders.metal:1745-1747).  The saturation
+                    # check is a vector->scalar reduction feeding a branch,
+                    # which stalls the VPU pipeline, so its frequency is a
+                    # measured tuning knob (0 disables it).
+                    alive = g0 < end
+                    if skip_period > 0 and (rb % skip_period == 0) and \
+                            not (first_chunk and rb == 0):
+                        alive = jnp.logical_and(
+                            alive, jnp.max(trans2) >= MIN_TRANSMITTANCE)
 
                     def live(carry3):
                         acc3, trans3, fh3 = carry3
@@ -402,13 +410,17 @@ def _row_blend_kernel(starts_ref, counts_ref, oyoff_ref, table_ref, *rest,
 
                         om = 1.0 - alpha
                         texcl, ttot = _mult_scan_exclusive(om)
-                        w = alpha * (trans3 * texcl)   # (128, P)
+                        # fold the per-pixel running transmittance into the
+                        # (P, 4) contribution instead of the (128, P) weights
+                        # (same math; one large multiply becomes a small one)
+                        w = alpha * texcl              # (128, P)
 
                         cols = jnp.concatenate([cr, cg, cb, gdepth], axis=1)
                         contrib = jax.lax.dot_general(
                             w, cols, (((0,), (0,)), ((), ())),
                             precision=jax.lax.Precision.HIGHEST,
                             preferred_element_type=jnp.float32)  # (P, 4)
+                        contrib = contrib * jnp.transpose(trans3)  # (P, 1)
                         if first_hit:
                             # depth of the first alpha > 0.1 instance
                             # (LocalShaders.metal:529-537): fh row0 = hit count,
@@ -438,7 +450,8 @@ def _row_blend_kernel(starts_ref, counts_ref, oyoff_ref, table_ref, *rest,
             trans0 = jnp.ones((1, pix), jnp.float32)
             fh0 = jnp.zeros((2, pix), jnp.float32)
             # chunk 0 from the double buffer
-            acc, trans, fh = compute_chunk(0, buf, acc0, trans0, fh0)
+            acc, trans, fh = compute_chunk(0, buf, acc0, trans0, fh0,
+                                           first_chunk=True)
 
             # Rare extra chunks: synchronous DMA into this tile's buffer.  The
             # early-exit transmittance check is carried as a scalar and only
@@ -496,12 +509,13 @@ def _row_blend_kernel(starts_ref, counts_ref, oyoff_ref, table_ref, *rest,
 @functools.partial(jax.jit, static_argnames=("tiles_x", "tiles_y", "tile_w",
                                              "tile_h", "blocks_per_dma",
                                              "interpret", "depth_mode",
-                                             "r2_cutoff"))
+                                             "r2_cutoff", "skip_period"))
 def blend_tiles_pallas(table, starts, counts, *, tiles_x: int, tiles_y: int,
                        tile_w: int = 16, tile_h: int = 16,
                        blocks_per_dma: int = 4, interpret: bool = False,
                        depth_mode: str = "weighted", r2_cutoff: float = 0.0,
-                       tile_row_offset=None, pixel_coords=None):
+                       tile_row_offset=None, pixel_coords=None,
+                       skip_period: int = 0):
     """Production blend.  Returns (tile_color (T, P, 4), tile_depth (T, P)).
 
     ``table``: (CB, 4, 128) record-word table (from :func:`build_words_table`)
@@ -542,7 +556,7 @@ def blend_tiles_pallas(table, starts, counts, *, tiles_x: int, tiles_y: int,
     kernel = functools.partial(_row_blend_kernel, tiles_x=tiles_x, tile_w=tile_w,
                                tile_h=tile_h, blocks_per_dma=blocks_per_dma,
                                depth_mode=depth_mode, r2_cutoff=r2_cutoff,
-                               warped=warped)
+                               warped=warped, skip_period=skip_period)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((tiles_y, 8, txp, pix), jnp.float32),

@@ -182,7 +182,8 @@ def _expand_kernel(r0_ref, total_ref, rowoff_ref, tab_hbm,
     # Invariant: off_win[r0 - row0*128] <= first slot of the block.
     lo = jnp.broadcast_to((r0 - row0 * LANES).astype(jnp.int32),
                           (BLK_SUB, LANES))
-    step = 1024  # power-of-two ascent covering the window (BLK+1 entries)
+    # power-of-two ascent covering the window (BLK+1 entries)
+    step = 1 << (BLK - 1).bit_length()
     while step >= 1:
         cand = lo + step
         val = _win_at(off_win, jnp.minimum(cand, WIN - 1))
@@ -244,17 +245,15 @@ def _expand_kernel(r0_ref, total_ref, rowoff_ref, tab_hbm,
 
 
 def _pad_rows(x, n):
-    """Pad a per-gaussian table to whole window rows and reshape to
-    (rows, [K,] 128) int32."""
+    """Pad a per-gaussian word plane to whole window rows: (rows, 1, 128) i32.
+
+    Planes are padded/reshaped individually and concatenated on the middle
+    axis by the caller — a strided copy; transposing a stacked (N, K) array's
+    minor dims costs ~9 ms at 4M on TPU (see CLAUDE.md)."""
     np_rows = -(-(n + 1) // LANES) + WIN_ROWS
     pad_to = np_rows * LANES - x.shape[0]
-    if x.ndim == 1:
-        x = jnp.pad(x, (0, pad_to))
-        return x.view(jnp.int32).reshape(np_rows, LANES)
-    x = jnp.pad(x, ((0, pad_to), (0, 0)))
-    k = x.shape[1]
-    return jnp.transpose(x.view(jnp.int32).reshape(np_rows, LANES, k),
-                         (0, 2, 1))
+    x = jnp.pad(x, (0, pad_to))
+    return x.view(jnp.int32).reshape(np_rows, 1, LANES)
 
 
 @functools.partial(jax.jit, static_argnames=("capacity", "tiles_x",
@@ -281,7 +280,9 @@ def expand_slots_pallas(counts, rect_word, aux_words, *, capacity: int,
     assert c % BLK == 0, f"capacity {c} must be a multiple of {BLK}"
     n_blocks = c // BLK
     n = rect_word.shape[0]
-    n_aux = aux_words.shape[1]
+    aux_list = ([aux_words[:, k] for k in range(aux_words.shape[1])]
+                if not isinstance(aux_words, (list, tuple)) else list(aux_words))
+    n_aux = len(aux_list)
 
     counts = counts.astype(jnp.int32)
     offsets = jnp.cumsum(counts)
@@ -302,17 +303,16 @@ def expand_slots_pallas(counts, rect_word, aux_words, *, capacity: int,
     pad_to = np_rows * LANES - (n + 1)
     off_t = jnp.pad(offsets_ex, (0, pad_to),
                     constant_values=OFFSET_PAD).reshape(np_rows, LANES)
-    rect_t = _pad_rows(rect_word, n)
-    aux_t = _pad_rows(aux_words, n)
+    planes = [_pad_rows(rect_word, n)] + [_pad_rows(a, n) for a in aux_list]
     # align row counts and pack as planes of ONE combined table (one DMA per
-    # block window): [offsets, rect, aux_0 .. aux_{K-1}]
-    rows = max(off_t.shape[0], rect_t.shape[0])
+    # block window): [offsets, rect, aux_0 .. aux_{K-1}] — plane-wise concat,
+    # never a minor-dim transpose (CLAUDE.md gotcha)
+    rows = max(off_t.shape[0], planes[0].shape[0])
     off_t = jnp.pad(off_t, ((0, rows - off_t.shape[0]), (0, 0)),
                     constant_values=OFFSET_PAD)
-    rect_t = jnp.pad(rect_t, ((0, rows - rect_t.shape[0]), (0, 0)))
-    aux_t = jnp.pad(aux_t, ((0, rows - aux_t.shape[0]), (0, 0), (0, 0)))
-    tab = jnp.concatenate([off_t[:, None, :], rect_t[:, None, :], aux_t],
-                          axis=1)  # (rows, 2 + n_aux, 128)
+    planes = [jnp.pad(p, ((0, rows - p.shape[0]), (0, 0), (0, 0)))
+              for p in planes]
+    tab = jnp.concatenate([off_t[:, None, :]] + planes, axis=1)
 
     if tile_row_offset is None:
         tile_row_offset = jnp.zeros((), jnp.int32)
@@ -365,7 +365,9 @@ def expand_slots_xla(counts, rect_word, aux_words, *, capacity: int,
     r = sm.j - q * rect_w
     tile = ((min_ty + q) * tiles_x + min_tx + r).astype(jnp.uint32)
 
-    aux = aux_words[rank]  # (C, K)
+    aux_list = ([aux_words[:, k] for k in range(aux_words.shape[1])]
+                if not isinstance(aux_words, (list, tuple)) else list(aux_words))
+    aux = [a.astype(jnp.uint32)[rank] for a in aux_list]  # K x (C,)
     slot = jnp.arange(capacity, dtype=jnp.int32)
     dead = (slot >= sm.total) | culled
     if exact_test:
@@ -373,16 +375,16 @@ def expand_slots_xla(counts, rect_word, aux_words, *, capacity: int,
                   else tile_row_offset.astype(jnp.int32))
         t_x = (tile.astype(jnp.int32) % tiles_x)
         t_y = (tile.astype(jnp.int32) // tiles_x) + rowoff
-        passes = _exact_tile_test(aux[:, 1], aux[:, 2], aux[:, 3], aux[:, 4],
+        passes = _exact_tile_test(aux[1], aux[2], aux[3], aux[4],
                                   t_x, t_y, float(tile_w), float(tile_h),
                                   alpha_threshold)
         dead = dead | ~passes
     if fused_depth16:
-        key = (tile << 16) | (aux[:, 0] & jnp.uint32(0xFFFF))
+        key = (tile << 16) | (aux[0] & jnp.uint32(0xFFFF))
     else:
         key = tile
     key = jnp.where(dead, jnp.uint32(SENTINEL), key)
     outs = [key]
-    for k in range(aux.shape[1]):
-        outs.append(jnp.where(dead, jnp.uint32(0), aux[:, k]))
+    for a in aux:
+        outs.append(jnp.where(dead, jnp.uint32(0), a))
     return tuple(outs) + (sm.total, sm.overflow)

@@ -141,8 +141,10 @@ def fused_binning_words(visible, min_tx, min_ty, max_tx, rect_count,
     rect_word = jnp.where(visible, rect_word,
                           rect_word | jnp.uint32(E.CULLED_BIT))
     counts = jnp.maximum(rect_count, 1)
-    aux = jnp.stack([depth_sort_word.astype(jnp.uint32)]
-                    + [w.astype(jnp.uint32) for w in word_list], axis=1)
+    # word LIST, not an (N, K) stack: the expand table is built plane-wise
+    # ((N, K) stacks force a minor-dim transpose — CLAUDE.md gotcha)
+    aux = ([depth_sort_word.astype(jnp.uint32)]
+           + [w.astype(jnp.uint32) for w in word_list])
 
     expand = E.expand_slots_pallas if use_pallas else E.expand_slots_xla
     kw = {} if not use_pallas else {"interpret": interpret}
