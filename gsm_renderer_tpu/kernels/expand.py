@@ -32,10 +32,11 @@ from jax.experimental.pallas import tpu as pltpu
 Array = Any
 
 LANES = 128
-BLK_SUB = 8                   # sublanes per slot block
-BLK = BLK_SUB * LANES         # 4096 slots per grid step
+BLK_SUB = 32                  # sublanes per slot block (measured: 32 > 16 > 8)
+BLK = BLK_SUB * LANES         # slots per grid step
 WIN_ROWS = BLK_SUB + 2        # gaussian window rows (BLK+1 gaussians + misalign)
 WIN = WIN_ROWS * LANES
+DMA_DEPTH = 3                 # window buffers in flight (latency ~us per DMA)
 
 # Plain Python ints (module-level jnp arrays become device-committed closure
 # constants that trip jax 0.9.0's constant-argument dispatch on CPU).
@@ -44,26 +45,6 @@ SENTINEL = 0xFFFFFFFF
 CULLED_BIT = 1 << 30
 # offsets-table padding: larger than any slot index
 OFFSET_PAD = 0x7FFFFFFF
-
-
-def _windowed_gather(win, widx, wlane):
-    """Gather win[widx, wlane] where ``win`` is (WIN_ROWS, 128) i32 in VMEM and
-    ``widx``/``wlane`` are (BLK_SUB, 128) i32 with widx < WIN_ROWS.
-
-    Implemented as WIN_ROWS masked lane-gathers (cross-row dynamic indexing is
-    not available on the VPU; lane-wise ``take_along_axis`` is).
-    """
-    out = jnp.zeros(widx.shape, jnp.int32)
-    for k in range(WIN_ROWS):
-        row = jnp.broadcast_to(win[k:k + 1, :], widx.shape)  # (BLK_SUB, 128)
-        vals = jnp.take_along_axis(row, wlane, axis=1)
-        out = jnp.where(widx == k, vals, out)
-    return out
-
-
-def _win_at(win, idx):
-    """windowed gather by flat window index (0 <= idx < WIN)."""
-    return _windowed_gather(win, idx >> 7, idx & 127)
 
 
 def _f16_bits_to_f32(bits_u32):
@@ -130,7 +111,7 @@ def _exact_tile_test(w0, w1, w2, w3, tx, ty, tile_w, tile_h, alpha_threshold):
     return d2min <= cutoff
 
 
-def _expand_kernel(r0_ref, total_ref, rowoff_ref, tab_hbm,
+def _expand_kernel(r0_ref, total_ref, rowoff_ref, rowbase_ref, tab_hbm,
                    *out_args, tiles_x: int, n_aux: int, fused_depth16: bool,
                    exact_test: bool, tile_w: int, tile_h: int,
                    alpha_threshold: float):
@@ -142,6 +123,13 @@ def _expand_kernel(r0_ref, total_ref, rowoff_ref, tab_hbm,
     i computes, block i+1's window is already in flight (the synchronous
     copy-then-compute version exposed the full DMA latency on every one of the
     thousands of blocks and dominated the kernel).
+
+    The slot->gaussian search exploits per-SUBLANE-ROW base ranks precomputed
+    in XLA (``rowbase_ref``): a row of 128 slots spans at most 128 gaussians
+    from its base rank, so every lookup touches exactly TWO window rows
+    selected once per block — ~28 lane-gathers per block instead of ~170
+    masked gathers over the full 10-row window (gathers dominated the kernel;
+    measured 9.1 ms -> the masked full-window form at 1M/4M slots).
     """
     out_refs = out_args[:1 + n_aux]
     win, sem = out_args[1 + n_aux:]
@@ -155,49 +143,81 @@ def _expand_kernel(r0_ref, total_ref, rowoff_ref, tab_hbm,
         return pltpu.make_async_copy(tab_hbm.at[pl.ds(row, WIN_ROWS)],
                                      win.at[buf], sem.at[buf])
 
-    slot_buf = jax.lax.rem(i, 2)
+    slot_buf = jax.lax.rem(i, DMA_DEPTH)
 
     @pl.when(i == 0)
     def _():
-        dma(0, 0).start()
+        # prime the pipeline: DMA_DEPTH - 1 windows in flight (grid size is
+        # static, so the bound is a Python min)
+        for j in range(min(DMA_DEPTH - 1, nb)):
+            dma(j % DMA_DEPTH, j).start()
 
     dma(slot_buf, i).wait()
 
-    @pl.when(i + 1 < nb)
+    @pl.when(i + DMA_DEPTH - 1 < nb)
     def _():
-        dma(1 - slot_buf, i + 1).start()
+        dma(jax.lax.rem(i + DMA_DEPTH - 1, DMA_DEPTH), i + DMA_DEPTH - 1).start()
 
     wblk = win[slot_buf]                      # (WIN_ROWS, 2 + n_aux, LANES)
-    off_win = wblk[:, 0, :]
-    rect_win = wblk[:, 1, :]
 
     # slot ids for this block
     sub_iota = jax.lax.broadcasted_iota(jnp.int32, (BLK_SUB, LANES), 0)
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (BLK_SUB, LANES), 1)
     slot = i * BLK + sub_iota * LANES + lane_iota
 
-    # Vectorized binary search: largest window index k with
-    # off_win[k] <= slot.  Offsets are strictly increasing (count >= 1) and
-    # the window is padded with OFFSET_PAD past the last gaussian.
-    # Invariant: off_win[r0 - row0*128] <= first slot of the block.
-    lo = jnp.broadcast_to((r0 - row0 * LANES).astype(jnp.int32),
-                          (BLK_SUB, LANES))
-    # power-of-two ascent covering the window (BLK+1 entries)
-    step = 1 << (BLK - 1).bit_length()
+    # Window-local base rank per sublane row (rank of the row's first slot).
+    # rowbase_ref block: (1, 1, 128) with the row bases in lanes 0..BLK_SUB-1.
+    base_row = rowbase_ref[0]                 # (1, 128)
+    base0 = row0 * LANES
+    b = jnp.zeros((BLK_SUB, LANES), jnp.int32)
+    for r in range(BLK_SUB):
+        b = jnp.where(sub_iota == r, base_row[0:1, r:r + 1] - base0, b)
+    w_r = b >> 7                              # constant within each row
+
+    def two_rows(plane):
+        """The two window rows every lookup of this block's row can touch."""
+        rowA = jnp.zeros((BLK_SUB, LANES), jnp.int32)
+        rowB = jnp.zeros((BLK_SUB, LANES), jnp.int32)
+        for k in range(WIN_ROWS - 1):
+            sel = w_r == k
+            rowA = jnp.where(sel, wblk[k:k + 1, plane, :], rowA)
+            rowB = jnp.where(sel, wblk[k + 1:k + 2, plane, :], rowB)
+        return rowA, rowB
+
+    offA, offB = two_rows(0)
+
+    def off_at(idx):
+        """offsets[idx] for window-local idx in [b, b+127]."""
+        lane = idx & 127
+        hi = (idx >> 7) != w_r
+        va = jnp.take_along_axis(offA, lane, axis=1)
+        vb = jnp.take_along_axis(offB, lane, axis=1)
+        return jnp.where(hi, vb, va)
+
+    # Per-row binary search: rank(slot) - b <= lane < 128 (offsets strictly
+    # increasing), so a 7-step ascent suffices; track offsets[lo] alongside.
+    lo = b
+    lo_val = off_at(b)
+    step = 64
     while step >= 1:
         cand = lo + step
-        val = _win_at(off_win, jnp.minimum(cand, WIN - 1))
-        ok = jnp.logical_and(cand <= WIN - 1, val <= slot)
+        val = off_at(cand)
+        ok = val <= slot
         lo = jnp.where(ok, cand, lo)
+        lo_val = jnp.where(ok, val, lo_val)
         step //= 2
 
-    local = lo                      # window-local gaussian index
-    widx = local >> 7
-    wlane = local & 127
-    jj = slot - _windowed_gather(off_win, widx, wlane)
+    jj = slot - lo_val
+    lane_lo = lo & 127
+    hi_lo = (lo >> 7) != w_r
 
-    rect = _windowed_gather(rect_win, widx, wlane)
-    rect_u = pltpu.bitcast(rect, jnp.uint32)
+    def gather_plane(plane):
+        rowA, rowB = two_rows(plane)
+        va = jnp.take_along_axis(rowA, lane_lo, axis=1)
+        vb = jnp.take_along_axis(rowB, lane_lo, axis=1)
+        return jnp.where(hi_lo, vb, va)
+
+    rect_u = pltpu.bitcast(gather_plane(1), jnp.uint32)
     min_tx = (rect_u & jnp.uint32(0x3FF)).astype(jnp.int32)
     min_ty = ((rect_u >> 10) & jnp.uint32(0x3FF)).astype(jnp.int32)
     rect_w = ((rect_u >> 20) & jnp.uint32(0x3FF)).astype(jnp.int32)
@@ -215,8 +235,7 @@ def _expand_kernel(r0_ref, total_ref, rowoff_ref, tab_hbm,
 
     aux_vals = []
     for a in range(n_aux):
-        v = _windowed_gather(wblk[:, 2 + a, :], widx, wlane)
-        aux_vals.append(pltpu.bitcast(v, jnp.uint32))
+        aux_vals.append(pltpu.bitcast(gather_plane(2 + a), jnp.uint32))
 
     dead = jnp.logical_or(slot >= total_ref[0], culled)
     if exact_test:
@@ -291,11 +310,18 @@ def expand_slots_pallas(counts, rect_word, aux_words, *, capacity: int,
     # exclusive offsets, one sentinel-ish tail entry (= total)
     offsets_ex = jnp.concatenate([jnp.zeros(1, jnp.int32), offsets])
 
-    # per-block first gaussian: searchsorted over strictly-increasing offsets
-    block_starts = jnp.arange(n_blocks, dtype=jnp.int32) * BLK
-    block_r0 = (jnp.searchsorted(offsets_ex, block_starts, side="right")
-                .astype(jnp.int32) - 1)
-    block_r0 = jnp.clip(block_r0, 0, n - 1)
+    # per-SUBLANE-ROW first gaussian (rank of every 128th slot): lets the
+    # kernel do all lookups in 2-row windows (see _expand_kernel).  The
+    # sort-based method costs one small 2-operand sort; the default 'scan'
+    # method's serial gather rounds measured ~4 ms at 1M gaussians.
+    row_starts = jnp.arange(n_blocks * BLK_SUB, dtype=jnp.int32) * LANES
+    row_r0 = (jnp.searchsorted(offsets_ex, row_starts, side="right",
+                               method="sort").astype(jnp.int32) - 1)
+    row_r0 = jnp.clip(row_r0, 0, n - 1)
+    # block starts are every BLK_SUB-th row start
+    block_r0 = row_r0[::BLK_SUB]
+    rowbase = jnp.pad(row_r0.reshape(n_blocks, 1, BLK_SUB),
+                      ((0, 0), (0, 0), (0, LANES - BLK_SUB)))
 
     # pad the offsets table with OFFSET_PAD so the binary search never walks
     # past the last gaussian
@@ -319,14 +345,18 @@ def expand_slots_pallas(counts, rect_word, aux_words, *, capacity: int,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_blocks,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[
+            pl.BlockSpec((1, 1, LANES), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),  # rowbase
+            pl.BlockSpec(memory_space=pl.ANY),      # combined table
+        ],
         out_specs=tuple(
             pl.BlockSpec((1, BLK_SUB, LANES), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM)
             for _ in range(1 + n_aux)),
         scratch_shapes=[
-            pltpu.VMEM((2, WIN_ROWS, 2 + n_aux, LANES), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((DMA_DEPTH, WIN_ROWS, 2 + n_aux, LANES), jnp.int32),
+            pltpu.SemaphoreType.DMA((DMA_DEPTH,)),
         ],
     )
     kernel = functools.partial(_expand_kernel, tiles_x=tiles_x, n_aux=n_aux,
@@ -341,7 +371,7 @@ def expand_slots_pallas(counts, rect_word, aux_words, *, capacity: int,
         grid_spec=grid_spec,
         interpret=interpret,
     )(block_r0, total.reshape(1),
-      tile_row_offset.reshape(1).astype(jnp.int32), tab)
+      tile_row_offset.reshape(1).astype(jnp.int32), rowbase, tab)
     return tuple(o.reshape(c) for o in outs) + (total, overflow)
 
 

@@ -172,10 +172,13 @@ def extract_tile_ranges(sorted_tile_key, num_tiles: int):
     Equivalent of ``extractTileRangesKernel`` (DepthFirstShaders.metal:1258-1369),
     which also binary-searches the sorted keys per tile.
     """
-    tiles = jnp.arange(num_tiles, dtype=jnp.uint32)
-    starts = jnp.searchsorted(sorted_tile_key, tiles, side="left").astype(jnp.int32)
-    ends = jnp.searchsorted(sorted_tile_key, tiles, side="right").astype(jnp.int32)
-    return starts, ends - starts
+    # integer keys: end(t) == start(t+1) (nothing sorts strictly between t and
+    # t+1; keys >= num_tiles are sentinels), so ONE search over num_tiles+1
+    # query points yields both bounds
+    tiles = jnp.arange(num_tiles + 1, dtype=jnp.uint32)
+    bounds = jnp.searchsorted(sorted_tile_key, tiles,
+                              side="left").astype(jnp.int32)
+    return bounds[:-1], bounds[1:] - bounds[:-1]
 
 
 def gather_sorted_records(sorted_payload, record_words):
