@@ -48,7 +48,8 @@ def _build(n, w, h, sh_degree, scale_range, renderer="depth_first", seed=7,
                                     scale_range=scale_range)
     cam = G.make_camera(w, h, far=50.0)
     precision = precision or G.Precision.FLOAT32
-    cfg = G.RendererConfig(sh_degree=sh_degree, precision=precision)
+    cfg = G.RendererConfig(sh_degree=sh_degree, precision=precision,
+                           max_width=w, max_height=h)
     cls = {"depth_first": G.DepthFirstRenderer, "global": G.GlobalRenderer,
            "local": G.LocalRenderer, "hardware": G.HardwareRenderer}
     r = cls[renderer](cfg)

@@ -60,6 +60,7 @@ DEFAULT_TILE = (16, 16)
 A1, B1, C1, A2, B2, C2, CR, CG, CB_, CD, COP = range(11)
 
 MIN_TRANSMITTANCE = 1.0 / 255.0
+DMA_DEPTH = 3  # per-tile first-chunk DMAs in flight
 ALPHA_CLAMP = 0.99
 WORD_ROWS = 4  # packed record words per instance in the kernel table
 
@@ -299,7 +300,7 @@ def _row_blend_kernel(starts_ref, counts_ref, oyoff_ref, table_ref, *rest,
         return starts_ref[tid] // LANES
 
     def body(scr, sem):
-        # scr: (2, r_dma, 16, 128) double buffer
+        # scr: (DMA_DEPTH, r_dma, 16, 128) pipelined tile buffers
 
         def start_dma(buf, blk):
             cp = pltpu.make_async_copy(table_ref.at[pl.ds(blk, r_dma)],
@@ -311,11 +312,13 @@ def _row_blend_kernel(starts_ref, counts_ref, oyoff_ref, table_ref, *rest,
             pltpu.make_async_copy(table_ref.at[pl.ds(blk, r_dma)],
                                   scr.at[buf], sem.at[buf]).wait()
 
-        # prefetch tile 0, chunk 0
-        start_dma(0, first_block(ty * tiles_x))
+        # prime the pipeline: first chunks of tiles 0..DMA_DEPTH-2 in flight
+        # (per-copy latency is ~us; one-ahead prefetch left it half exposed)
+        for j in range(min(DMA_DEPTH - 1, tiles_x)):
+            start_dma(j % DMA_DEPTH, first_block(ty * tiles_x + j))
 
         def tile_loop(tx, _):
-            buf = jax.lax.rem(tx, 2)
+            buf = jax.lax.rem(tx, DMA_DEPTH)
             tid = ty * tiles_x + tx
             start = starts_ref[tid]
             count = counts_ref[tid]
@@ -325,10 +328,11 @@ def _row_blend_kernel(starts_ref, counts_ref, oyoff_ref, table_ref, *rest,
                                    r_dma * LANES)
 
             wait_dma(buf, blk0)
-            # prefetch the NEXT tile's first chunk into the other buffer
-            @pl.when(tx + 1 < tiles_x)
+            # keep DMA_DEPTH-1 future tiles' first chunks in flight
+            @pl.when(tx + DMA_DEPTH - 1 < tiles_x)
             def _():
-                start_dma(1 - buf, first_block(tid + 1))
+                start_dma(jax.lax.rem(tx + DMA_DEPTH - 1, DMA_DEPTH),
+                          first_block(tid + DMA_DEPTH - 1))
 
             if warped:
                 pxa = xtab_ref[tx]                    # (1, P) display-space x
@@ -501,8 +505,8 @@ def _row_blend_kernel(starts_ref, counts_ref, oyoff_ref, table_ref, *rest,
 
     pl.run_scoped(
         body,
-        scr=pltpu.VMEM((2, r_dma, WORD_ROWS, LANES), jnp.int32),
-        sem=pltpu.SemaphoreType.DMA((2,)),
+        scr=pltpu.VMEM((DMA_DEPTH, r_dma, WORD_ROWS, LANES), jnp.int32),
+        sem=pltpu.SemaphoreType.DMA((DMA_DEPTH,)),
     )
 
 

@@ -9,9 +9,11 @@ Slots are emitted in gaussian order with every gaussian owning >= 1 slot, so
 the per-gaussian exclusive offsets are *strictly increasing* and a block of BLK
 slots maps to a contiguous window of at most BLK+1 gaussians.  Each grid step:
 
-  1. DMAs its gaussian window of the offsets / rect / record tables into VMEM,
-  2. resolves each slot's owning gaussian with a vectorized binary search over
-     the offsets window (masked ``take_along_axis`` lane gathers),
+  1. DMAs its gaussian window (one combined offsets/rect/record-word table,
+     pipelined DMA_DEPTH deep across grid steps),
+  2. resolves each slot's owning gaussian with a per-row binary search over a
+     TWO-row sub-window selected from per-sublane-row base ranks precomputed
+     in XLA (a row of 128 slots spans at most 128 gaussians),
   3. computes the closed-form tile id (float-reciprocal division) and emits the
      sort key plus K carried record words.
 
