@@ -163,6 +163,26 @@ def main():
         print(f"# stereo: {results['depthfirst_stereo_1m_1080p_sh3']}",
               file=sys.stderr)
 
+        # foveated stereo (rasterization-rate-map equivalent): shades ONLY
+        # physical pixels.  NOTE (measured): re-binning into the physical tile
+        # grid inflates instance rects ~1.3x (tile-boundary straddle), which
+        # on this architecture costs more than the pixel savings at gentle
+        # rate maps — the compress path (render_stereo_foveated_compress) is
+        # then the faster choice; the direct path needs ~1.3x instance
+        # capacity headroom.
+        from gsm_renderer_tpu.stereo import make_rate_maps
+        tgt = make_rate_maps(1920, 1080, min_rate=0.4, radius=0.3)
+        rf = G.DepthFirstRenderer(G.RendererConfig(sh_degree=3,
+                                                   max_instances=8_000_000))
+        fo = rf.render_stereo_foveated(gi, stereo, tgt)
+        stf = time_frames(lambda: rf.render_stereo_foveated(gi, stereo, tgt))
+        results["depthfirst_foveated_1m_sh3"] = dict(
+            ms=round(stf["avg"] - overhead_ms / 5, 3),
+            physical=f"{tgt.render_width}x{tgt.render_height}x2",
+            overflow=int(fo.header.overflow))
+        print(f"# foveated: {results['depthfirst_foveated_1m_sh3']}",
+              file=sys.stderr)
+
     stage_split = None
     if args.stages:
         import gsm_renderer_tpu as G

@@ -65,12 +65,10 @@ def _f16_bits_to_f32(bits_u32):
     return jnp.where(exp == 0, 0.0, val)
 
 
-def _exact_tile_test(w0, w1, w2, w3, tx, ty, tile_w, tile_h, alpha_threshold):
-    """FlashGS-style exact min-quadratic-over-rect test from the quantized
-    record (DepthFirstShaders.metal:181-205, GaussianShared.h:525-593).
-
-    Returns True where the instance's max alpha within its tile reaches tau.
-    """
+def _record_d2min(w0, w1, w2, tile_x0, tile_x1, tile_y0, tile_y1):
+    """Min squared-Mahalanobis distance of the quantized record's ellipse over
+    the pixel rect [tile_x0, tile_x1] x [tile_y0, tile_y1]
+    (minQuadRect, GaussianShared.h:525-564)."""
     mx = _f16_bits_to_f32(w0)
     my = _f16_bits_to_f32(w0 >> 16)
     # Mosaic has no u32->f32 cast; route through i32 (values < 2^31)
@@ -78,8 +76,6 @@ def _exact_tile_test(w0, w1, w2, w3, tx, ty, tile_w, tile_h, alpha_threshold):
         3.14159265358979 / 65535.0)
     s1 = jnp.maximum(_f16_bits_to_f32(w1 >> 16), 1e-4)
     s2 = jnp.maximum(_f16_bits_to_f32(w2), 1e-4)
-    op = ((w3 >> 24) & jnp.uint32(0xFF)).astype(jnp.int32).astype(
-        jnp.float32) * (1.0 / 255.0)
 
     c = jnp.cos(theta)
     s = jnp.sin(theta)
@@ -89,10 +85,10 @@ def _exact_tile_test(w0, w1, w2, w3, tx, ty, tile_w, tile_h, alpha_threshold):
     cb = c * s * (iv1 - iv2)
     cc = s * s * iv1 + c * c * iv2
 
-    xmin = tx.astype(jnp.float32) * tile_w - mx
-    xmax = xmin + tile_w
-    ymin = ty.astype(jnp.float32) * tile_h - my
-    ymax = ymin + tile_h
+    xmin = tile_x0 - mx
+    xmax = tile_x1 - mx
+    ymin = tile_y0 - my
+    ymax = tile_y1 - my
 
     inside = (xmin <= 0.0) & (0.0 <= xmax) & (ymin <= 0.0) & (0.0 <= ymax)
     inv_a = 1.0 / jnp.maximum(ca, 1e-20)
@@ -107,15 +103,44 @@ def _exact_tile_test(w0, w1, w2, w3, tx, ty, tile_w, tile_h, alpha_threshold):
     q4 = quad(jnp.clip(-(cb * inv_a) * ymax, xmin, xmax), ymax)
     d2min = jnp.where(inside, 0.0,
                       jnp.minimum(jnp.minimum(q1, q2), jnp.minimum(q3, q4)))
+    return d2min
 
+
+def _exact_tile_test(w0, w1, w2, w3, tx, ty, tile_w, tile_h, alpha_threshold):
+    """FlashGS-style exact min-quadratic-over-rect test from the quantized
+    record (DepthFirstShaders.metal:181-205, GaussianShared.h:525-593).
+
+    Returns True where the instance's max alpha within its tile reaches tau.
+    """
+    x0 = tx.astype(jnp.float32) * tile_w
+    y0 = ty.astype(jnp.float32) * tile_h
+    d2min = _record_d2min(w0, w1, w2, x0, x0 + tile_w, y0, y0 + tile_h)
+    op = ((w3 >> 24) & jnp.uint32(0xFF)).astype(jnp.int32).astype(
+        jnp.float32) * (1.0 / 255.0)
     tau = max(alpha_threshold, 1e-12)
     cutoff = jnp.where(op < tau, -1.0, -2.0 * jnp.log(tau / jnp.maximum(op, 1e-30)))
     return d2min <= cutoff
 
 
+# Per-pixel cutoff of the stereo/hardware blends (r^2 <= 9,
+# HardwareGaussianShaders.metal:771-780, DepthFirstShaders.metal:1825-1982).
+# Dropping instances whose d2min over the tile exceeds it is OUTPUT-IDENTICAL:
+# the blend zeroes alpha at q > 9 anyway.
+STEREO_R2_CUTOFF = 9.0
+
+
+def _stereo_tile_test(aux_vals, x0, x1, y0, y1):
+    """Dual-eye tile test: keep an instance if EITHER eye's quantized ellipse
+    reaches q <= 9 inside the tile rect (aux words 1..4 = left record,
+    5..8 = right record)."""
+    d2_l = _record_d2min(aux_vals[1], aux_vals[2], aux_vals[3], x0, x1, y0, y1)
+    d2_r = _record_d2min(aux_vals[5], aux_vals[6], aux_vals[7], x0, x1, y0, y1)
+    return jnp.minimum(d2_l, d2_r) <= STEREO_R2_CUTOFF
+
+
 def _expand_kernel(r0_ref, total_ref, rowoff_ref, rowbase_ref, tab_hbm,
                    *out_args, tiles_x: int, n_aux: int, fused_depth16: bool,
-                   exact_test: bool, tile_w: int, tile_h: int,
+                   exact_mode: str, warped: bool, tile_w: int, tile_h: int,
                    alpha_threshold: float):
     """One grid step expands BLK slots.
 
@@ -133,6 +158,9 @@ def _expand_kernel(r0_ref, total_ref, rowoff_ref, rowbase_ref, tab_hbm,
     masked gathers over the full 10-row window (gathers dominated the kernel;
     measured 9.1 ms -> the masked full-window form at 1M/4M slots).
     """
+    if warped:
+        bounds_ref = out_args[0]
+        out_args = out_args[1:]
     out_refs = out_args[:1 + n_aux]
     win, sem = out_args[1 + n_aux:]
     i = pl.program_id(0)
@@ -240,7 +268,7 @@ def _expand_kernel(r0_ref, total_ref, rowoff_ref, rowbase_ref, tab_hbm,
         aux_vals.append(pltpu.bitcast(gather_plane(2 + a), jnp.uint32))
 
     dead = jnp.logical_or(slot >= total_ref[0], culled)
-    if exact_test:
+    if exact_mode == "mono":
         # exclude instances whose max alpha within the tile is below tau
         # (reference excludes them at instance creation —
         # DepthFirstShaders.metal:181-205); aux words 1..4 carry the record.
@@ -250,6 +278,31 @@ def _expand_kernel(r0_ref, total_ref, rowoff_ref, rowbase_ref, tab_hbm,
                                   aux_vals[4], t_x, t_y + rowoff_ref[0],
                                   float(tile_w), float(tile_h),
                                   alpha_threshold)
+        dead = jnp.logical_or(dead, jnp.logical_not(passes))
+    elif exact_mode == "stereo":
+        # dual-eye r^2 <= 9 tile test (output-identical pruning: the stereo
+        # blend zeroes alpha past r^2 = 9 anyway); with ``warped`` the tile
+        # rect comes from the foveated boundary tables (one lane-gather —
+        # the physical tile grid fits in 128 lanes)
+        if warped:
+            bxi = jnp.broadcast_to(bounds_ref[0:1, :], (BLK_SUB, LANES))
+            byi = jnp.broadcast_to(bounds_ref[1:2, :], (BLK_SUB, LANES))
+
+            def bgather(row, idx):
+                v = jnp.take_along_axis(row, jnp.minimum(idx, LANES - 1),
+                                        axis=1)
+                return pltpu.bitcast(v, jnp.float32)
+
+            x0 = bgather(bxi, t_x)
+            x1 = bgather(bxi, t_x + 1)
+            y0 = bgather(byi, t_y)
+            y1 = bgather(byi, t_y + 1)
+        else:
+            x0 = t_x.astype(jnp.float32) * float(tile_w)
+            x1 = x0 + float(tile_w)
+            y0 = t_y.astype(jnp.float32) * float(tile_h)
+            y1 = y0 + float(tile_h)
+        passes = _stereo_tile_test(aux_vals, x0, x1, y0, y1)
         dead = jnp.logical_or(dead, jnp.logical_not(passes))
 
     if fused_depth16:
@@ -283,20 +336,29 @@ def _pad_rows(x, n):
                                              "alpha_threshold"))
 def expand_slots_pallas(counts, rect_word, aux_words, *, capacity: int,
                         tiles_x: int, fused_depth16: bool = False,
-                        interpret: bool = False, exact_test: bool = False,
+                        interpret: bool = False, exact_test=False,
                         tile_w: int = 16, tile_h: int = 16,
                         alpha_threshold: float = 0.005,
-                        tile_row_offset=None):
+                        tile_row_offset=None, warped_bounds=None):
     """Expand per-gaussian tables into per-slot sort operands.
 
     counts:    (N,) int32 instance counts, every entry >= 1
     rect_word: (N,) uint32 packed rect (+ CULLED_BIT for invisible gaussians)
     aux_words: (N, K) uint32 words to carry (depth key, record words, ...)
-    capacity:  static slot count C (multiple of 4096)
+    capacity:  static slot count C (multiple of BLK)
+    exact_test: False | True/"mono" (per-tile alpha-cutoff test from the
+      mono record in aux 1..4) | "stereo" (dual-eye r^2 <= 9 test from the
+      records in aux 1..4 and 5..8)
+    warped_bounds: optional (2, 128) float32 — per-axis tile boundary pixel
+      coordinates for the foveated physical grid (requires tiles <= 127 per
+      axis; only with exact_test="stereo")
 
     Returns (tile_key (C,) uint32, aux_0 ... aux_{K-1} (C,) uint32,
     total () int32, overflow () int32).
     """
+    exact_mode = ("mono" if exact_test is True
+                  else exact_test if isinstance(exact_test, str) else "none")
+    warped = warped_bounds is not None
     c = capacity
     assert c % BLK == 0, f"capacity {c} must be a multiple of {BLK}"
     n_blocks = c // BLK
@@ -344,14 +406,20 @@ def expand_slots_pallas(counts, rect_word, aux_words, *, capacity: int,
 
     if tile_row_offset is None:
         tile_row_offset = jnp.zeros((), jnp.int32)
+    in_specs = [
+        pl.BlockSpec((1, 1, LANES), lambda i, *_: (i, 0, 0),
+                     memory_space=pltpu.VMEM),  # rowbase
+        pl.BlockSpec(memory_space=pl.ANY),      # combined table
+    ]
+    extra_in = []
+    if warped:
+        in_specs.append(pl.BlockSpec((2, LANES), lambda i, *_: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        extra_in.append(warped_bounds.astype(jnp.float32).view(jnp.int32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(n_blocks,),
-        in_specs=[
-            pl.BlockSpec((1, 1, LANES), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),  # rowbase
-            pl.BlockSpec(memory_space=pl.ANY),      # combined table
-        ],
+        in_specs=in_specs,
         out_specs=tuple(
             pl.BlockSpec((1, BLK_SUB, LANES), lambda i, *_: (i, 0, 0),
                          memory_space=pltpu.VMEM)
@@ -363,7 +431,8 @@ def expand_slots_pallas(counts, rect_word, aux_words, *, capacity: int,
     )
     kernel = functools.partial(_expand_kernel, tiles_x=tiles_x, n_aux=n_aux,
                                fused_depth16=fused_depth16,
-                               exact_test=exact_test, tile_w=tile_w,
+                               exact_mode=exact_mode, warped=warped,
+                               tile_w=tile_w,
                                tile_h=tile_h, alpha_threshold=alpha_threshold)
     outs = pl.pallas_call(
         kernel,
@@ -373,15 +442,15 @@ def expand_slots_pallas(counts, rect_word, aux_words, *, capacity: int,
         grid_spec=grid_spec,
         interpret=interpret,
     )(block_r0, total.reshape(1),
-      tile_row_offset.reshape(1).astype(jnp.int32), rowbase, tab)
+      tile_row_offset.reshape(1).astype(jnp.int32), rowbase, tab, *extra_in)
     return tuple(o.reshape(c) for o in outs) + (total, overflow)
 
 
 def expand_slots_xla(counts, rect_word, aux_words, *, capacity: int,
                      tiles_x: int, fused_depth16: bool = False,
-                     exact_test: bool = False, tile_w: int = 16,
+                     exact_test=False, tile_w: int = 16,
                      tile_h: int = 16, alpha_threshold: float = 0.005,
-                     tile_row_offset=None):
+                     tile_row_offset=None, warped_bounds=None):
     """Pure-XLA mirror of :func:`expand_slots_pallas` (oracle + CPU fallback)."""
     from ..ops.binning import build_slot_map
 
@@ -402,7 +471,9 @@ def expand_slots_xla(counts, rect_word, aux_words, *, capacity: int,
     aux = [a.astype(jnp.uint32)[rank] for a in aux_list]  # K x (C,)
     slot = jnp.arange(capacity, dtype=jnp.int32)
     dead = (slot >= sm.total) | culled
-    if exact_test:
+    exact_mode = ("mono" if exact_test is True
+                  else exact_test if isinstance(exact_test, str) else "none")
+    if exact_mode == "mono":
         rowoff = (jnp.zeros((), jnp.int32) if tile_row_offset is None
                   else tile_row_offset.astype(jnp.int32))
         t_x = (tile.astype(jnp.int32) % tiles_x)
@@ -410,6 +481,23 @@ def expand_slots_xla(counts, rect_word, aux_words, *, capacity: int,
         passes = _exact_tile_test(aux[1], aux[2], aux[3], aux[4],
                                   t_x, t_y, float(tile_w), float(tile_h),
                                   alpha_threshold)
+        dead = dead | ~passes
+    elif exact_mode == "stereo":
+        t_x = (tile.astype(jnp.int32) % tiles_x)
+        t_y = (tile.astype(jnp.int32) // tiles_x)
+        if warped_bounds is not None:
+            bx = warped_bounds[0].astype(jnp.float32)
+            by = warped_bounds[1].astype(jnp.float32)
+            x0 = bx[t_x]
+            x1 = bx[jnp.minimum(t_x + 1, bx.shape[0] - 1)]
+            y0 = by[t_y]
+            y1 = by[jnp.minimum(t_y + 1, by.shape[0] - 1)]
+        else:
+            x0 = t_x.astype(jnp.float32) * float(tile_w)
+            x1 = x0 + float(tile_w)
+            y0 = t_y.astype(jnp.float32) * float(tile_h)
+            y1 = y0 + float(tile_h)
+        passes = _stereo_tile_test(aux, x0, x1, y0, y1)
         dead = dead | ~passes
     if fused_depth16:
         key = (tile << 16) | (aux[0] & jnp.uint32(0xFFFF))

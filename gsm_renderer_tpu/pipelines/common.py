@@ -124,10 +124,10 @@ def sorted_instance_attrs(sorted_words, sorted_tile_key, *, tiles_x: int,
 def fused_binning_words(visible, min_tx, min_ty, max_tx, rect_count,
                         depth_sort_word, word_list, *, capacity: int,
                         tiles_x: int, fused_depth16: bool, use_pallas: bool,
-                        interpret: bool = False, exact_test: bool = False,
+                        interpret: bool = False, exact_test=False,
                         tile_w: int = 16, tile_h: int = 16,
                         alpha_threshold: float = 0.005,
-                        tile_row_offset=None):
+                        tile_row_offset=None, warped_bounds=None):
     """Core fused binning over arbitrary carried word lists (mono carries the
     4-word record; stereo carries 8 words = both eyes' records).
 
@@ -152,7 +152,8 @@ def fused_binning_words(visible, min_tx, min_ty, max_tx, rect_count,
                   fused_depth16=fused_depth16, exact_test=exact_test,
                   tile_w=tile_w, tile_h=tile_h,
                   alpha_threshold=alpha_threshold,
-                  tile_row_offset=tile_row_offset, **kw)
+                  tile_row_offset=tile_row_offset,
+                  warped_bounds=warped_bounds, **kw)
     key, d_slot = outs[0], outs[1]
     slot_words = outs[2:-2]
     total, overflow = outs[-2], outs[-1]

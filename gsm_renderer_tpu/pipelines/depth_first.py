@@ -221,10 +221,15 @@ def depth_first_stereo_frame(
     words_r = pack_record_words(pr.record_right)
     word_list = ([words_l[:, k] for k in range(4)]
                  + [words_r[:, k] for k in range(4)])
+    # dual-eye r^2 <= 9 tile test at expansion: output-identical pruning of
+    # union-rect instances whose ellipses miss the tile entirely (the blend
+    # zeroes alpha past r^2 = 9; the reference skips those instances per
+    # pixel instead — DepthFirstShaders.metal:1915-1935)
     sorted_tile, sw, _total, overflow = fused_binning_words(
         pr.visible, pr.min_tx, pr.min_ty, pr.max_tx, pr.rect_count,
         pr.depth_key, word_list, capacity=capacity, tiles_x=tiles_x,
-        fused_depth16=False, use_pallas=not use_xla_blend, interpret=interpret)
+        fused_depth16=False, use_pallas=not use_xla_blend, interpret=interpret,
+        exact_test="stereo", tile_w=tile_w, tile_h=tile_h)
     starts, counts = B.extract_tile_ranges(sorted_tile, num_tiles)
 
     eyes = []
@@ -313,7 +318,7 @@ def depth_first_stereo_foveated_frame(
     gi: GaussianInput,
     views: Array, projs: Array, centers: Array, scene_transform: Array,
     lut_x_lo: Array, lut_x_hi: Array, lut_y_lo: Array, lut_y_hi: Array,
-    coord_x: Array, coord_y: Array,
+    coord_x: Array, coord_y: Array, warp_bounds: Array,
     *,
     display_width: int, display_height: int,
     render_width: int, render_height: int, capacity: int,
@@ -330,10 +335,18 @@ def depth_first_stereo_foveated_frame(
     display-space coordinates come from the warp tables).
 
     Projection/culling happen in display space; binning maps each gaussian's
-    display tile rect to physical tiles through the conservative LUTs; the
-    blend evaluates alpha at the warped per-pixel display coordinates.  Cost
-    scales with the PHYSICAL pixel count — foveation makes the frame cheaper,
-    not more expensive.
+    display tile rect to physical tiles through the conservative LUTs (the
+    in-kernel dual-eye tile test then drops boundary-straddle slop); the
+    blend evaluates alpha at the warped per-pixel display coordinates, so the
+    blend cost scales with the PHYSICAL pixel count.
+
+    Measured caveat (real chip, 1M/SH3, min_rate 0.4): the physical-grid
+    re-binning still inflates instance COUNTS ~1.3x (capacity pressure +
+    longer sort), which at gentle rate maps outweighs the pixel savings —
+    prefer render_stereo_foveated_compress there, and give this path ~1.3x
+    instance-capacity headroom.  Apple's rasterization-rate-map hardware has
+    no analogous cost: it keeps binning in display space and the raster
+    simply shades fewer fragments.
     """
     from ..ops.project import stereo_project_and_cull
 
@@ -364,10 +377,16 @@ def depth_first_stereo_foveated_frame(
     words_r = pack_record_words(pr.record_right)
     word_list = ([words_l[:, k] for k in range(4)]
                  + [words_r[:, k] for k in range(4)])
+    # dual-eye r^2 <= 9 test against the WARPED physical tile rects (the
+    # boundary tables) — this kills the tile-granular inflation of the
+    # conservative display->physical rect mapping, which otherwise makes the
+    # foveated frame carry MORE instances than full-res stereo
     sorted_tile, sw, _total, overflow = fused_binning_words(
         visible, min_tx, min_ty, max_tx, rect_count,
         pr.depth_key, word_list, capacity=capacity, tiles_x=tiles_x,
-        fused_depth16=False, use_pallas=not use_xla_blend, interpret=interpret)
+        fused_depth16=False, use_pallas=not use_xla_blend, interpret=interpret,
+        exact_test="stereo", tile_w=tile_w, tile_h=tile_h,
+        warped_bounds=warp_bounds)
     starts, counts = B.extract_tile_ranges(sorted_tile, num_tiles)
 
     eyes = []
@@ -448,7 +467,8 @@ def _stereo_foveated_render_method(self, gi, camera, target):
     return prog(gi, views, projs, centers, st,
                 jnp.asarray(tabs["lut_x_lo"]), jnp.asarray(tabs["lut_x_hi"]),
                 jnp.asarray(tabs["lut_y_lo"]), jnp.asarray(tabs["lut_y_hi"]),
-                jnp.asarray(tabs["coord_x"]), jnp.asarray(tabs["coord_y"]))
+                jnp.asarray(tabs["coord_x"]), jnp.asarray(tabs["coord_y"]),
+                jnp.asarray(tabs["bounds"]))
 
 
 def _stereo_foveated_compress_render_method(self, gi, camera, target):

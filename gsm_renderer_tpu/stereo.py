@@ -144,9 +144,27 @@ def foveated_raster_tables(target: FoveatedStereoTarget, tile_w: int = 16,
                               target.display_width)
     lut_y_lo, lut_y_hi = luts(yt_pad, rh, tile_h, tiles_y_disp,
                               target.display_height)
+
+    # physical-tile boundary tables in DISPLAY pixel coordinates (for the
+    # expand kernel's dual-eye tile test): bound[t] = display coordinate of
+    # physical tile t's first sample; one row per axis, padded to 128 lanes
+    # (the kernel gathers them with a single take_along_axis — requires the
+    # physical tile grid to fit 127 tiles per axis)
+    if txp + 1 > 128 or typ + 1 > 128:
+        raise ValueError("foveated physical tile grid must fit 127 tiles/axis")
+
+    def bound_row(t_pad, n_tiles, tile):
+        ext = pad_table(t_pad, (n_tiles + 1) * tile + 1)
+        row = np.full(128, 1e9, np.float32)
+        row[:n_tiles + 1] = ext[np.arange(n_tiles + 1) * tile]
+        return row
+
+    bound_x = bound_row(xt_pad, txp, tile_w)
+    bound_y = bound_row(yt_pad, typ, tile_h)
     return dict(coord_x=coord_x, coord_y=coord_y,
                 lut_x_lo=lut_x_lo, lut_x_hi=lut_x_hi,
-                lut_y_lo=lut_y_lo, lut_y_hi=lut_y_hi)
+                lut_y_lo=lut_y_lo, lut_y_hi=lut_y_hi,
+                bounds=np.stack([bound_x, bound_y]))
 
 
 def compress_foveated(full: Array, target: FoveatedStereoTarget,

@@ -165,6 +165,7 @@ def test_foveated_pallas_interpret_parity():
     out_p = jax.jit(fn)(gi, views, projs, centers, jnp.eye(4),
                         jnp.asarray(tabs["lut_x_lo"]), jnp.asarray(tabs["lut_x_hi"]),
                         jnp.asarray(tabs["lut_y_lo"]), jnp.asarray(tabs["lut_y_hi"]),
-                        jnp.asarray(tabs["coord_x"]), jnp.asarray(tabs["coord_y"]))
+                        jnp.asarray(tabs["coord_x"]), jnp.asarray(tabs["coord_y"]),
+                        jnp.asarray(tabs["bounds"]))
     diff = np.abs(np.asarray(out_p.color) - out_x).max()
     assert diff < 0.005, f"pallas-vs-xla foveated diff {diff}"
