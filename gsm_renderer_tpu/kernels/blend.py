@@ -516,7 +516,7 @@ def _row_blend_kernel(starts_ref, counts_ref, oyoff_ref, table_ref, *rest,
                                              "r2_cutoff", "skip_period"))
 def blend_tiles_pallas(table, starts, counts, *, tiles_x: int, tiles_y: int,
                        tile_w: int = 16, tile_h: int = 16,
-                       blocks_per_dma: int = 4, interpret: bool = False,
+                       blocks_per_dma: int = 2, interpret: bool = False,
                        depth_mode: str = "weighted", r2_cutoff: float = 0.0,
                        tile_row_offset=None, pixel_coords=None,
                        skip_period: int = 0):

@@ -184,7 +184,7 @@ def depth_first_stereo_frame(
     near_plane: float, far_plane: float, input_is_srgb: bool,
     tile_w: int = 16, tile_h: int = 16,
     depth_mode: str = "weighted",
-    blocks_per_dma: int = 4,
+    blocks_per_dma: int = 2,
     use_xla_blend: bool = False,
     interpret: bool = False,
 ):
