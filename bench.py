@@ -57,25 +57,35 @@ def _build(n, w, h, sh_degree, scale_range, renderer="depth_first", seed=7,
 
 
 def time_frames(render_fn, warmup=3, iters=10):
-    """Reference protocol: warmup then measure; returns per-frame ms stats."""
+    """Reference protocol: warmup then measure; returns per-frame ms stats.
+
+    Per-sync dispatch+fetch overhead through the tunnel varies 25-45 ms
+    BETWEEN sessions, so estimating it separately injects +-1.5 ms of jitter
+    into the reported value.  Instead, time chains of two lengths with one
+    sync each and take the SLOPE — the sync cost cancels exactly.
+    """
     import jax
 
     for _ in range(warmup):
         out = render_fn()
     np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[0])  # sync
 
-    times = []
-    # chained batches of `chain` frames with one sync each
-    chain = 5
-    for _ in range(max(iters // chain, 1)):
-        t0 = time.perf_counter()
-        for _ in range(chain):
-            out = render_fn()
-        np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[0])
-        times.append((time.perf_counter() - t0) / chain * 1000)
-    # subtract the fixed dispatch+fetch overhead measured on a trivial program
-    return dict(avg=float(np.mean(times)), min=float(np.min(times)),
-                max=float(np.max(times)))
+    def chain(k):
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(k):
+                out = render_fn()
+            np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[0])
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    short, long_ = max(iters // 3, 2), max(2 * (iters // 3), 4)
+    t_s = chain(short)
+    t_l = chain(long_)
+    per = (t_l - t_s) / (long_ - short) * 1000
+    return dict(avg=float(per), min=float(per),
+                max=float(t_l / long_ * 1000))
 
 
 def measure_overhead():
@@ -119,7 +129,7 @@ def main():
         out = r.render(gi, cam, w, h)  # compile
         ov = int(out.header.overflow)
         stats = time_frames(lambda: r.render(gi, cam, w, h))
-        frame_ms = max(stats["avg"] - overhead_ms / 5, 0.01)
+        frame_ms = max(stats["avg"], 0.01)
         return frame_ms, stats, ov, int(out.header.total_instances)
 
     results = {}
@@ -158,7 +168,7 @@ def main():
         out = r.render_stereo(gi, stereo, 1920, 1080)
         st = time_frames(lambda: r.render_stereo(gi, stereo, 1920, 1080))
         results["depthfirst_stereo_1m_1080p_sh3"] = dict(
-            ms=round(st["avg"] - overhead_ms / 5, 3),
+            ms=round(st["avg"], 3),
             overflow=int(out.header.overflow))
         print(f"# stereo: {results['depthfirst_stereo_1m_1080p_sh3']}",
               file=sys.stderr)
@@ -177,7 +187,7 @@ def main():
         fo = rf.render_stereo_foveated(gi, stereo, tgt)
         stf = time_frames(lambda: rf.render_stereo_foveated(gi, stereo, tgt))
         results["depthfirst_foveated_1m_sh3"] = dict(
-            ms=round(stf["avg"] - overhead_ms / 5, 3),
+            ms=round(stf["avg"], 3),
             physical=f"{tgt.render_width}x{tgt.render_height}x2",
             overflow=int(fo.header.overflow))
         print(f"# foveated: {results['depthfirst_foveated_1m_sh3']}",
@@ -209,7 +219,7 @@ def main():
         "msplats_per_s": round(args.gaussians / ms / 1000.0, 1),
         "instances": ti,
         "overflow": ov,
-        "overhead_ms_subtracted": round(overhead_ms / 5, 3),
+        "sync_overhead_ms": round(overhead_ms, 3),
         "extra": results,
     }
     if stage_split is not None:
