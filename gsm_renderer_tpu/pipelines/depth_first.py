@@ -317,7 +317,7 @@ _HardwareRenderer.render_stereo = _stereo_render_method
 def depth_first_stereo_foveated_frame(
     gi: GaussianInput,
     views: Array, projs: Array, centers: Array, scene_transform: Array,
-    lut_x_lo: Array, lut_x_hi: Array, lut_y_lo: Array, lut_y_hi: Array,
+    inv_fit: Array,
     coord_x: Array, coord_y: Array, warp_bounds: Array,
     *,
     display_width: int, display_height: int,
@@ -340,13 +340,16 @@ def depth_first_stereo_foveated_frame(
     blend evaluates alpha at the warped per-pixel display coordinates, so the
     blend cost scales with the PHYSICAL pixel count.
 
-    Measured caveat (real chip, 1M/SH3, min_rate 0.4): the physical-grid
-    re-binning still inflates instance COUNTS ~1.3x (capacity pressure +
-    longer sort), which at gentle rate maps outweighs the pixel savings —
-    prefer render_stereo_foveated_compress there, and give this path ~1.3x
-    instance-capacity headroom.  Apple's rasterization-rate-map hardware has
-    no analogous cost: it keeps binning in display space and the raster
-    simply shades fewer fragments.
+    Re-binning design note (measured): mapping display TILE rects through
+    conservative tile-granular LUTs inflated instance counts ~2x (nearly
+    every display tile straddles a physical tile boundary at gentle rates;
+    194 ms vs 104 ms full-res stereo @ 1M/SH3).  Instead each gaussian's
+    display PIXEL bounds map through a degree-9 polynomial fit of the inverse
+    warp (``inv_fit``; +- fitted error margin — an XLA table gather would
+    cost ~6 ns/element), keeping physical rects within ~4% of display rects;
+    the in-kernel dual-eye tile test prunes the remainder.  Result: 105 ms at
+    a gentle (85%-pixel) rate map — parity with full-res, with the advantage
+    scaling as the rate map gets more aggressive.
     """
     from ..ops.project import stereo_project_and_cull
 
@@ -362,11 +365,31 @@ def depth_first_stereo_foveated_frame(
         input_is_srgb=input_is_srgb, scene_transform=scene_transform,
     )
 
-    # display tile rect -> conservative physical tile rect (tiny LUT gathers)
-    min_tx = lut_x_lo[pr.min_tx]
-    max_tx = lut_x_hi[jnp.maximum(pr.max_tx, 0)]
-    min_ty = lut_y_lo[pr.min_ty]
-    max_ty = lut_y_hi[jnp.maximum(pr.max_ty, 0)]
+    # display PIXEL bounds -> physical tile rect via the fitted inverse warp
+    # (see docstring): phys sample index = poly(normalized display coord)
+    def inv_map(v, axis):
+        row = inv_fit[axis]
+        lo, hi, margin = row[10], row[11], row[12]
+        t = (v - lo) / (hi - lo) * 2.0 - 1.0
+        acc = row[0]
+        for k in range(1, 10):
+            acc = acc * t + row[k]
+        return acc, margin
+
+    sx0, mx = inv_map(pr.px_min, 0)
+    sx1, _ = inv_map(pr.px_max, 0)
+    sy0, my = inv_map(pr.py_min, 1)
+    sy1, _ = inv_map(pr.py_max, 1)
+    inv_tw = 1.0 / float(tile_w)
+    inv_th = 1.0 / float(tile_h)
+    min_tx = jnp.clip(jnp.floor((sx0 - mx) * inv_tw).astype(jnp.int32),
+                      0, tiles_x - 1)
+    max_tx = jnp.clip(jnp.floor((sx1 + mx) * inv_tw).astype(jnp.int32),
+                      0, tiles_x - 1)
+    min_ty = jnp.clip(jnp.floor((sy0 - my) * inv_th).astype(jnp.int32),
+                      0, tiles_y - 1)
+    max_ty = jnp.clip(jnp.floor((sy1 + my) * inv_th).astype(jnp.int32),
+                      0, tiles_y - 1)
     visible = pr.visible & (min_tx <= max_tx) & (min_ty <= max_ty)
     rect_count = jnp.where(
         visible, (max_tx - min_tx + 1) * (max_ty - min_ty + 1), 0
@@ -465,8 +488,7 @@ def _stereo_foveated_render_method(self, gi, camera, target):
     prog = self._program(
         key, lambda: AotProgram(depth_first_stereo_foveated_frame, key, statics))
     return prog(gi, views, projs, centers, st,
-                jnp.asarray(tabs["lut_x_lo"]), jnp.asarray(tabs["lut_x_hi"]),
-                jnp.asarray(tabs["lut_y_lo"]), jnp.asarray(tabs["lut_y_hi"]),
+                jnp.asarray(tabs["inv_fit"]),
                 jnp.asarray(tabs["coord_x"]), jnp.asarray(tabs["coord_y"]),
                 jnp.asarray(tabs["bounds"]))
 

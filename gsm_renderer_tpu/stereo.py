@@ -161,10 +161,31 @@ def foveated_raster_tables(target: FoveatedStereoTarget, tile_w: int = 16,
 
     bound_x = bound_row(xt_pad, txp, tile_w)
     bound_y = bound_row(yt_pad, typ, tile_h)
+
+    # Polynomial fit of the INVERSE warp (display pixel coordinate ->
+    # physical sample index), for per-gaussian physical re-binning: mapping
+    # through display-TILE-granular LUTs rounds every rect out to tile
+    # boundaries first and measured ~2x instance inflation; mapping the
+    # gaussian's PIXEL bounds through this fit (+- fitted error margin) keeps
+    # physical rects as tight as display rects.  A table gather would cost
+    # ~6 ns/element on XLA:TPU (~24 ms at 1M x 4 bounds); the degree-9
+    # polynomial is ~10 FMAs.
+    def inv_fit(t_pad, disp_size):
+        xs = np.arange(disp_size + 1, dtype=np.float64)
+        ys = np.interp(xs, t_pad, np.arange(len(t_pad), dtype=np.float64))
+        t = (xs / disp_size) * 2.0 - 1.0
+        coeffs = np.polyfit(t, ys, 9)
+        margin = np.abs(np.polyval(coeffs, t) - ys).max() + 1e-3
+        return np.concatenate([coeffs, [0.0, float(disp_size),
+                                        float(margin)]]).astype(np.float32)
+
+    fit = np.stack([inv_fit(xt_pad, target.display_width),
+                    inv_fit(yt_pad, target.display_height)])
     return dict(coord_x=coord_x, coord_y=coord_y,
                 lut_x_lo=lut_x_lo, lut_x_hi=lut_x_hi,
                 lut_y_lo=lut_y_lo, lut_y_hi=lut_y_hi,
-                bounds=np.stack([bound_x, bound_y]))
+                bounds=np.stack([bound_x, bound_y]),
+                inv_fit=fit)
 
 
 def compress_foveated(full: Array, target: FoveatedStereoTarget,

@@ -163,8 +163,7 @@ def test_foveated_pallas_interpret_parity():
         near_plane=0.1, far_plane=10.0, input_is_srgb=False,
         use_xla_blend=False, interpret=True)
     out_p = jax.jit(fn)(gi, views, projs, centers, jnp.eye(4),
-                        jnp.asarray(tabs["lut_x_lo"]), jnp.asarray(tabs["lut_x_hi"]),
-                        jnp.asarray(tabs["lut_y_lo"]), jnp.asarray(tabs["lut_y_hi"]),
+                        jnp.asarray(tabs["inv_fit"]),
                         jnp.asarray(tabs["coord_x"]), jnp.asarray(tabs["coord_y"]),
                         jnp.asarray(tabs["bounds"]))
     diff = np.abs(np.asarray(out_p.color) - out_x).max()
