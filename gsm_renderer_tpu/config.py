@@ -74,11 +74,16 @@ DEFAULT_TOTAL_INK_THRESHOLD = 2.0
 LOCAL_MAX_PER_TILE = 2048
 
 # Instance capacity multiplier.  The reference uses maxInstances = 4 x
-# maxGaussians (DepthFirstResources.swift:80-81) counting only exact-tested
-# touched tiles; our expansion enumerates the full clamped tile rect (the exact
-# test is applied as a post-sort zero-alpha mask), which inflates instance counts
-# by ~1.5-2.5x on typical scenes, so the default factor is doubled to 8.
-INSTANCE_CAPACITY_FACTOR = 8
+# maxGaussians (DepthFirstResources.swift:80-81), counting only exact-tested
+# touched tiles at projection.  The exact-test pipelines (DepthFirst, Global,
+# Local) now pre-count the same way (pipelines/common.py fused_binning_words
+# precount + kernels/expand.py exact_tile_masks), so they share the
+# reference's 4x sizing.  The Hardware pipeline expands full clamped rects
+# (a rasterized quad covers its whole bounding box — no exact test exists to
+# count with), so it keeps the inflated factor.
+INSTANCE_CAPACITY_FACTOR = 4
+FULL_RECT_CAPACITY_FACTOR = 8  # full-rect expanders: Hardware, stereo union
+#                                rects, band-sharded multichip
 
 
 @dataclasses.dataclass(frozen=True)

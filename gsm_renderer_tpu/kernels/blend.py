@@ -270,7 +270,8 @@ def _row_blend_kernel(starts_ref, counts_ref, oyoff_ref, table_ref, *rest,
                       tiles_x: int, tile_w: int, tile_h: int,
                       blocks_per_dma: int, depth_mode: str = "weighted",
                       r2_cutoff: float = 0.0, warped: bool = False,
-                      skip_period: int = 0):
+                      skip_period: int = 0, compute_dtype: str = "f32",
+                      n_eyes: int = 1):
     """One grid step = one tile row.
 
     DMA latency is hidden with tile-level double buffering: while tile t's first
@@ -289,6 +290,23 @@ def _row_blend_kernel(starts_ref, counts_ref, oyoff_ref, table_ref, *rest,
     pix = tile_w * tile_h
     first_hit = depth_mode == "first_hit"
     ty = pl.program_id(0)
+    # bf16 mode: the (128, P) inner arithmetic runs in bfloat16 — the VPU's
+    # packed 2x-throughput dtype — mirroring the reference's half-precision
+    # blending (depthFirstRender blends in half end-to-end,
+    # DepthFirstShaders.metal:1698-1811).  The pixel-minus-mean subtraction
+    # stays f32 (bf16 rounding of the ABSOLUTE mean would cost whole pixels;
+    # rounding the centered offset keeps errors relative), and the
+    # cross-chunk transmittance carry + color accumulator stay f32 (the MXU
+    # accumulates bf16 operands into f32 natively — better than the
+    # reference's half accumulators).
+    bf = compute_dtype == "bf16"
+    cdt = jnp.bfloat16 if bf else jnp.float32
+    # n_eyes == 2: single-pass dual-eye blend over the SHARED tile list, one
+    # accumulator/transmittance set per eye, early exit only when both eyes
+    # saturate — the reference's depthFirstStereoRender structure
+    # (DepthFirstShaders.metal:1825-1982).  The table carries 4 record words
+    # per eye per instance (8 rows).
+    word_rows = WORD_ROWS * n_eyes
 
     pidx = jax.lax.broadcasted_iota(jnp.int32, (1, pix), 1)
     px_row = (pidx % tile_w).astype(jnp.float32)   # (1, P) tile-local x
@@ -343,40 +361,46 @@ def _row_blend_kernel(starts_ref, counts_ref, oyoff_ref, table_ref, *rest,
                 pxa = px_row + ox                     # (1, P) absolute pixel x
                 pya = py_row + oy
 
-            def compute_chunk(c, buf2, acc, trans, fh,
-                              first_chunk=False):
+            def compute_chunk(c, buf2, carry, first_chunk=False):
                 # Decode the whole chunk's records ONCE at (r_dma, 128) shape —
                 # per-sub-block decode on (128, 1) vectors uses 1/256th of the
                 # VPU and dominated the kernel.  Transposed to (128, r_dma) so
                 # sub-blocks slice (128, 1) columns.
-                wblk = pltpu.bitcast(scr[buf2], jnp.uint32)  # (r_dma, 4, 128)
-                w0 = wblk[:, 0, :]
-                w1 = wblk[:, 1, :]
-                w2 = wblk[:, 2, :]
-                w3 = wblk[:, 3, :]
-                mx = _f16(w0)
-                my = _f16(w0 >> 16)
-                theta = _u16f(w1) * (3.14159265358979 / 65535.0)
-                s1 = jnp.maximum(_f16(w1 >> 16), 1e-4)
-                s2 = jnp.maximum(_f16(w2), 1e-4)
-                gdepth_t = jnp.transpose(_f16(w2 >> 16))
-                cr_t = jnp.transpose(_u8f(w3) * (1.0 / 255.0))
-                cg_t = jnp.transpose(_u8f(w3 >> 8) * (1.0 / 255.0))
-                cb_t = jnp.transpose(_u8f(w3 >> 16) * (1.0 / 255.0))
-                op_t = jnp.transpose(_u8f(w3 >> 24) * (1.0 / 255.0))
-                cth = jnp.cos(theta)
-                sth = jnp.sin(theta)
-                i1 = 1.0 / s1
-                i2 = 1.0 / s2
-                a1_t = jnp.transpose(cth * i1)
-                b1_t = jnp.transpose(sth * i1)
-                c1_t = jnp.transpose(-(mx * cth + my * sth) * i1)
-                a2_t = jnp.transpose(-sth * i2)
-                b2_t = jnp.transpose(cth * i2)
-                c2_t = jnp.transpose((mx * sth - my * cth) * i2)
+                wblk = pltpu.bitcast(scr[buf2], jnp.uint32)  # (r_dma, 4E, 128)
+                eyes = []
+                for e in range(n_eyes):
+                    w0 = wblk[:, 4 * e + 0, :]
+                    w1 = wblk[:, 4 * e + 1, :]
+                    w2 = wblk[:, 4 * e + 2, :]
+                    w3 = wblk[:, 4 * e + 3, :]
+                    theta = _u16f(w1) * (3.14159265358979 / 65535.0)
+                    s1 = jnp.maximum(_f16(w1 >> 16), 1e-4)
+                    s2 = jnp.maximum(_f16(w2), 1e-4)
+                    cth = jnp.cos(theta)
+                    sth = jnp.sin(theta)
+                    i1 = 1.0 / s1
+                    i2 = 1.0 / s2
+                    # centered linear forms: u = a1*(px-mx) + b1*(py-my), v
+                    # likewise — the subtraction happens per-pixel in f32 so
+                    # low-precision rounding error stays RELATIVE to the
+                    # offset (the reference's half path centers the same way:
+                    # d = pixelCenter - mean, DepthFirstShaders.metal:1753-1759)
+                    eyes.append(dict(
+                        mx=jnp.transpose(_f16(w0)),
+                        my=jnp.transpose(_f16(w0 >> 16)),
+                        gdepth=jnp.transpose(_f16(w2 >> 16)),
+                        cr=jnp.transpose(_u8f(w3) * (1.0 / 255.0)),
+                        cg=jnp.transpose(_u8f(w3 >> 8) * (1.0 / 255.0)),
+                        cb=jnp.transpose(_u8f(w3 >> 16) * (1.0 / 255.0)),
+                        op=jnp.transpose(_u8f(w3 >> 24) * (1.0 / 255.0)),
+                        a1=jnp.transpose(cth * i1),
+                        b1=jnp.transpose(sth * i1),
+                        a2=jnp.transpose(-sth * i2),
+                        b2=jnp.transpose(cth * i2),
+                    ))
 
                 def sub_block(rb, carry2):
-                    acc2, trans2, fh2 = carry2
+                    accs2, transs2, fhs2 = carry2
                     g0 = (blk0 + c * r_dma + rb) * LANES
                     # skip sub-blocks past the tile's span AND (every
                     # ``skip_period``-th sub-block) saturated ones — the
@@ -388,124 +412,172 @@ def _row_blend_kernel(starts_ref, counts_ref, oyoff_ref, table_ref, *rest,
                     alive = g0 < end
                     if skip_period > 0 and (rb % skip_period == 0) and \
                             not (first_chunk and rb == 0):
+                        tmx = transs2[0]
+                        for e in range(1, n_eyes):
+                            tmx = jnp.maximum(tmx, transs2[e])
                         alive = jnp.logical_and(
-                            alive, jnp.max(trans2) >= MIN_TRANSMITTANCE)
+                            alive, jnp.max(tmx) >= MIN_TRANSMITTANCE)
 
                     def live(carry3):
-                        acc3, trans3, fh3 = carry3
-                        sl = lambda t: t[:, rb:rb + 1]  # rb is static (unrolled)
-                        gdepth = sl(gdepth_t)
-                        cr = sl(cr_t)
-                        cg = sl(cg_t)
-                        cb = sl(cb_t)
-                        # broadcast FMA chain on the VPU: (128,1) x (1,P)
-                        u = sl(a1_t) * pxa + (sl(b1_t) * pya + sl(c1_t))
-                        v = sl(a2_t) * pxa + (sl(b2_t) * pya + sl(c2_t))
-                        q = u * u + v * v              # (128, P)
-
+                        accs3, transs3, fhs3 = carry3
+                        sl = lambda t: t[:, rb:rb + 1]  # rb static (unrolled)
                         gidx = g0 + lane_iota
                         in_range = jnp.logical_and(gidx >= start, gidx < end)
-                        op = jnp.where(in_range, sl(op_t), 0.0)
-                        alpha = jnp.minimum(op * jnp.exp(-0.5 * q), ALPHA_CLAMP)
-                        if r2_cutoff > 0.0:
-                            # Hardware fragment discard at r^2 > cutoff
-                            # (HardwareGaussianShaders.metal:771-780)
-                            alpha = jnp.where(q > r2_cutoff, 0.0, alpha)
+                        out_a, out_t, out_f = [], [], []
+                        for e in range(n_eyes):
+                            ey = eyes[e]
+                            gdepth = sl(ey["gdepth"])
+                            # centered offsets in f32, then the broadcast FMA
+                            # chain (128,1) x (1,P) in the compute dtype
+                            dx = (pxa - sl(ey["mx"])).astype(cdt)
+                            dy = (pya - sl(ey["my"])).astype(cdt)
+                            u = (sl(ey["a1"]).astype(cdt) * dx
+                                 + sl(ey["b1"]).astype(cdt) * dy)
+                            v = (sl(ey["a2"]).astype(cdt) * dx
+                                 + sl(ey["b2"]).astype(cdt) * dy)
+                            q = u * u + v * v              # (128, P)
 
-                        om = 1.0 - alpha
-                        texcl, ttot = _mult_scan_exclusive(om)
-                        # fold the per-pixel running transmittance into the
-                        # (P, 4) contribution instead of the (128, P) weights
-                        # (same math; one large multiply becomes a small one)
-                        w = alpha * texcl              # (128, P)
+                            op = jnp.where(in_range, sl(ey["op"]),
+                                           0.0).astype(cdt)
+                            alpha = jnp.minimum(op * jnp.exp(q * cdt(-0.5)),
+                                                cdt(ALPHA_CLAMP))
+                            if r2_cutoff > 0.0:
+                                # fragment discard at r^2 > cutoff
+                                # (HardwareGaussianShaders.metal:771-780)
+                                alpha = jnp.where(q > cdt(r2_cutoff),
+                                                  cdt(0.0), alpha)
 
-                        cols = jnp.concatenate([cr, cg, cb, gdepth], axis=1)
-                        contrib = jax.lax.dot_general(
-                            w, cols, (((0,), (0,)), ((), ())),
-                            precision=jax.lax.Precision.HIGHEST,
-                            preferred_element_type=jnp.float32)  # (P, 4)
-                        contrib = contrib * jnp.transpose(trans3)  # (P, 1)
-                        if first_hit:
-                            # depth of the first alpha > 0.1 instance
-                            # (LocalShaders.metal:529-537): fh row0 = hit count,
-                            # row1 = first-hit depth
-                            hit = (alpha > FIRST_HIT_ALPHA).astype(jnp.float32)
-                            hexcl, htot = _add_scan_exclusive(hit)
-                            took = hit * jnp.where(fh3[0:1, :] + hexcl > 0.0,
-                                                   0.0, 1.0)
-                            dfh = jax.lax.dot_general(
-                                took, gdepth, (((0,), (0,)), ((), ())),
-                                precision=jax.lax.Precision.HIGHEST,
-                                preferred_element_type=jnp.float32)
-                            fh3 = jnp.concatenate(
-                                [fh3[0:1, :] + htot,
-                                 fh3[1:2, :] + jnp.transpose(dfh)], axis=0)
-                        return acc3 + contrib, trans3 * ttot, fh3
+                            om = cdt(1.0) - alpha
+                            texcl, ttot = _mult_scan_exclusive(om)
+                            # fold the per-pixel running transmittance into
+                            # the (P, 4) contribution instead of the (128, P)
+                            # weights (same math; one large multiply becomes
+                            # a small one)
+                            w = alpha * texcl              # (128, P)
+
+                            cols = jnp.concatenate(
+                                [sl(ey["cr"]), sl(ey["cg"]), sl(ey["cb"]),
+                                 gdepth], axis=1).astype(cdt)
+                            contrib = jax.lax.dot_general(
+                                w, cols, (((0,), (0,)), ((), ())),
+                                precision=(None if bf
+                                           else jax.lax.Precision.HIGHEST),
+                                preferred_element_type=jnp.float32)  # (P, 4)
+                            contrib = contrib * jnp.transpose(transs3[e])
+                            fh3 = fhs3[e]
+                            if first_hit:
+                                # depth of the first alpha > 0.1 instance
+                                # (LocalShaders.metal:529-537): fh row0 = hit
+                                # count, row1 = first-hit depth
+                                hit = (alpha > cdt(FIRST_HIT_ALPHA)).astype(
+                                    jnp.float32)
+                                hexcl, htot = _add_scan_exclusive(hit)
+                                took = hit * jnp.where(
+                                    fh3[0:1, :] + hexcl > 0.0, 0.0, 1.0)
+                                dfh = jax.lax.dot_general(
+                                    took, gdepth, (((0,), (0,)), ((), ())),
+                                    precision=jax.lax.Precision.HIGHEST,
+                                    preferred_element_type=jnp.float32)
+                                fh3 = jnp.concatenate(
+                                    [fh3[0:1, :] + htot,
+                                     fh3[1:2, :] + jnp.transpose(dfh)], axis=0)
+                            out_a.append(accs3[e] + contrib)
+                            out_t.append(transs3[e]
+                                         * ttot.astype(jnp.float32))
+                            out_f.append(fh3)
+                        return (tuple(out_a), tuple(out_t), tuple(out_f))
 
                     return jax.lax.cond(alive, live, lambda c3: c3,
-                                        (acc2, trans2, fh2))
+                                        (accs2, transs2, fhs2))
 
-                carry2 = (acc, trans, fh)
+                carry2 = carry
                 for rb in range(r_dma):  # unrolled: rb must be static
                     carry2 = sub_block(rb, carry2)
                 return carry2
 
-            acc0 = jnp.zeros((pix, 4), jnp.float32)
-            trans0 = jnp.ones((1, pix), jnp.float32)
-            fh0 = jnp.zeros((2, pix), jnp.float32)
-            # chunk 0 from the double buffer
-            acc, trans, fh = compute_chunk(0, buf, acc0, trans0, fh0,
-                                           first_chunk=True)
+            # Empty-tile skip (the reference dispatches only nonempty tiles
+            # from a GPU-built active list, DepthFirstShaders.metal:1258-1369):
+            # ``count`` is a prefetched SMEM scalar, so this branch costs no
+            # vector->scalar reduction — material on sparse scenes, 4K grids
+            # and foveated targets where many tiles are empty.
+            @pl.when(count == 0)
+            def _():
+                zero = jnp.zeros((1, pix), jnp.float32)
+                for e in range(n_eyes):
+                    for ch in range(5):
+                        out_ref[0, 8 * e + ch, tx, :] = zero[0]
 
-            # Rare extra chunks: synchronous DMA into this tile's buffer.  The
-            # early-exit transmittance check is carried as a scalar and only
-            # computed for tiles that actually have more chunks — a per-tile
-            # vector->scalar reduction in the while condition would stall the
-            # pipeline on every (mostly single-chunk) tile.
-            def tmax_of(trans):
-                return jnp.max(trans)
+            @pl.when(count > 0)
+            def _():
+                carry0 = (
+                    tuple(jnp.zeros((pix, 4), jnp.float32)
+                          for _ in range(n_eyes)),
+                    tuple(jnp.ones((1, pix), jnp.float32)
+                          for _ in range(n_eyes)),
+                    tuple(jnp.zeros((2, pix), jnp.float32)
+                          for _ in range(n_eyes)),
+                )
+                # chunk 0 from the double buffer
+                carry = compute_chunk(0, buf, carry0, first_chunk=True)
 
-            tmax = jax.lax.cond(n_chunks > 1, tmax_of,
-                                lambda _t: jnp.float32(0.0), trans)
+                def tmax_of(transs):
+                    # dual-eye: exit only when BOTH eyes saturate (the
+                    # reference's stereo render checks per-eye transmittance,
+                    # DepthFirstShaders.metal:1825-1982)
+                    tmx = transs[0]
+                    for e in range(1, n_eyes):
+                        tmx = jnp.maximum(tmx, transs[e])
+                    return jnp.max(tmx)
 
-            def chunk_cond(carry):
-                c, acc, trans, fh, tmax = carry
-                return jnp.logical_and(c < n_chunks,
-                                       tmax >= MIN_TRANSMITTANCE)
+                # Rare extra chunks: synchronous DMA into this tile's buffer.
+                # The early-exit transmittance check is carried as a scalar and
+                # only computed for tiles that actually have more chunks — a
+                # per-tile vector->scalar reduction in the while condition
+                # would stall the pipeline on every (mostly single-chunk) tile.
+                tmax = jax.lax.cond(n_chunks > 1, tmax_of,
+                                    lambda _t: jnp.float32(0.0), carry[1])
 
-            def chunk_body(carry):
-                c, acc, trans, fh, _tmax = carry
-                cp = pltpu.make_async_copy(
-                    table_ref.at[pl.ds(blk0 + c * r_dma, r_dma)],
-                    scr.at[buf], sem.at[buf])
-                cp.start()
-                cp.wait()
-                acc, trans, fh = compute_chunk(c, buf, acc, trans, fh)
-                return c + 1, acc, trans, fh, jnp.max(trans)
+                def chunk_cond(state):
+                    c, carry, tmax = state
+                    return jnp.logical_and(c < n_chunks,
+                                           tmax >= MIN_TRANSMITTANCE)
 
-            _, acc, trans, fh, _ = jax.lax.while_loop(
-                chunk_cond, chunk_body, (jnp.int32(1), acc, trans, fh, tmax))
+                def chunk_body(state):
+                    c, carry, _tmax = state
+                    cp = pltpu.make_async_copy(
+                        table_ref.at[pl.ds(blk0 + c * r_dma, r_dma)],
+                        scr.at[buf], sem.at[buf])
+                    cp.start()
+                    cp.wait()
+                    carry = compute_chunk(c, buf, carry)
+                    return c + 1, carry, tmax_of(carry[1])
 
-            acc_t = jnp.transpose(acc)               # (4, P)
-            a_out = 1.0 - trans[0]
-            if first_hit:
-                depth_out = fh[1]
-            elif depth_mode == "normalized":
-                depth_out = acc_t[3] / jnp.maximum(a_out, 1e-6)
-            else:
-                depth_out = acc_t[3]
-            out_ref[0, 0, tx, :] = acc_t[0]
-            out_ref[0, 1, tx, :] = acc_t[1]
-            out_ref[0, 2, tx, :] = acc_t[2]
-            out_ref[0, 3, tx, :] = a_out
-            out_ref[0, 4, tx, :] = depth_out
+                _, carry, _ = jax.lax.while_loop(
+                    chunk_cond, chunk_body, (jnp.int32(1), carry, tmax))
+
+                accs, transs, fhs = carry
+                for e in range(n_eyes):
+                    acc_t = jnp.transpose(accs[e])        # (4, P)
+                    a_out = 1.0 - transs[e][0]
+                    if first_hit:
+                        depth_out = fhs[e][1]
+                    elif depth_mode == "normalized":
+                        depth_out = acc_t[3] / jnp.maximum(a_out, 1e-6)
+                    else:
+                        depth_out = acc_t[3]
+                    out_ref[0, 8 * e + 0, tx, :] = acc_t[0]
+                    out_ref[0, 8 * e + 1, tx, :] = acc_t[1]
+                    out_ref[0, 8 * e + 2, tx, :] = acc_t[2]
+                    out_ref[0, 8 * e + 3, tx, :] = a_out
+                    out_ref[0, 8 * e + 4, tx, :] = depth_out
+
             return 0
 
         jax.lax.fori_loop(0, tiles_x, tile_loop, 0)
 
     pl.run_scoped(
         body,
-        scr=pltpu.VMEM((DMA_DEPTH, r_dma, WORD_ROWS, LANES), jnp.int32),
+        scr=pltpu.VMEM((DMA_DEPTH, r_dma, word_rows, LANES), jnp.int32),
         sem=pltpu.SemaphoreType.DMA((DMA_DEPTH,)),
     )
 
@@ -513,13 +585,15 @@ def _row_blend_kernel(starts_ref, counts_ref, oyoff_ref, table_ref, *rest,
 @functools.partial(jax.jit, static_argnames=("tiles_x", "tiles_y", "tile_w",
                                              "tile_h", "blocks_per_dma",
                                              "interpret", "depth_mode",
-                                             "r2_cutoff", "skip_period"))
+                                             "r2_cutoff", "skip_period",
+                                             "compute_dtype", "n_eyes"))
 def blend_tiles_pallas(table, starts, counts, *, tiles_x: int, tiles_y: int,
                        tile_w: int = 16, tile_h: int = 16,
                        blocks_per_dma: int = 2, interpret: bool = False,
                        depth_mode: str = "weighted", r2_cutoff: float = 0.0,
                        tile_row_offset=None, pixel_coords=None,
-                       skip_period: int = 0):
+                       skip_period: int = 0, compute_dtype: str = "f32",
+                       n_eyes: int = 1):
     """Production blend.  Returns (tile_color (T, P, 4), tile_depth (T, P)).
 
     ``table``: (CB, 4, 128) record-word table (from :func:`build_words_table`)
@@ -530,6 +604,13 @@ def blend_tiles_pallas(table, starts, counts, *, tiles_x: int, tiles_y: int,
     ``pixel_coords``: optional (coord_x (TX, P), coord_y (TY, P)) f32 tables —
     the foveated path's non-uniform display coordinates per physical pixel
     (see blend_tiles_xla).
+    ``compute_dtype``: "f32" or "bf16" — precision of the (128, P) inner
+    blend arithmetic (bf16 mirrors the reference's half-precision blending,
+    DepthFirstShaders.metal:1698-1811; accumulators stay f32 either way).
+    ``n_eyes``: 2 = single-pass dual-eye blend over a shared tile list whose
+    table carries both eyes' records (8 words/instance,
+    depthFirstStereoRender — DepthFirstShaders.metal:1825-1982); returns a
+    list of per-eye (tile_color, tile_depth) pairs.
     """
     pix = tile_w * tile_h
     n_t = tiles_x * tiles_y
@@ -557,18 +638,21 @@ def blend_tiles_pallas(table, starts, counts, *, tiles_x: int, tiles_y: int,
                          memory_space=pltpu.VMEM),
         ]
 
+    chans = 8 * n_eyes
     kernel = functools.partial(_row_blend_kernel, tiles_x=tiles_x, tile_w=tile_w,
                                tile_h=tile_h, blocks_per_dma=blocks_per_dma,
                                depth_mode=depth_mode, r2_cutoff=r2_cutoff,
-                               warped=warped, skip_period=skip_period)
+                               warped=warped, skip_period=skip_period,
+                               compute_dtype=compute_dtype, n_eyes=n_eyes)
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((tiles_y, 8, txp, pix), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((tiles_y, chans, txp, pix),
+                                       jnp.float32),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(tiles_y,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + extra_specs,
-            out_specs=pl.BlockSpec((1, 8, txp, pix),
+            out_specs=pl.BlockSpec((1, chans, txp, pix),
                                    lambda ty, *_: (ty, 0, 0, 0),
                                    memory_space=pltpu.VMEM),
         ),
@@ -576,8 +660,11 @@ def blend_tiles_pallas(table, starts, counts, *, tiles_x: int, tiles_y: int,
     )(starts.astype(jnp.int32), counts.astype(jnp.int32),
       tile_row_offset.reshape(1).astype(jnp.int32), table, *extra_args)
 
-    # (TY, 8, TXP, P) -> (T, P, ch)
-    out = out[:, :, :tiles_x, :]                      # (TY, 8, TX, P)
-    out = jnp.transpose(out, (0, 2, 3, 1))            # (TY, TX, P, 8)
-    out = out.reshape(n_t, pix, 8)
-    return out[..., 0:4], out[..., 4]
+    # (TY, chans, TXP, P) -> (T, P, chans)
+    out = out[:, :, :tiles_x, :]                      # (TY, chans, TX, P)
+    out = jnp.transpose(out, (0, 2, 3, 1))            # (TY, TX, P, chans)
+    out = out.reshape(n_t, pix, chans)
+    if n_eyes == 1:
+        return out[..., 0:4], out[..., 4]
+    return [(out[..., 8 * e:8 * e + 4], out[..., 8 * e + 4])
+            for e in range(n_eyes)]

@@ -45,8 +45,100 @@ DMA_DEPTH = 3                 # window buffers in flight (latency ~us per DMA)
 SENTINEL = 0xFFFFFFFF
 # rect_word bit 30 marks a culled gaussian (its single slot gets the sentinel)
 CULLED_BIT = 1 << 30
+# rect_word bit 31 marks a gaussian with an exact pre-counted tile MASK: its
+# instance count is the mask popcount and the j-th instance maps to the j-th
+# set bit in the fixed 8-wide/4-row mask layout (bit = dy * 8 + dx) — the
+# TPU shape of the reference's exact-count-before-expansion discipline
+# (depthFirstProjectCullKernel counts exact touched tiles at projection and
+# createInstancesKernel emits only passing instances,
+# DepthFirstShaders.metal:181-219, :642-788, sizing maxInstances at
+# 4 x maxGaussians — DepthFirstResources.swift:80-81).
+MASKED_BIT = 1 << 31
+MASK_W, MASK_H = 8, 4  # fixed mask window (rect_w <= 8, rect_h <= 4)
 # offsets-table padding: larger than any slot index
 OFFSET_PAD = 0x7FFFFFFF
+
+
+def _popcount(v):
+    """SWAR popcount of a uint32 vector (Mosaic-safe: shifts/ands/mults)."""
+    v = v - ((v >> 1) & jnp.uint32(0x55555555))
+    v = (v & jnp.uint32(0x33333333)) + ((v >> 2) & jnp.uint32(0x33333333))
+    v = (v + (v >> 4)) & jnp.uint32(0x0F0F0F0F)
+    return ((v * jnp.uint32(0x01010101)) >> 24).astype(jnp.int32)
+
+
+def _nth_set_bit(mask_u32, jj):
+    """Bit index of the (jj+1)-th set bit of ``mask_u32`` (valid for
+    jj < popcount): binary ascent on the prefix popcount."""
+    p = jnp.zeros_like(jj)
+    for step in (16, 8, 4, 2, 1):
+        cand = p + step
+        low = jnp.left_shift(jnp.uint32(1), cand.astype(jnp.uint32)) - \
+            jnp.uint32(1)  # bits strictly below cand (cand <= 31)
+        p = jnp.where(_popcount(mask_u32 & low) <= jj, cand, p)
+    return p
+
+
+def exact_tile_masks(w0, w1, w2, w3, min_tx, min_ty, rect_w, rect_h,
+                     tile_w: int, tile_h: int, alpha_threshold: float):
+    """Exact per-tile pass mask over a gaussian's clamped tile rect, for rects
+    fitting the fixed MASK_W x MASK_H window.
+
+    Evaluates the same quantized-record minQuadRect <= d2Cutoff predicate the
+    expand kernel applies (``_exact_tile_test``) at up to 32 rect positions
+    per gaussian, packing passes into a u32 (bit = dy * 8 + dx).  Returns
+    (mask (N,) uint32, count (N,) int32 = popcount).  The caller decides
+    eligibility (rect_w <= 8 and rect_h <= 4) and falls back to full-rect
+    counting otherwise.
+    """
+    tau = max(alpha_threshold, 1e-12)
+    # conic from the quantized record, once per gaussian (the per-position
+    # loop below reuses it; formulas identical to _record_d2min)
+    mx = _f16_bits_to_f32(w0)
+    my = _f16_bits_to_f32(w0 >> 16)
+    theta = (w1 & jnp.uint32(0xFFFF)).astype(jnp.int32).astype(jnp.float32) * (
+        3.14159265358979 / 65535.0)
+    s1 = jnp.maximum(_f16_bits_to_f32(w1 >> 16), 1e-4)
+    s2 = jnp.maximum(_f16_bits_to_f32(w2), 1e-4)
+    c = jnp.cos(theta)
+    s = jnp.sin(theta)
+    iv1 = 1.0 / (s1 * s1)
+    iv2 = 1.0 / (s2 * s2)
+    ca = c * c * iv1 + s * s * iv2
+    cb = c * s * (iv1 - iv2)
+    cc = s * s * iv1 + c * c * iv2
+    inv_a = 1.0 / jnp.maximum(ca, 1e-20)
+    inv_c = 1.0 / jnp.maximum(cc, 1e-20)
+    op = ((w3 >> 24) & jnp.uint32(0xFF)).astype(jnp.int32).astype(
+        jnp.float32) * (1.0 / 255.0)
+    cutoff = jnp.where(op < tau, -1.0,
+                       -2.0 * jnp.log(tau / jnp.maximum(op, 1e-30)))
+
+    x_base = min_tx.astype(jnp.float32) * tile_w - mx
+    y_base = min_ty.astype(jnp.float32) * tile_h - my
+
+    mask = jnp.zeros(w0.shape, jnp.uint32)
+    for p in range(MASK_W * MASK_H):
+        dx, dy = p % MASK_W, p // MASK_W
+        xmin = x_base + float(dx * tile_w)
+        xmax = xmin + tile_w
+        ymin = y_base + float(dy * tile_h)
+        ymax = ymin + tile_h
+        inside = (xmin <= 0.0) & (0.0 <= xmax) & (ymin <= 0.0) & (0.0 <= ymax)
+
+        def quad(x, y):
+            return ca * x * x + 2.0 * cb * x * y + cc * y * y
+
+        q1 = quad(xmin, jnp.clip(-(cb * inv_c) * xmin, ymin, ymax))
+        q2 = quad(xmax, jnp.clip(-(cb * inv_c) * xmax, ymin, ymax))
+        q3 = quad(jnp.clip(-(cb * inv_a) * ymin, xmin, xmax), ymin)
+        q4 = quad(jnp.clip(-(cb * inv_a) * ymax, xmin, xmax), ymax)
+        d2min = jnp.where(inside, 0.0,
+                          jnp.minimum(jnp.minimum(q1, q2),
+                                      jnp.minimum(q3, q4)))
+        passes = (dx < rect_w) & (dy < rect_h) & (d2min <= cutoff)
+        mask = mask | (passes.astype(jnp.uint32) << p)
+    return mask, _popcount(mask)
 
 
 def _f16_bits_to_f32(bits_u32):
@@ -138,10 +230,10 @@ def _stereo_tile_test(aux_vals, x0, x1, y0, y1):
     return jnp.minimum(d2_l, d2_r) <= STEREO_R2_CUTOFF
 
 
-def _expand_kernel(r0_ref, total_ref, rowoff_ref, rowbase_ref, tab_hbm,
+def _expand_kernel(r0_ref, total_ref, rowoff_ref, tab_hbm,
                    *out_args, tiles_x: int, n_aux: int, fused_depth16: bool,
                    exact_mode: str, warped: bool, tile_w: int, tile_h: int,
-                   alpha_threshold: float):
+                   alpha_threshold: float, has_mask: bool = False):
     """One grid step expands BLK slots.
 
     The three per-gaussian tables (offsets / rect / aux words) are packed as
@@ -151,12 +243,17 @@ def _expand_kernel(r0_ref, total_ref, rowoff_ref, rowbase_ref, tab_hbm,
     copy-then-compute version exposed the full DMA latency on every one of the
     thousands of blocks and dominated the kernel).
 
-    The slot->gaussian search exploits per-SUBLANE-ROW base ranks precomputed
-    in XLA (``rowbase_ref``): a row of 128 slots spans at most 128 gaussians
-    from its base rank, so every lookup touches exactly TWO window rows
-    selected once per block — ~28 lane-gathers per block instead of ~170
-    masked gathers over the full 10-row window (gathers dominated the kernel;
-    measured 9.1 ms -> the masked full-window form at 1M/4M slots).
+    The slot->gaussian search exploits per-SUBLANE-ROW base ranks: a row of
+    128 slots spans at most 128 gaussians from its base rank, so every lookup
+    touches exactly TWO window rows selected once per block — ~28 lane-gathers
+    per block instead of ~170 masked gathers over the full 10-row window
+    (gathers dominated the kernel; measured 9.1 ms -> the masked full-window
+    form at 1M/4M slots).  The base ranks themselves are counted from the
+    offsets plane IN-KERNEL (window prefix below the block's first rank is
+    entirely <= any row target, padding is OFFSET_PAD > any slot, so
+    base(r) = #{k in window : off[k] <= first slot of row r} - 1) — replacing
+    an XLA searchsorted over capacity/128 queries that cost ~3.5 ms at 1M/4M
+    with ~70 VPU ops per block (~0.3 ms).
     """
     if warped:
         bounds_ref = out_args[0]
@@ -165,8 +262,6 @@ def _expand_kernel(r0_ref, total_ref, rowoff_ref, rowbase_ref, tab_hbm,
     win, sem = out_args[1 + n_aux:]
     i = pl.program_id(0)
     nb = pl.num_programs(0)
-    r0 = r0_ref[i]
-    row0 = r0 // LANES
 
     def dma(buf, blk):
         row = r0_ref[blk] // LANES
@@ -195,13 +290,17 @@ def _expand_kernel(r0_ref, total_ref, rowoff_ref, rowbase_ref, tab_hbm,
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (BLK_SUB, LANES), 1)
     slot = i * BLK + sub_iota * LANES + lane_iota
 
-    # Window-local base rank per sublane row (rank of the row's first slot).
-    # rowbase_ref block: (1, 1, 128) with the row bases in lanes 0..BLK_SUB-1.
-    base_row = rowbase_ref[0]                 # (1, 128)
-    base0 = row0 * LANES
-    b = jnp.zeros((BLK_SUB, LANES), jnp.int32)
-    for r in range(BLK_SUB):
-        b = jnp.where(sub_iota == r, base_row[0:1, r:r + 1] - base0, b)
+    # Window-local base rank per sublane row (rank of the row's first slot),
+    # counted from the offsets plane (see docstring).  The clamp only acts on
+    # rows whose first slot is past ``total`` (their slots are dead anyway);
+    # it keeps w_r addressing real window rows.
+    tgt = i * BLK + sub_iota * LANES          # row-constant targets
+    acc = jnp.zeros((BLK_SUB, LANES), jnp.int32)
+    for k in range(WIN_ROWS):
+        acc += (wblk[k:k + 1, 0, :] <= tgt).astype(jnp.int32)
+    cnt = jnp.sum(acc, axis=1, keepdims=True)  # (BLK_SUB, 1)
+    b = jnp.broadcast_to(jnp.minimum(cnt - 1, (WIN_ROWS - 1) * LANES - 1),
+                         (BLK_SUB, LANES))
     w_r = b >> 7                              # constant within each row
 
     def two_rows(plane):
@@ -259,13 +358,23 @@ def _expand_kernel(r0_ref, total_ref, rowoff_ref, rowbase_ref, tab_hbm,
     r = jj - q * rw
     q = jnp.where(r < 0, q - 1, jnp.where(r >= rw, q + 1, q))
     r = jj - q * rw
+    if has_mask:
+        # exact pre-counted gaussians: j-th instance = j-th set bit of the
+        # 8-wide tile mask (see MASKED_BIT) — the exact test already ran at
+        # projection, so these instances skip the in-kernel re-test
+        mask_u = pltpu.bitcast(gather_plane(2), jnp.uint32)
+        is_masked = (rect_u & jnp.uint32(MASKED_BIT)) != 0
+        pbit = _nth_set_bit(mask_u, jj)
+        q = jnp.where(is_masked, pbit >> 3, q)
+        r = jnp.where(is_masked, pbit & 7, r)
     t_y = min_ty + q
     t_x = min_tx + r
     tile = (t_y * tiles_x + t_x).astype(jnp.uint32)
 
+    aux_base = 3 if has_mask else 2
     aux_vals = []
     for a in range(n_aux):
-        aux_vals.append(pltpu.bitcast(gather_plane(2 + a), jnp.uint32))
+        aux_vals.append(pltpu.bitcast(gather_plane(aux_base + a), jnp.uint32))
 
     dead = jnp.logical_or(slot >= total_ref[0], culled)
     if exact_mode == "mono":
@@ -278,6 +387,10 @@ def _expand_kernel(r0_ref, total_ref, rowoff_ref, rowbase_ref, tab_hbm,
                                   aux_vals[4], t_x, t_y + rowoff_ref[0],
                                   float(tile_w), float(tile_h),
                                   alpha_threshold)
+        if has_mask:
+            # pre-counted gaussians already passed at projection; the mask
+            # is the single source of truth for them
+            passes = jnp.logical_or(passes, is_masked)
         dead = jnp.logical_or(dead, jnp.logical_not(passes))
     elif exact_mode == "stereo":
         # dual-eye r^2 <= 9 tile test (output-identical pruning: the stereo
@@ -339,11 +452,13 @@ def expand_slots_pallas(counts, rect_word, aux_words, *, capacity: int,
                         interpret: bool = False, exact_test=False,
                         tile_w: int = 16, tile_h: int = 16,
                         alpha_threshold: float = 0.005,
-                        tile_row_offset=None, warped_bounds=None):
+                        tile_row_offset=None, warped_bounds=None,
+                        tile_mask=None):
     """Expand per-gaussian tables into per-slot sort operands.
 
     counts:    (N,) int32 instance counts, every entry >= 1
-    rect_word: (N,) uint32 packed rect (+ CULLED_BIT for invisible gaussians)
+    rect_word: (N,) uint32 packed rect (+ CULLED_BIT for invisible gaussians,
+      + MASKED_BIT for exact pre-counted gaussians when ``tile_mask`` is given)
     aux_words: (N, K) uint32 words to carry (depth key, record words, ...)
     capacity:  static slot count C (multiple of BLK)
     exact_test: False | True/"mono" (per-tile alpha-cutoff test from the
@@ -352,6 +467,9 @@ def expand_slots_pallas(counts, rect_word, aux_words, *, capacity: int,
     warped_bounds: optional (2, 128) float32 — per-axis tile boundary pixel
       coordinates for the foveated physical grid (requires tiles <= 127 per
       axis; only with exact_test="stereo")
+    tile_mask: optional (N,) uint32 exact pass masks (see
+      :func:`exact_tile_masks`); MASKED_BIT gaussians must have
+      counts == popcount(mask) (clamped to >= 1 with CULLED_BIT when 0)
 
     Returns (tile_key (C,) uint32, aux_0 ... aux_{K-1} (C,) uint32,
     total () int32, overflow () int32).
@@ -374,19 +492,14 @@ def expand_slots_pallas(counts, rect_word, aux_words, *, capacity: int,
     # exclusive offsets, one sentinel-ish tail entry (= total)
     offsets_ex = jnp.concatenate([jnp.zeros(1, jnp.int32), offsets])
 
-    # per-SUBLANE-ROW first gaussian (rank of every 128th slot): lets the
-    # kernel do all lookups in 2-row windows (see _expand_kernel).
-    # Method measured in-process at 31K queries / 1M table (true cost net of
-    # sync overhead): scan_unrolled ~3.9 ms, scan ~4.4, sort ~7.7 — XLA:TPU
-    # gathers price every variant; scan_unrolled is the cheapest.
-    row_starts = jnp.arange(n_blocks * BLK_SUB, dtype=jnp.int32) * LANES
-    row_r0 = (jnp.searchsorted(offsets_ex, row_starts, side="right",
-                               method="scan_unrolled").astype(jnp.int32) - 1)
-    row_r0 = jnp.clip(row_r0, 0, n - 1)
-    # block starts are every BLK_SUB-th row start
-    block_r0 = row_r0[::BLK_SUB]
-    rowbase = jnp.pad(row_r0.reshape(n_blocks, 1, BLK_SUB),
-                      ((0, 0), (0, 0), (0, LANES - BLK_SUB)))
+    # Per-BLOCK first gaussian (rank of every BLK-th slot) for the window
+    # DMAs; the per-sublane-row base ranks are counted in-kernel from the
+    # offsets plane (an XLA searchsorted over capacity/128 queries measured
+    # ~3.5 ms at 1M/4M — XLA:TPU gathers price every searchsorted method).
+    block_starts = jnp.arange(n_blocks, dtype=jnp.int32) * BLK
+    block_r0 = (jnp.searchsorted(offsets_ex, block_starts, side="right",
+                                 method="scan_unrolled").astype(jnp.int32) - 1)
+    block_r0 = jnp.clip(block_r0, 0, n - 1)
 
     # pad the offsets table with OFFSET_PAD so the binary search never walks
     # past the last gaussian
@@ -394,7 +507,10 @@ def expand_slots_pallas(counts, rect_word, aux_words, *, capacity: int,
     pad_to = np_rows * LANES - (n + 1)
     off_t = jnp.pad(offsets_ex, (0, pad_to),
                     constant_values=OFFSET_PAD).reshape(np_rows, LANES)
-    planes = [_pad_rows(rect_word, n)] + [_pad_rows(a, n) for a in aux_list]
+    has_mask = tile_mask is not None
+    mask_planes = [_pad_rows(tile_mask, n)] if has_mask else []
+    planes = ([_pad_rows(rect_word, n)] + mask_planes
+              + [_pad_rows(a, n) for a in aux_list])
     # align row counts and pack as planes of ONE combined table (one DMA per
     # block window): [offsets, rect, aux_0 .. aux_{K-1}] — plane-wise concat,
     # never a minor-dim transpose (CLAUDE.md gotcha)
@@ -408,8 +524,6 @@ def expand_slots_pallas(counts, rect_word, aux_words, *, capacity: int,
     if tile_row_offset is None:
         tile_row_offset = jnp.zeros((), jnp.int32)
     in_specs = [
-        pl.BlockSpec((1, 1, LANES), lambda i, *_: (i, 0, 0),
-                     memory_space=pltpu.VMEM),  # rowbase
         pl.BlockSpec(memory_space=pl.ANY),      # combined table
     ]
     extra_in = []
@@ -426,7 +540,8 @@ def expand_slots_pallas(counts, rect_word, aux_words, *, capacity: int,
                          memory_space=pltpu.VMEM)
             for _ in range(1 + n_aux)),
         scratch_shapes=[
-            pltpu.VMEM((DMA_DEPTH, WIN_ROWS, 2 + n_aux, LANES), jnp.int32),
+            pltpu.VMEM((DMA_DEPTH, WIN_ROWS, 2 + has_mask + n_aux, LANES),
+                       jnp.int32),
             pltpu.SemaphoreType.DMA((DMA_DEPTH,)),
         ],
     )
@@ -434,7 +549,8 @@ def expand_slots_pallas(counts, rect_word, aux_words, *, capacity: int,
                                fused_depth16=fused_depth16,
                                exact_mode=exact_mode, warped=warped,
                                tile_w=tile_w,
-                               tile_h=tile_h, alpha_threshold=alpha_threshold)
+                               tile_h=tile_h, alpha_threshold=alpha_threshold,
+                               has_mask=has_mask)
     outs = pl.pallas_call(
         kernel,
         out_shape=tuple(
@@ -443,7 +559,7 @@ def expand_slots_pallas(counts, rect_word, aux_words, *, capacity: int,
         grid_spec=grid_spec,
         interpret=interpret,
     )(block_r0, total.reshape(1),
-      tile_row_offset.reshape(1).astype(jnp.int32), rowbase, tab, *extra_in)
+      tile_row_offset.reshape(1).astype(jnp.int32), tab, *extra_in)
     return tuple(o.reshape(c) for o in outs) + (total, overflow)
 
 
@@ -451,7 +567,8 @@ def expand_slots_xla(counts, rect_word, aux_words, *, capacity: int,
                      tiles_x: int, fused_depth16: bool = False,
                      exact_test=False, tile_w: int = 16,
                      tile_h: int = 16, alpha_threshold: float = 0.005,
-                     tile_row_offset=None, warped_bounds=None):
+                     tile_row_offset=None, warped_bounds=None,
+                     tile_mask=None):
     """Pure-XLA mirror of :func:`expand_slots_pallas` (oracle + CPU fallback)."""
     from ..ops.binning import build_slot_map
 
@@ -465,6 +582,13 @@ def expand_slots_xla(counts, rect_word, aux_words, *, capacity: int,
 
     q = sm.j // rect_w
     r = sm.j - q * rect_w
+    is_masked = None
+    if tile_mask is not None:
+        mask = tile_mask[rank]
+        is_masked = (rect & jnp.uint32(MASKED_BIT)) != 0
+        pbit = _nth_set_bit(mask, sm.j)
+        q = jnp.where(is_masked, pbit >> 3, q)
+        r = jnp.where(is_masked, pbit & 7, r)
     tile = ((min_ty + q) * tiles_x + min_tx + r).astype(jnp.uint32)
 
     aux_list = ([aux_words[:, k] for k in range(aux_words.shape[1])]
@@ -482,6 +606,8 @@ def expand_slots_xla(counts, rect_word, aux_words, *, capacity: int,
         passes = _exact_tile_test(aux[1], aux[2], aux[3], aux[4],
                                   t_x, t_y, float(tile_w), float(tile_h),
                                   alpha_threshold)
+        if is_masked is not None:
+            passes = passes | is_masked
         dead = dead | ~passes
     elif exact_mode == "stereo":
         t_x = (tile.astype(jnp.int32) % tiles_x)

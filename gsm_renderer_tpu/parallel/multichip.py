@@ -91,7 +91,9 @@ def build_sharded_depth_first(
     bands = -(-tiles_y // n_dev)
     tiles_y_pad = bands * n_dev
     if capacity_per_device <= 0:
-        capacity_per_device = (cfg.INSTANCE_CAPACITY_FACTOR * n_total) // n_dev
+        # band-clamped rects are expanded in full (no exact pre-count on the
+        # sharded path): keep the inflated full-rect factor
+        capacity_per_device = (cfg.FULL_RECT_CAPACITY_FACTOR * n_total) // n_dev
     # expand_slots_pallas requires capacity % 1024 == 0 (kernels/expand.py BLK);
     # round up to 4096 like the mono instance_capacity helper.
     capacity_per_device = -(-capacity_per_device // 4096) * 4096

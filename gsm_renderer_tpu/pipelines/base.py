@@ -23,14 +23,17 @@ from ..types import GaussianInput, RenderOutput
 Array = Any
 
 
-def instance_capacity(config: RendererConfig, n: int) -> int:
-    """Static instance capacity: config override or INSTANCE_CAPACITY_FACTOR x
-    gaussians, padded to the expand-kernel block size.  Every gaussian owns at
-    least one slot (culled ones get a sentinel slot), so the capacity is also
-    floored at n + 1."""
+def instance_capacity(config: RendererConfig, n: int,
+                      factor: int | None = None) -> int:
+    """Static instance capacity: config override or ``factor`` x gaussians
+    (default INSTANCE_CAPACITY_FACTOR — the reference's 4x model), padded to
+    the expand-kernel block size.  Every gaussian owns at least one slot
+    (culled ones get a sentinel slot), so the capacity is also floored at
+    n + 1."""
     from ..config import INSTANCE_CAPACITY_FACTOR
-    c = (config.max_instances if config.max_instances > 0
-         else INSTANCE_CAPACITY_FACTOR * n)
+    if factor is None:
+        factor = INSTANCE_CAPACITY_FACTOR
+    c = (config.max_instances if config.max_instances > 0 else factor * n)
     c = max(c, n + 1)
     return -(-c // 4096) * 4096
 

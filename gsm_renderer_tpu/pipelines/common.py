@@ -121,30 +121,76 @@ def sorted_instance_attrs(sorted_words, sorted_tile_key, *, tiles_x: int,
     }
 
 
+def binning_inputs(visible, min_tx, min_ty, max_tx, rect_count,
+                   depth_sort_word, word_list, *, exact_test=False,
+                   tile_w: int = 16, tile_h: int = 16,
+                   alpha_threshold: float = 0.005, precount: bool = True,
+                   tile_row_offset=None):
+    """Per-gaussian expand inputs: (counts, rect_word, tile_mask, aux).
+
+    When the mono exact test is on and ``precount`` holds, gaussians whose
+    clamped rect fits the 8x4 mask window get exact pre-counted instance
+    counts (kernels/expand.py exact_tile_masks — the reference's
+    count-before-expansion discipline, DepthFirstShaders.metal:181-219);
+    zero-count ones are culled outright.
+    """
+    from ..kernels import expand as E
+    from ..ops import binning as B
+
+    rect_w = max_tx - min_tx + 1
+    rect_word = B.pack_rect_word(min_tx, min_ty, rect_w)
+    counts = rect_count
+    tile_mask = None
+    if precount and exact_test is True and tile_row_offset is None:
+        rect_h = rect_count // jnp.maximum(rect_w, 1)
+        mask, cnt = E.exact_tile_masks(
+            word_list[0], word_list[1], word_list[2], word_list[3],
+            min_tx, min_ty, rect_w, rect_h, tile_w, tile_h, alpha_threshold)
+        eligible = visible & (rect_w <= E.MASK_W) & (rect_h <= E.MASK_H)
+        counts = jnp.where(eligible, cnt, rect_count)
+        visible = visible & (~eligible | (cnt > 0))
+        rect_word = jnp.where(eligible,
+                              rect_word | jnp.uint32(E.MASKED_BIT), rect_word)
+        tile_mask = mask
+    rect_word = jnp.where(visible, rect_word,
+                          rect_word | jnp.uint32(E.CULLED_BIT))
+    counts = jnp.maximum(counts, 1)
+    # word LIST, not an (N, K) stack: the expand table is built plane-wise
+    # ((N, K) stacks force a minor-dim transpose — CLAUDE.md gotcha)
+    aux = ([depth_sort_word.astype(jnp.uint32)]
+           + [w.astype(jnp.uint32) for w in word_list])
+    return counts, rect_word, tile_mask, aux
+
+
 def fused_binning_words(visible, min_tx, min_ty, max_tx, rect_count,
                         depth_sort_word, word_list, *, capacity: int,
                         tiles_x: int, fused_depth16: bool, use_pallas: bool,
                         interpret: bool = False, exact_test=False,
                         tile_w: int = 16, tile_h: int = 16,
                         alpha_threshold: float = 0.005,
-                        tile_row_offset=None, warped_bounds=None):
+                        tile_row_offset=None, warped_bounds=None,
+                        precount: bool = True):
     """Core fused binning over arbitrary carried word lists (mono carries the
     4-word record; stereo carries 8 words = both eyes' records).
+
+    ``precount``: exact-count touched tiles BEFORE slot assignment for
+    gaussians whose rect fits the 8x4 mask window (the reference's
+    capacity discipline — exact counting at projection lets it size
+    maxInstances at 4 x maxGaussians, DepthFirstShaders.metal:181-219,
+    DepthFirstResources.swift:80-81).  Applies when the mono exact test is
+    on; oversized rects fall back to full-rect counting with the in-kernel
+    test.
 
     Returns (sorted_tile (C,), sorted word tuple, total () i32, overflow).
     """
     import jax
     from ..kernels import expand as E
-    from ..ops import binning as B
 
-    rect_word = B.pack_rect_word(min_tx, min_ty, (max_tx - min_tx + 1))
-    rect_word = jnp.where(visible, rect_word,
-                          rect_word | jnp.uint32(E.CULLED_BIT))
-    counts = jnp.maximum(rect_count, 1)
-    # word LIST, not an (N, K) stack: the expand table is built plane-wise
-    # ((N, K) stacks force a minor-dim transpose — CLAUDE.md gotcha)
-    aux = ([depth_sort_word.astype(jnp.uint32)]
-           + [w.astype(jnp.uint32) for w in word_list])
+    counts, rect_word, tile_mask, aux = binning_inputs(
+        visible, min_tx, min_ty, max_tx, rect_count, depth_sort_word,
+        word_list, exact_test=exact_test, tile_w=tile_w, tile_h=tile_h,
+        alpha_threshold=alpha_threshold, precount=precount,
+        tile_row_offset=tile_row_offset)
 
     expand = E.expand_slots_pallas if use_pallas else E.expand_slots_xla
     kw = {} if not use_pallas else {"interpret": interpret}
@@ -153,7 +199,7 @@ def fused_binning_words(visible, min_tx, min_ty, max_tx, rect_count,
                   tile_w=tile_w, tile_h=tile_h,
                   alpha_threshold=alpha_threshold,
                   tile_row_offset=tile_row_offset,
-                  warped_bounds=warped_bounds, **kw)
+                  warped_bounds=warped_bounds, tile_mask=tile_mask, **kw)
     key, d_slot = outs[0], outs[1]
     slot_words = outs[2:-2]
     total, overflow = outs[-2], outs[-1]

@@ -103,11 +103,6 @@ def depth_first_frame(
             exact_test=exact_tile_test, tile_w=tile_w, tile_h=tile_h,
             alpha_threshold=alpha_threshold)
 
-    # the exact per-tile test already ran at expansion (reference semantics)
-    attrs = sorted_instance_attrs(
-        sorted_words, sorted_tile, tiles_x=tiles_x, tile_w=tile_w, tile_h=tile_h,
-        alpha_threshold=alpha_threshold, exact_tile_test=False)
-
     with jax.named_scope("tile_ranges"):
         starts, counts = B.extract_tile_ranges(sorted_tile, num_tiles)
     if max_per_tile > 0:
@@ -117,6 +112,13 @@ def depth_first_frame(
 
     with jax.named_scope("blend"):
         if use_xla_blend:
+            # the exact per-tile test already ran at expansion (reference
+            # semantics); derive blend attrs only for the XLA oracle path
+            # (the Pallas kernel decodes the sorted record words in-VMEM)
+            attrs = sorted_instance_attrs(
+                sorted_words, sorted_tile, tiles_x=tiles_x, tile_w=tile_w,
+                tile_h=tile_h, alpha_threshold=alpha_threshold,
+                exact_tile_test=False)
             table = K.build_blend_table(attrs, capacity)
             mpt = max_per_tile if max_per_tile > 0 else min(capacity, 4096)
             tc, td = K.blend_tiles_xla(table, starts, counts, tiles_x=tiles_x,
@@ -150,6 +152,43 @@ class DepthFirstRenderer(GaussianRenderer):
     API parity with the reference DepthFirstRenderer (DepthFirstRenderer.swift),
     including ``depth_sort_key_precision`` via RendererConfig.
     """
+
+    _stereo_key = "df_stereo"
+
+    def _stereo_statics(self):
+        """Per-renderer stereo frame statics (HardwareRenderer overrides with
+        its normalized-depth resolve + backend submission granularity)."""
+        return {}
+
+    def render_stereo(self, gi, camera, width, height):
+        """Side-by-side stereo (DepthFirstRenderer.renderStereo(.sideBySide),
+        DepthFirstRenderer.swift:205-235)."""
+        return _stereo_render(self, gi, camera, width, height)
+
+    def render_stereo_foveated(self, gi, camera, target):
+        """Foveated stereo (the reference's rasterization-rate-map path,
+        DepthFirstRenderer.renderStereo(.foveated) —
+        DepthFirstRenderer.swift:516-551).
+
+        Rasterizes DIRECTLY into the reduced-rate physical target via
+        :func:`depth_first_stereo_foveated_frame` — the frame costs LESS than
+        a full-resolution stereo frame (the rate map's purpose).  ``target``:
+        a stereo.FoveatedStereoTarget; returns a render_height x
+        2*render_width physical image (expand with stereo.expand_foveated
+        for display)."""
+        return _stereo_foveated_render(self, gi, camera, target)
+
+    def render_stereo_foveated_compress(self, gi, camera, target):
+        """Legacy render-full-then-compress foveated path (the pre-rate-map
+        structure); kept for comparison tests."""
+        from ..stereo import compress_foveated
+
+        out = self.render_stereo(gi, camera, target.display_width,
+                                 target.display_height)
+        color = compress_foveated(out.color, target, stereo=True)
+        depth = compress_foveated(out.depth[..., None], target,
+                                  stereo=True)[..., 0]
+        return RenderOutput(color=color, depth=depth, header=out.header)
 
     def render(self, gi: GaussianInput, camera: CameraParams,
                width: int, height: int) -> RenderOutput:
@@ -232,31 +271,34 @@ def depth_first_stereo_frame(
         exact_test="stereo", tile_w=tile_w, tile_h=tile_h)
     starts, counts = B.extract_tile_ranges(sorted_tile, num_tiles)
 
-    eyes = []
-    for eye_words in (sw[0:4], sw[4:8]):
-        if use_xla_blend:
+    if use_xla_blend:
+        eye_raster = []
+        for eye_words in (sw[0:4], sw[4:8]):
             sorted_words = jnp.stack(eye_words, axis=-1)
             attrs = sorted_instance_attrs(
                 sorted_words, sorted_tile, tiles_x=tiles_x, tile_w=tile_w,
                 tile_h=tile_h, alpha_threshold=alpha_threshold,
                 exact_tile_test=False)
             table = K.build_blend_table(attrs, capacity)
-            tc, td = K.blend_tiles_xla(table, starts, counts, tiles_x=tiles_x,
-                                       tiles_y=tiles_y,
-                                       max_per_tile=min(capacity, 4096),
-                                       tile_w=tile_w, tile_h=tile_h,
-                                       depth_mode=depth_mode, r2_cutoff=9.0)
-        else:
-            wtable = K.build_words_table(eye_words, capacity)
-            tc, td = K.blend_tiles_pallas(wtable, starts, counts,
-                                          tiles_x=tiles_x, tiles_y=tiles_y,
-                                          tile_w=tile_w, tile_h=tile_h,
-                                          depth_mode=depth_mode,
-                                          blocks_per_dma=blocks_per_dma,
-                                          r2_cutoff=9.0, interpret=interpret)
-        eyes.append(K.assemble_image(tc, td, tiles_x=tiles_x, tiles_y=tiles_y,
-                                     width=width, height=height,
-                                     tile_w=tile_w, tile_h=tile_h))
+            eye_raster.append(K.blend_tiles_xla(
+                table, starts, counts, tiles_x=tiles_x, tiles_y=tiles_y,
+                max_per_tile=min(capacity, 4096),
+                tile_w=tile_w, tile_h=tile_h,
+                depth_mode=depth_mode, r2_cutoff=9.0))
+    else:
+        # single-pass dual-eye blend over the shared tile list (the sorted
+        # words carry both eyes' records — depthFirstStereoRender,
+        # DepthFirstShaders.metal:1825-1982)
+        wtable = K.build_words_table(list(sw), capacity)
+        eye_raster = K.blend_tiles_pallas(
+            wtable, starts, counts, tiles_x=tiles_x, tiles_y=tiles_y,
+            tile_w=tile_w, tile_h=tile_h, depth_mode=depth_mode,
+            blocks_per_dma=blocks_per_dma, r2_cutoff=9.0,
+            interpret=interpret, n_eyes=2)
+    eyes = [K.assemble_image(tc, td, tiles_x=tiles_x, tiles_y=tiles_y,
+                             width=width, height=height,
+                             tile_w=tile_w, tile_h=tile_h)
+            for tc, td in eye_raster]
 
     color = jnp.concatenate([eyes[0][0], eyes[1][0]], axis=1)  # (H, 2W, 4)
     depth = jnp.concatenate([eyes[0][1], eyes[1][1]], axis=1)
@@ -270,7 +312,7 @@ def depth_first_stereo_frame(
     return RenderOutput(color=color, depth=depth, header=header)
 
 
-def _stereo_render_method(self, gi, camera, width, height):
+def _stereo_render(self, gi, camera, width, height):
     """render_stereo implementation shared by DepthFirstRenderer and
     HardwareRenderer (the latter overrides ``_stereo_statics`` /
     ``_stereo_key`` for its normalized-depth resolve + backend granularity)."""
@@ -287,7 +329,10 @@ def _stereo_render_method(self, gi, camera, width, height):
     st = camera.scene_transform
     st = jnp.eye(4, dtype=jnp.float32) if st is None else jnp.asarray(st, jnp.float32)
     statics = dict(
-        width=width, height=height, capacity=instance_capacity(c, n),
+        width=width, height=height,
+        # stereo expands full union rects (createInstancesStereoKernel writes
+        # all union-rect tiles): inflated capacity factor
+        capacity=instance_capacity(c, n, cfg.FULL_RECT_CAPACITY_FACTOR),
         sh_degree=min(c.sh_degree, {1: 0, 4: 1, 9: 2, 16: 3}[gi.sh_n_coeffs]),
         alpha_threshold=c.alpha_threshold,
         total_ink_threshold=c.total_ink_threshold,
@@ -300,18 +345,6 @@ def _stereo_render_method(self, gi, camera, width, height):
            tuple(sorted(statics.items())))
     prog = self._program(key, lambda: AotProgram(depth_first_stereo_frame, key, statics))
     return prog(gi, views, projs, centers, st)
-
-
-DepthFirstRenderer.render_stereo = _stereo_render_method
-DepthFirstRenderer._stereo_statics = lambda self: {}
-DepthFirstRenderer._stereo_key = "df_stereo"
-
-# HardwareRenderer stereo shares this frame program (hardware.py defines the
-# _stereo_statics/_stereo_key hooks; no import cycle — hardware.py does not
-# import this module).
-from .hardware import HardwareRenderer as _HardwareRenderer  # noqa: E402
-
-_HardwareRenderer.render_stereo = _stereo_render_method
 
 
 def depth_first_stereo_foveated_frame(
@@ -413,28 +446,30 @@ def depth_first_stereo_foveated_frame(
         warped_bounds=warp_bounds)
     starts, counts = B.extract_tile_ranges(sorted_tile, num_tiles)
 
-    eyes = []
-    for eye_words in (sw[0:4], sw[4:8]):
-        if use_xla_blend:
+    if use_xla_blend:
+        eye_raster = []
+        for eye_words in (sw[0:4], sw[4:8]):
             sorted_words = jnp.stack(eye_words, axis=-1)
             attrs = sorted_instance_attrs(
                 sorted_words, sorted_tile, tiles_x=tiles_x, tile_w=tile_w,
                 tile_h=tile_h, alpha_threshold=alpha_threshold,
                 exact_tile_test=False)
             table = K.build_blend_table(attrs, capacity)
-            tc, td = K.blend_tiles_xla(
+            eye_raster.append(K.blend_tiles_xla(
                 table, starts, counts, tiles_x=tiles_x, tiles_y=tiles_y,
                 max_per_tile=min(capacity, 4096), tile_w=tile_w, tile_h=tile_h,
-                r2_cutoff=9.0, pixel_coords=(coord_x, coord_y))
-        else:
-            wtable = K.build_words_table(eye_words, capacity)
-            tc, td = K.blend_tiles_pallas(
-                wtable, starts, counts, tiles_x=tiles_x, tiles_y=tiles_y,
-                tile_w=tile_w, tile_h=tile_h, r2_cutoff=9.0,
-                interpret=interpret, pixel_coords=(coord_x, coord_y))
-        eyes.append(K.assemble_image(tc, td, tiles_x=tiles_x, tiles_y=tiles_y,
-                                     width=render_width, height=render_height,
-                                     tile_w=tile_w, tile_h=tile_h))
+                r2_cutoff=9.0, pixel_coords=(coord_x, coord_y)))
+    else:
+        # single-pass dual-eye blend (see depth_first_stereo_frame)
+        wtable = K.build_words_table(list(sw), capacity)
+        eye_raster = K.blend_tiles_pallas(
+            wtable, starts, counts, tiles_x=tiles_x, tiles_y=tiles_y,
+            tile_w=tile_w, tile_h=tile_h, r2_cutoff=9.0,
+            interpret=interpret, pixel_coords=(coord_x, coord_y), n_eyes=2)
+    eyes = [K.assemble_image(tc, td, tiles_x=tiles_x, tiles_y=tiles_y,
+                             width=render_width, height=render_height,
+                             tile_w=tile_w, tile_h=tile_h)
+            for tc, td in eye_raster]
 
     color = jnp.concatenate([eyes[0][0], eyes[1][0]], axis=1)
     depth = jnp.concatenate([eyes[0][1], eyes[1][1]], axis=1)
@@ -446,17 +481,8 @@ def depth_first_stereo_foveated_frame(
     return RenderOutput(color=color, depth=depth, header=header)
 
 
-def _stereo_foveated_render_method(self, gi, camera, target):
-    """Foveated stereo (the reference's rasterization-rate-map path,
-    DepthFirstRenderer.renderStereo(.foveated) — DepthFirstRenderer.swift:516-551).
-
-    Rasterizes DIRECTLY into the reduced-rate physical target via
-    :func:`depth_first_stereo_foveated_frame` — the frame costs LESS than a
-    full-resolution stereo frame (the rate map's purpose).  ``target``: a
-    stereo.FoveatedStereoTarget; returns a render_height x 2*render_width
-    physical image (expand with stereo.expand_foveated for display).
-    """
-    import numpy as _np
+def _stereo_foveated_render(self, gi, camera, target):
+    """render_stereo_foveated implementation (see the method docstring)."""
     from ..stereo import foveated_raster_tables
 
     self.validate_inputs(gi, target.display_width, target.display_height)
@@ -476,7 +502,7 @@ def _stereo_foveated_render_method(self, gi, camera, target):
         display_width=target.display_width,
         display_height=target.display_height,
         render_width=target.render_width, render_height=target.render_height,
-        capacity=instance_capacity(c, n),
+        capacity=instance_capacity(c, n, cfg.FULL_RECT_CAPACITY_FACTOR),
         sh_degree=min(c.sh_degree, {1: 0, 4: 1, 9: 2, 16: 3}[gi.sh_n_coeffs]),
         alpha_threshold=c.alpha_threshold,
         total_ink_threshold=c.total_ink_threshold,
@@ -492,21 +518,3 @@ def _stereo_foveated_render_method(self, gi, camera, target):
                 jnp.asarray(tabs["inv_fit"]),
                 jnp.asarray(tabs["coord_x"]), jnp.asarray(tabs["coord_y"]),
                 jnp.asarray(tabs["bounds"]))
-
-
-def _stereo_foveated_compress_render_method(self, gi, camera, target):
-    """Legacy render-full-then-compress foveated path (the pre-rate-map
-    structure); kept for comparison tests."""
-    from ..stereo import compress_foveated
-    from ..types import RenderOutput
-
-    out = self.render_stereo(gi, camera, target.display_width,
-                             target.display_height)
-    color = compress_foveated(out.color, target, stereo=True)
-    depth = compress_foveated(out.depth[..., None], target, stereo=True)[..., 0]
-    return RenderOutput(color=color, depth=depth, header=out.header)
-
-
-DepthFirstRenderer.render_stereo_foveated = _stereo_foveated_render_method
-DepthFirstRenderer.render_stereo_foveated_compress = (
-    _stereo_foveated_compress_render_method)

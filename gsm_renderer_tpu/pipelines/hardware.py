@@ -80,15 +80,15 @@ def hardware_frame(
         pr, pr.depth_key, capacity=capacity, tiles_x=tiles_x,
         fused_depth16=False, use_pallas=not use_xla_blend, interpret=interpret)
 
-    # No exact per-tile test: quads cover their OBB rect; per-pixel r^2 cutoff
-    # happens in the blend.
-    attrs = sorted_instance_attrs(
-        sorted_words, sorted_tile, tiles_x=tiles_x, tile_w=tile_w, tile_h=tile_h,
-        alpha_threshold=alpha_threshold, exact_tile_test=False)
-
     starts, counts = B.extract_tile_ranges(sorted_tile, num_tiles)
 
     if use_xla_blend:
+        # No exact per-tile test: quads cover their OBB rect; per-pixel r^2
+        # cutoff happens in the blend.
+        attrs = sorted_instance_attrs(
+            sorted_words, sorted_tile, tiles_x=tiles_x, tile_w=tile_w,
+            tile_h=tile_h, alpha_threshold=alpha_threshold,
+            exact_tile_test=False)
         table = K.build_blend_table(attrs, capacity)
         tc, td = K.blend_tiles_xla(table, starts, counts, tiles_x=tiles_x,
                                    tiles_y=tiles_y,
@@ -125,7 +125,10 @@ class HardwareRenderer(GaussianRenderer):
         c = self.config
         view, proj, center = camera.astuple_jax()
         statics = dict(
-            width=width, height=height, capacity=instance_capacity(c, n),
+            width=width, height=height,
+            # full-rect expansion (no exact test to count with): inflated
+            # capacity factor relative to the exact-test pipelines
+            capacity=instance_capacity(c, n, cfg.FULL_RECT_CAPACITY_FACTOR),
             sh_degree=min(c.sh_degree, {1: 0, 4: 1, 9: 2, 16: 3}[gi.sh_n_coeffs]),
             alpha_threshold=c.alpha_threshold,
             total_ink_threshold=c.total_ink_threshold,
@@ -156,3 +159,9 @@ class HardwareRenderer(GaussianRenderer):
             blocks_per_dma=(8 if self.config.hardware_backend
                             == cfg.HardwareBackend.INSTANCED else 4),
         )
+
+    def render_stereo(self, gi, camera, width, height):
+        # function-level import: depth_first.py owns the shared stereo frame
+        # program; importing it lazily avoids a module cycle
+        from .depth_first import _stereo_render
+        return _stereo_render(self, gi, camera, width, height)

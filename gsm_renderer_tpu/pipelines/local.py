@@ -67,15 +67,15 @@ def local_frame(
         exact_test=True, tile_w=tile_w, tile_h=tile_h,
         alpha_threshold=alpha_threshold)
 
-    attrs = sorted_instance_attrs(
-        sorted_words, sorted_tile, tiles_x=tiles_x, tile_w=tile_w, tile_h=tile_h,
-        alpha_threshold=alpha_threshold, exact_tile_test=False)
-
     starts, counts = B.extract_tile_ranges(sorted_tile, num_tiles)
     # fixed per-tile capacity: silent drop past max_per_tile
     counts = jnp.minimum(counts, max_per_tile)
 
     if use_xla_blend:
+        attrs = sorted_instance_attrs(
+            sorted_words, sorted_tile, tiles_x=tiles_x, tile_w=tile_w,
+            tile_h=tile_h, alpha_threshold=alpha_threshold,
+            exact_tile_test=False)
         table = K.build_blend_table(attrs, capacity)
         tc, td = K.blend_tiles_xla(table, starts, counts, tiles_x=tiles_x,
                                    tiles_y=tiles_y, max_per_tile=max_per_tile,

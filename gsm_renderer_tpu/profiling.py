@@ -45,8 +45,8 @@ def profile_depth_first_stages(gi, camera, width: int, height: int, *,
                                use_pallas: bool = True):
     """Per-stage ms for the DepthFirst pipeline on the current backend.
 
-    Returns a dict with cumulative-prefix deltas: project, slot_map, expand,
-    sort, attrs_table, blend, assemble (the "sort vs blend split" of
+    Returns a dict with cumulative-prefix deltas: project, precount_pack,
+    expand, sort, attrs_table, blend, assemble (the "sort vs blend split" of
     BASELINE.md).
     """
     from . import config as cfg
@@ -72,20 +72,20 @@ def profile_depth_first_stages(gi, camera, width: int, height: int, *,
             pr = project_and_cull(gi, view, proj, center, **kw)
             if stage == 1:
                 return pr.depth_key.max() + jnp.uint32(pr.rect_count.sum())
-            from .pipelines.common import pack_record_words, sorted_instance_attrs
+            from .pipelines.common import (binning_inputs, pack_record_words,
+                                           sorted_instance_attrs)
             words = pack_record_words(pr.record)
-            rect_word = B.pack_rect_word(pr.min_tx, pr.min_ty,
-                                         (pr.max_tx - pr.min_tx + 1))
-            rect_word = jnp.where(pr.visible, rect_word,
-                                  rect_word | jnp.uint32(E.CULLED_BIT))
-            counts = jnp.maximum(pr.rect_count, 1)
+            word_list = [words[:, k] for k in range(4)]
+            counts, rect_word, tile_mask, aux = binning_inputs(
+                pr.visible, pr.min_tx, pr.min_ty, pr.max_tx, pr.rect_count,
+                pr.depth_key, word_list,
+                exact_test=True, alpha_threshold=alpha_threshold)
             if stage == 2:
                 return jnp.uint32(jnp.cumsum(counts)[-1])
-            aux = jnp.concatenate([pr.depth_key[:, None], words], axis=1)
             expand = E.expand_slots_pallas if use_pallas else E.expand_slots_xla
             key, d_slot, w0, w1, w2, w3, total, _ovf = expand(
                 counts, rect_word, aux, capacity=capacity, tiles_x=tiles_x,
-                fused_depth16=False, exact_test=True)
+                fused_depth16=False, exact_test=True, tile_mask=tile_mask)
             if stage == 3:
                 return key[0] + w0[-1]
             ops = jax.lax.sort((key, d_slot, w0, w1, w2, w3), num_keys=2)
@@ -120,8 +120,8 @@ def profile_depth_first_stages(gi, camera, width: int, height: int, *,
             return jnp.uint32(color[0, 0, 0] + depth[-1, -1])
         return f
 
-    names = ["project", "slot_map", "expand", "sort", "attrs_table", "blend",
-             "assemble"]
+    names = ["project", "precount_pack", "expand", "sort", "attrs_table",
+             "blend", "assemble"]
     args = (gi, view, proj, center)
     out = {}
     prev = 0.0

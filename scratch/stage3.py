@@ -24,7 +24,8 @@ def main():
     from gsm_renderer_tpu.kernels import expand as E
     from gsm_renderer_tpu.ops import binning as B
     from gsm_renderer_tpu.ops.project import project_and_cull
-    from gsm_renderer_tpu.pipelines.common import pack_record_words
+    from gsm_renderer_tpu.pipelines.common import (binning_inputs,
+                                                   pack_record_words)
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     w, h = 1920, 1080
@@ -44,15 +45,13 @@ def main():
             if stage == 1:
                 return pr.depth_key.max() + jnp.uint32(pr.rect_count.sum())
             words = pack_record_words(pr.record)
-            rect_word = B.pack_rect_word(pr.min_tx, pr.min_ty,
-                                         (pr.max_tx - pr.min_tx + 1))
-            rect_word = jnp.where(pr.visible, rect_word,
-                                  rect_word | jnp.uint32(E.CULLED_BIT))
-            counts = jnp.maximum(pr.rect_count, 1)
-            aux = jnp.concatenate([pr.depth_key[:, None], words], axis=1)
+            word_list = [words[:, k] for k in range(4)]
+            counts, rect_word, tile_mask, aux = binning_inputs(
+                pr.visible, pr.min_tx, pr.min_ty, pr.max_tx, pr.rect_count,
+                pr.depth_key, word_list, exact_test=True)
             key, d_slot, w0, w1, w2, w3, total, _ovf = E.expand_slots_pallas(
                 counts, rect_word, aux, capacity=capacity, tiles_x=tiles_x,
-                fused_depth16=False, exact_test=True)
+                fused_depth16=False, exact_test=True, tile_mask=tile_mask)
             if stage == 2:
                 return key[0] + w0[-1]
             ops = jax.lax.sort((key, d_slot, w0, w1, w2, w3), num_keys=2)

@@ -9,6 +9,7 @@ sort — DepthFirstShaders.metal:866-1256)."""
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 import gsm_renderer_tpu as G
 from gsm_renderer_tpu.io.scene import generate_visible_gaussians
@@ -19,7 +20,8 @@ from gsm_renderer_tpu.pipelines.common import (fused_binning_words,
 from reference_impl import render_reference
 
 
-def _pipeline_tile_lists(ds, cam, w, h, capacity=8192):
+def _pipeline_tile_lists(ds, cam, w, h, capacity=8192, use_pallas=False,
+                         precount=True):
     tiles_x, tiles_y = -(-w // 16), -(-h // 16)
     gi = ds.to_input()
     view, proj, center = cam.astuple_jax()
@@ -31,10 +33,12 @@ def _pipeline_tile_lists(ds, cam, w, h, capacity=8192):
     # carry the gaussian index as a 5th word so sorted instances are identifiable
     idx_word = jnp.arange(gi.count, dtype=jnp.uint32)
     word_list = [words[:, k] for k in range(4)] + [idx_word]
+    kw = dict(interpret=True) if use_pallas else {}
     sorted_tile, sw, _total, overflow = fused_binning_words(
         pr.visible, pr.min_tx, pr.min_ty, pr.max_tx, pr.rect_count,
         pr.depth_key, word_list, capacity=capacity, tiles_x=tiles_x,
-        fused_depth16=False, use_pallas=False, exact_test=True)
+        fused_depth16=False, use_pallas=use_pallas, exact_test=True,
+        precount=precount, **kw)
     assert int(overflow) == 0
     starts, counts = B.extract_tile_ranges(sorted_tile, tiles_x * tiles_y)
     starts, counts = np.asarray(starts), np.asarray(counts)
@@ -46,7 +50,13 @@ def _pipeline_tile_lists(ds, cam, w, h, capacity=8192):
     return lists
 
 
-def test_depth_first_exact_per_tile_ordering():
+@pytest.mark.parametrize("use_pallas,precount", [
+    (False, True),   # XLA mirror path with exact pre-count masks
+    (False, False),  # XLA mirror, full-rect counting + post-test
+    (True, True),    # PRODUCTION Pallas expand (interpret), pre-count masks
+    (True, False),   # production Pallas expand, in-kernel exact test
+])
+def test_depth_first_exact_per_tile_ordering(use_pallas, precount):
     w, h = 128, 96
     ds = generate_visible_gaussians(400, sh_degree=0, scale_range=(0.01, 0.08))
     cam = G.make_camera(w, h)
@@ -57,7 +67,8 @@ def test_depth_first_exact_per_tile_ordering():
         t: [aux["records"][r]["index"] for r in ranks]
         for t, ranks in aux["tile_lists"].items()
     }
-    got = _pipeline_tile_lists(ds, cam, w, h)
+    got = _pipeline_tile_lists(ds, cam, w, h, use_pallas=use_pallas,
+                               precount=precount)
 
     assert set(got) == set(oracle), (
         f"tile membership differs: only-pipeline={set(got) - set(oracle)}, "

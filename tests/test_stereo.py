@@ -114,6 +114,40 @@ def test_stereo_invisible_eye_unbounded_screen_no_nan():
     assert color[:, :w, :3].max() > 0.05  # left eye still renders the scene
 
 
+def test_stereo_dual_eye_pallas_matches_xla():
+    """The production single-pass dual-eye Pallas blend (n_eyes=2, both eyes'
+    accumulators in one kernel over the shared tile list —
+    depthFirstStereoRender, DepthFirstShaders.metal:1825-1982) must match the
+    per-eye XLA oracle blend within the early-exit bound."""
+    import jax.numpy as jnp
+    from gsm_renderer_tpu.pipelines.depth_first import depth_first_stereo_frame
+
+    w, h = 128, 96
+    ds = generate_visible_gaussians(300, sh_degree=1, scale_range=(0.01, 0.06))
+    cam = G.make_camera(w, h)
+    stereo = G.make_side_by_side_stereo(cam, ipd=0.2)
+    gi = ds.to_input()
+    left, right = stereo.left, stereo.right
+    views = jnp.stack([jnp.asarray(left.view_matrix, jnp.float32),
+                       jnp.asarray(right.view_matrix, jnp.float32)])
+    projs = jnp.stack([jnp.asarray(left.projection_matrix, jnp.float32),
+                       jnp.asarray(right.projection_matrix, jnp.float32)])
+    centers = jnp.stack([jnp.asarray(left.position, jnp.float32),
+                         jnp.asarray(right.position, jnp.float32)])
+    st = jnp.eye(4, dtype=jnp.float32)
+    kw = dict(width=w, height=h, capacity=16 * 4096, sh_degree=1,
+              alpha_threshold=0.005, total_ink_threshold=2.0,
+              near_plane=0.1, far_plane=100.0, input_is_srgb=False)
+    o_x = depth_first_stereo_frame(gi, views, projs, centers, st,
+                                   use_xla_blend=True, **kw)
+    o_p = depth_first_stereo_frame(gi, views, projs, centers, st,
+                                   interpret=True, **kw)
+    cx, cp = np.asarray(o_x.color), np.asarray(o_p.color)
+    assert np.isfinite(cp).all()
+    assert np.abs(cx - cp).max() < 0.005  # early-exit bound (1/255)
+    assert int(o_p.header.overflow) == 0
+
+
 def test_hardware_stereo_parity_with_depth_first():
     """HardwareRenderer stereo (HardwareRenderer.swift:604-727): same binning,
     projection and r^2 <= 9 dual-eye blend as the DepthFirst stereo path, so
