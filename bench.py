@@ -119,14 +119,20 @@ def main():
     overhead_ms = measure_overhead()
 
     def run_one(n, w, h, sh, renderer, scale_range=(0.002, 0.012),
-                precision=None, cap_factor=4):
+                precision=None, max_instances=0):
         r, gi, cam = _build(n, w, h, sh, scale_range, renderer,
                             precision=precision)
-        # capacity = 4 x gaussians, the reference's instance-capacity model
-        # (DepthFirstResources.swift:80-81); the bench scene fits it
-        import dataclasses
-        r.config = dataclasses.replace(r.config, max_instances=cap_factor * n)
-        out = r.render(gi, cam, w, h)  # compile
+        # Default: adaptive capacity, starting from the reference's 4x model
+        # (DepthFirstResources.swift:80-81) then locking to the measured
+        # workload — the static-shape analogue of the reference sorting only
+        # totalInstances via GPU indirect dispatch.  ``max_instances``
+        # overrides (rows whose workload exceeds the 4x model).
+        if max_instances:
+            import dataclasses
+            r.config = dataclasses.replace(r.config,
+                                           max_instances=max_instances)
+        out = r.render(gi, cam, w, h)   # compile at the full model
+        out = r.render(gi, cam, w, h)   # capacity lock-in (+ compile)
         ov = int(out.header.overflow)
         stats = time_frames(lambda: r.render(gi, cam, w, h))
         frame_ms = max(stats["avg"], 0.01)
@@ -143,10 +149,12 @@ def main():
         for name, n, w, h, sh, rend in matrix:
             import gsm_renderer_tpu as G
             prec = G.Precision.FLOAT16 if "fp16" in name else None
-            # 4K quadruples the per-gaussian tile footprint
-            cf = 12 if "4k" in name else 4
+            # 4K quadruples the per-gaussian tile footprint past the 4x
+            # model; size that row explicitly (reference behavior at 4x
+            # would be overflow + instance drops)
+            mi = 6_815_744 if "4k" in name else 0
             ms, stats, ov, ti = run_one(n, w, h, sh, rend, precision=prec,
-                                        cap_factor=cf)
+                                        max_instances=mi)
             results[name] = dict(ms=round(ms, 3), min=round(stats["min"], 3),
                                  max=round(stats["max"], 3), overflow=ov,
                                  instances=ti,
@@ -154,18 +162,16 @@ def main():
             print(f"# {name}: {results[name]}", file=sys.stderr)
 
         # stereo side-by-side (BASELINE.md config 5)
-        import dataclasses as _dc
         import gsm_renderer_tpu as G
         from gsm_renderer_tpu.io.scene import generate_visible_gaussians
         ds = generate_visible_gaussians(1_000_000, sh_degree=3,
                                         scale_range=(0.002, 0.012))
         cam = G.make_camera(1920, 1080, far=50.0)
         stereo = G.make_side_by_side_stereo(cam)
-        # stereo union rects need more instance headroom
-        r = G.DepthFirstRenderer(G.RendererConfig(sh_degree=3,
-                                                  max_instances=6_000_000))
+        r = G.DepthFirstRenderer(G.RendererConfig(sh_degree=3))
         gi = ds.to_input()
         out = r.render_stereo(gi, stereo, 1920, 1080)
+        out = r.render_stereo(gi, stereo, 1920, 1080)  # capacity lock-in
         st = time_frames(lambda: r.render_stereo(gi, stereo, 1920, 1080))
         results["depthfirst_stereo_1m_1080p_sh3"] = dict(
             ms=round(st["avg"], 3),
@@ -180,9 +186,9 @@ def main():
         # render less and win).
         from gsm_renderer_tpu.stereo import make_rate_maps
         tgt = make_rate_maps(1920, 1080, min_rate=0.4, radius=0.3)
-        rf = G.DepthFirstRenderer(G.RendererConfig(sh_degree=3,
-                                                   max_instances=6_500_000))
+        rf = G.DepthFirstRenderer(G.RendererConfig(sh_degree=3))
         fo = rf.render_stereo_foveated(gi, stereo, tgt)
+        fo = rf.render_stereo_foveated(gi, stereo, tgt)  # capacity lock-in
         stf = time_frames(lambda: rf.render_stereo_foveated(gi, stereo, tgt))
         results["depthfirst_foveated_1m_sh3"] = dict(
             ms=round(stf["avg"], 3),

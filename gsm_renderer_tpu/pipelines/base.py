@@ -23,6 +23,23 @@ from ..types import GaussianInput, RenderOutput
 Array = Any
 
 
+#: adaptive-capacity sizing: next frame's capacity = margin x last frame's
+#: slot total, rounded to coarse buckets (limits recompiles), never above the
+#: full reference model.  The reference sorts only ``totalInstances`` elements
+#: via GPU-side indirect dispatch (prepareDepthFirstDispatchKernel,
+#: DepthFirstShaders.metal:2174-2308); XLA's static shapes make the sort cost
+#: scale with the STATIC capacity instead, so tracking the workload size is
+#: the TPU-native analogue.  On overflow the frame drops instances and sets
+#: header.overflow exactly like the reference's capacity clamp, and the next
+#: frame rebounds to the full model.
+ADAPTIVE_MARGIN = 1.10
+#: frames between workload re-reads once a capacity is locked in: reading the
+#: device header blocks on the in-flight frame (a full sync costs ~30 ms
+#: through a tunneled backend, ~us locally), so steady-state frames reuse the
+#: cached capacity and only every REFRESH-th frame pays the read
+ADAPTIVE_REFRESH = 64
+
+
 def instance_capacity(config: RendererConfig, n: int,
                       factor: int | None = None) -> int:
     """Static instance capacity: config override or ``factor`` x gaussians
@@ -116,10 +133,16 @@ class GaussianRenderer:
     _frame_builder = None
 
     def __init__(self, config: RendererConfig | None = None, *,
-                 use_xla_blend: bool | None = None):
+                 use_xla_blend: bool | None = None,
+                 adaptive_capacity: bool = True):
         self.config = config or RendererConfig()
         self._programs: dict = {}
         self.last_gpu_time: float | None = None
+        #: feedback for adaptive capacity: (gaussian count, FrameHeader) of
+        #: the previous frame, fetched asynchronously (no device sync)
+        self.adaptive_capacity = adaptive_capacity
+        self._cap_feedback = None
+        self._cap_state = None
         # default: Pallas blend on TPU, XLA reference blend elsewhere (the Pallas
         # kernel requires Mosaic; interpret mode is too slow beyond toy sizes).
         if use_xla_blend is None:
@@ -134,6 +157,64 @@ class GaussianRenderer:
             prog = builder()
             self._programs[key] = prog
         return prog
+
+    # -- adaptive capacity --------------------------------------------------------
+
+    def pick_capacity(self, n: int, factor: int | None = None,
+                      kind: str = "mono") -> int:
+        """Instance capacity for the next frame: the full model
+        (``instance_capacity``) until workload feedback exists, then
+        ADAPTIVE_MARGIN x the previous frame's slot total (bucketed).  An
+        explicit ``config.max_instances`` disables adaptation, as does
+        constructing the renderer with ``adaptive_capacity=False``."""
+        full = instance_capacity(self.config, n, factor)
+        if not self.adaptive_capacity or self.config.max_instances > 0:
+            return full
+        state = (self._cap_state or {}).get((kind, n))
+        if state is not None and state["age"] < ADAPTIVE_REFRESH:
+            state["age"] += 1
+            return state["cap"]
+        fb = (self._cap_feedback or {}).get((kind, n))
+        if fb is None or fb.slot_total is None:
+            return full
+        try:
+            # blocks on the feedback frame's completion — paid once at
+            # lock-in and every ADAPTIVE_REFRESH frames thereafter
+            overflowed = int(fb.overflow)
+            total = int(fb.slot_total)
+        except Exception:
+            return full
+        cap = full if overflowed else int(total * ADAPTIVE_MARGIN) + 4096
+        # quantize to 1/32 of magnitude: bounds recompiles to ~32 buckets per
+        # octave while keeping the slack under ~3%
+        bucket = max(4096, 1 << max(cap.bit_length() - 5, 0))
+        cap = max(min(-(-cap // bucket) * bucket, full), 4096)
+        if self._cap_state is None:
+            self._cap_state = {}
+        self._cap_state[(kind, n)] = {"cap": cap, "age": 0}
+        return cap
+
+    def note_frame(self, n: int, header, kind: str = "mono") -> None:
+        """Record workload feedback for :meth:`pick_capacity`, starting an
+        ASYNC device->host fetch of the header scalars (completed by the time
+        the next frame is keyed — no blocking sync on the frame path).
+
+        Sizing reads ``header.slot_total`` (the unclamped slot-space
+        occupancy); headers without it are recorded but never shrink the
+        capacity."""
+        if not self.adaptive_capacity:
+            return
+        leaves = [header.overflow]
+        if header.slot_total is not None:
+            leaves.append(header.slot_total)
+        for leaf in leaves:
+            try:
+                leaf.copy_to_host_async()
+            except Exception:
+                pass
+        if self._cap_feedback is None:
+            self._cap_feedback = {}
+        self._cap_feedback[(kind, n)] = header
 
     # -- public API ---------------------------------------------------------------
 

@@ -228,11 +228,12 @@ def fused_binning(pr, depth_sort_word, *, capacity: int, tiles_x: int,
     orders ties by input index, matching the reference's stable
     depth-then-tile sort output (DepthFirst).
 
-    Returns (sorted_tile (C,), sorted_words (C, 4), total_live, overflow, sw).
+    Returns (sorted_tile (C,), sorted_words (C, 4), total_live, overflow, sw,
+    slot_total).
     """
     words = pack_record_words(pr.record)
     word_list = [words[:, k] for k in range(4)]
-    sorted_tile, sw, total, overflow = fused_binning_words(
+    sorted_tile, sw, slot_total, overflow = fused_binning_words(
         pr.visible, pr.min_tx, pr.min_ty, pr.max_tx, pr.rect_count,
         depth_sort_word, word_list, capacity=capacity, tiles_x=tiles_x,
         fused_depth16=fused_depth16, use_pallas=use_pallas,
@@ -240,4 +241,4 @@ def fused_binning(pr, depth_sort_word, *, capacity: int, tiles_x: int,
         tile_h=tile_h, alpha_threshold=alpha_threshold)
     sorted_words = jnp.stack(sw, axis=-1)  # (C, 4)
     total_live = jnp.sum(jnp.where(pr.visible, pr.rect_count, 0)).astype(jnp.int32)
-    return sorted_tile, sorted_words, total_live, overflow, sw
+    return sorted_tile, sorted_words, total_live, overflow, sw, slot_total

@@ -96,7 +96,7 @@ def depth_first_frame(
     fuse_key = (tile_id_bits == 16 and depth_key_bits == 16)
 
     with jax.named_scope("fused_binning"):
-        sorted_tile, sorted_words, total_live, overflow, sw = fused_binning(
+        sorted_tile, sorted_words, total_live, overflow, sw, slot_total = fused_binning(
             pr, depth_key, capacity=capacity, tiles_x=tiles_x,
             fused_depth16=fuse_key,
             use_pallas=not use_xla_blend, interpret=interpret,
@@ -142,6 +142,7 @@ def depth_first_frame(
         total_instances=jnp.sum(counts).astype(jnp.int32)
         if max_per_tile <= 0 else total_live,
         overflow=overflow,
+        slot_total=slot_total,
     )
     return RenderOutput(color=color, depth=depth, header=header)
 
@@ -197,7 +198,7 @@ class DepthFirstRenderer(GaussianRenderer):
         c = self.config
         view, proj, center = camera.astuple_jax()
         statics = dict(
-            width=width, height=height, capacity=instance_capacity(c, n),
+            width=width, height=height, capacity=self.pick_capacity(n),
             sh_degree=min(c.sh_degree, {1: 0, 4: 1, 9: 2, 16: 3}[gi.sh_n_coeffs]),
             alpha_threshold=c.alpha_threshold,
             total_ink_threshold=c.total_ink_threshold,
@@ -211,7 +212,9 @@ class DepthFirstRenderer(GaussianRenderer):
         )
         key = ("df", n, gi.sh_n_coeffs, str(gi.scales.dtype), tuple(sorted(statics.items())))
         prog = self._program(key, lambda: AotProgram(depth_first_frame, key, statics))
-        return prog(gi, view, proj, center)
+        out = prog(gi, view, proj, center)
+        self.note_frame(n, out.header)
+        return out
 
 
 def depth_first_stereo_frame(
@@ -264,7 +267,7 @@ def depth_first_stereo_frame(
     # union-rect instances whose ellipses miss the tile entirely (the blend
     # zeroes alpha past r^2 = 9; the reference skips those instances per
     # pixel instead — DepthFirstShaders.metal:1915-1935)
-    sorted_tile, sw, _total, overflow = fused_binning_words(
+    sorted_tile, sw, slot_total, overflow = fused_binning_words(
         pr.visible, pr.min_tx, pr.min_ty, pr.max_tx, pr.rect_count,
         pr.depth_key, word_list, capacity=capacity, tiles_x=tiles_x,
         fused_depth16=False, use_pallas=not use_xla_blend, interpret=interpret,
@@ -308,6 +311,7 @@ def depth_first_stereo_frame(
         total_instances=jnp.sum(
             jnp.where(pr.visible, pr.rect_count, 0)).astype(jnp.int32),
         overflow=overflow,
+        slot_total=slot_total,
     )
     return RenderOutput(color=color, depth=depth, header=header)
 
@@ -332,7 +336,8 @@ def _stereo_render(self, gi, camera, width, height):
         width=width, height=height,
         # stereo expands full union rects (createInstancesStereoKernel writes
         # all union-rect tiles): inflated capacity factor
-        capacity=instance_capacity(c, n, cfg.FULL_RECT_CAPACITY_FACTOR),
+        capacity=self.pick_capacity(n, cfg.FULL_RECT_CAPACITY_FACTOR,
+                                    kind=self._stereo_key),
         sh_degree=min(c.sh_degree, {1: 0, 4: 1, 9: 2, 16: 3}[gi.sh_n_coeffs]),
         alpha_threshold=c.alpha_threshold,
         total_ink_threshold=c.total_ink_threshold,
@@ -344,7 +349,9 @@ def _stereo_render(self, gi, camera, width, height):
     key = (self._stereo_key, n, gi.sh_n_coeffs, str(gi.scales.dtype),
            tuple(sorted(statics.items())))
     prog = self._program(key, lambda: AotProgram(depth_first_stereo_frame, key, statics))
-    return prog(gi, views, projs, centers, st)
+    out = prog(gi, views, projs, centers, st)
+    self.note_frame(n, out.header, kind=self._stereo_key)
+    return out
 
 
 def depth_first_stereo_foveated_frame(
@@ -438,7 +445,7 @@ def depth_first_stereo_foveated_frame(
     # boundary tables) — this kills the tile-granular inflation of the
     # conservative display->physical rect mapping, which otherwise makes the
     # foveated frame carry MORE instances than full-res stereo
-    sorted_tile, sw, _total, overflow = fused_binning_words(
+    sorted_tile, sw, slot_total, overflow = fused_binning_words(
         visible, min_tx, min_ty, max_tx, rect_count,
         pr.depth_key, word_list, capacity=capacity, tiles_x=tiles_x,
         fused_depth16=False, use_pallas=not use_xla_blend, interpret=interpret,
@@ -477,6 +484,7 @@ def depth_first_stereo_foveated_frame(
         visible_count=jnp.sum(pr.visible).astype(jnp.int32),
         total_instances=jnp.sum(jnp.where(visible, rect_count, 0)).astype(jnp.int32),
         overflow=overflow,
+        slot_total=slot_total,
     )
     return RenderOutput(color=color, depth=depth, header=header)
 
@@ -502,7 +510,8 @@ def _stereo_foveated_render(self, gi, camera, target):
         display_width=target.display_width,
         display_height=target.display_height,
         render_width=target.render_width, render_height=target.render_height,
-        capacity=instance_capacity(c, n, cfg.FULL_RECT_CAPACITY_FACTOR),
+        capacity=self.pick_capacity(n, cfg.FULL_RECT_CAPACITY_FACTOR,
+                                    kind="df_foveated"),
         sh_degree=min(c.sh_degree, {1: 0, 4: 1, 9: 2, 16: 3}[gi.sh_n_coeffs]),
         alpha_threshold=c.alpha_threshold,
         total_ink_threshold=c.total_ink_threshold,
@@ -514,7 +523,9 @@ def _stereo_foveated_render(self, gi, camera, target):
            tuple(sorted(statics.items())))
     prog = self._program(
         key, lambda: AotProgram(depth_first_stereo_foveated_frame, key, statics))
-    return prog(gi, views, projs, centers, st,
-                jnp.asarray(tabs["inv_fit"]),
-                jnp.asarray(tabs["coord_x"]), jnp.asarray(tabs["coord_y"]),
-                jnp.asarray(tabs["bounds"]))
+    out = prog(gi, views, projs, centers, st,
+               jnp.asarray(tabs["inv_fit"]),
+               jnp.asarray(tabs["coord_x"]), jnp.asarray(tabs["coord_y"]),
+               jnp.asarray(tabs["bounds"]))
+    self.note_frame(n, out.header, kind="df_foveated")
+    return out

@@ -62,7 +62,7 @@ def global_frame(
     depth16 = M.half_depth_key16(pr.record.depth.astype(jnp.float32))
     del back_to_front  # both blend orders yield identical radiance (hardware.py)
 
-    sorted_tile, sorted_words, total_live, overflow, sw = fused_binning(
+    sorted_tile, sorted_words, total_live, overflow, sw, slot_total = fused_binning(
         pr, depth16, capacity=capacity, tiles_x=tiles_x, fused_depth16=True,
         use_pallas=not use_xla_blend, interpret=interpret,
         exact_test=exact_tile_test, tile_w=tile_w, tile_h=tile_h,
@@ -94,6 +94,7 @@ def global_frame(
         # post-exact-test instance count (reference totalInstances semantics)
         total_instances=jnp.sum(counts).astype(jnp.int32),
         overflow=overflow,
+        slot_total=slot_total,
     )
     return RenderOutput(color=color, depth=depth, header=header)
 
@@ -108,7 +109,7 @@ class GlobalRenderer(GaussianRenderer):
         c = self.config
         view, proj, center = camera.astuple_jax()
         statics = dict(
-            width=width, height=height, capacity=instance_capacity(c, n),
+            width=width, height=height, capacity=self.pick_capacity(n),
             sh_degree=min(c.sh_degree, {1: 0, 4: 1, 9: 2, 16: 3}[gi.sh_n_coeffs]),
             alpha_threshold=c.alpha_threshold,
             total_ink_threshold=c.total_ink_threshold,
@@ -120,4 +121,6 @@ class GlobalRenderer(GaussianRenderer):
         )
         key = ('global', n, gi.sh_n_coeffs, str(gi.scales.dtype), tuple(sorted(statics.items())))
         prog = self._program(key, lambda: AotProgram(global_frame, key, statics))
-        return prog(gi, view, proj, center)
+        out = prog(gi, view, proj, center)
+        self.note_frame(n, out.header)
+        return out

@@ -76,7 +76,7 @@ def hardware_frame(
     # front-to-back transmittance compositing, so both flags map to one program.
     del back_to_front
 
-    sorted_tile, sorted_words, total_live, overflow, sw = fused_binning(
+    sorted_tile, sorted_words, total_live, overflow, sw, slot_total = fused_binning(
         pr, pr.depth_key, capacity=capacity, tiles_x=tiles_x,
         fused_depth16=False, use_pallas=not use_xla_blend, interpret=interpret)
 
@@ -110,6 +110,7 @@ def hardware_frame(
         visible_count=jnp.sum(pr.visible).astype(jnp.int32),
         total_instances=total_live,
         overflow=overflow,
+        slot_total=slot_total,
     )
     return RenderOutput(color=color, depth=depth, header=header)
 
@@ -128,7 +129,7 @@ class HardwareRenderer(GaussianRenderer):
             width=width, height=height,
             # full-rect expansion (no exact test to count with): inflated
             # capacity factor relative to the exact-test pipelines
-            capacity=instance_capacity(c, n, cfg.FULL_RECT_CAPACITY_FACTOR),
+            capacity=self.pick_capacity(n, cfg.FULL_RECT_CAPACITY_FACTOR),
             sh_degree=min(c.sh_degree, {1: 0, 4: 1, 9: 2, 16: 3}[gi.sh_n_coeffs]),
             alpha_threshold=c.alpha_threshold,
             total_ink_threshold=c.total_ink_threshold,
@@ -143,7 +144,9 @@ class HardwareRenderer(GaussianRenderer):
         )
         key = ('hw', n, gi.sh_n_coeffs, str(gi.scales.dtype), tuple(sorted(statics.items())))
         prog = self._program(key, lambda: AotProgram(hardware_frame, key, statics))
-        return prog(gi, view, proj, center)
+        out = prog(gi, view, proj, center)
+        self.note_frame(n, out.header)
+        return out
 
     # Stereo (HardwareRenderer.swift:604-727): center-eye depth sort, per-eye
     # projection, dual-eye r^2 <= 9 blend into an (H, 2W) side-by-side target,

@@ -225,6 +225,12 @@ class FrameHeader:
     visible_count: Array
     total_instances: Array
     overflow: Array
+    #: total emitted expansion slots (live instances + one sentinel slot per
+    #: non-emitting gaussian) — the slot-space occupancy ``overflow`` is
+    #: measured against; feeds adaptive capacity sizing (pipelines/base.py).
+    #: The reference keeps the analogous padded counts in its GPU-side header
+    #: (prepareDepthFirstDispatchKernel, DepthFirstShaders.metal:2174-2308).
+    slot_total: Array | None = None
 
 
 @jax.tree_util.register_dataclass

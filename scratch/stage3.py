@@ -61,8 +61,12 @@ def main():
             starts, counts_t = B.extract_tile_ranges(sorted_key,
                                                      tiles_x * tiles_y)
             table = K.build_words_table(sw, capacity)
+            if stage == 4:
+                return jnp.uint32(table[0, 0, 0]) + jnp.uint32(starts[0])
             tc, td = K.blend_tiles_pallas(table, starts, counts_t,
                                           tiles_x=tiles_x, tiles_y=tiles_y)
+            if stage == 5:
+                return jnp.uint32(tc[0, 0, 0] + td[-1, 0])
             color, depth = K.assemble_image(tc, td, tiles_x=tiles_x,
                                             tiles_y=tiles_y, width=w, height=h)
             return jnp.uint32(color[0, 0, 0] + depth[-1, -1])
@@ -93,7 +97,7 @@ def main():
           flush=True)
 
     prev = 0.0
-    names = ["project", "expand", "sort", "blend+assemble"]
+    names = ["project", "expand", "sort", "ranges+table", "blend", "assemble"]
     for i, nm in enumerate(names, 1):
         cum = t(upto(i))
         print(f"{nm}: {cum - prev:.2f} ms (cum {cum:.2f})", flush=True)
