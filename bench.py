@@ -197,6 +197,33 @@ def main():
         print(f"# foveated: {results['depthfirst_foveated_1m_sh3']}",
               file=sys.stderr)
 
+        # realistic heavy-tailed scene THROUGH the PLY loader (the reference
+        # harness benches a real ~1M garden PLY — PLYBenchmarkTests.swift:
+        # 135-202; no network here, so the distribution is synthesized:
+        # surface-clustered, log-normal scales, bimodal opacity, Morton order)
+        import tempfile
+        from gsm_renderer_tpu.io.ply import load_ply, write_ply
+        from gsm_renderer_tpu.io.scene import generate_realistic_gaussians
+        rds = generate_realistic_gaussians(1_000_000, sh_degree=3)
+        ply_path = os.path.join(tempfile.gettempdir(), "gsm_bench_real.ply")
+        write_ply(rds, ply_path)
+        lds = load_ply(ply_path)  # recenters like the reference loader
+        # camera just before the nearest splats, looking +z into the scene
+        view = np.eye(4, dtype=np.float32)
+        view[2, 3] = -(lds.positions[:, 2].min() - 1.0)
+        cam_r = G.make_camera(1920, 1080, view_matrix=view, far=80.0)
+        rr = G.DepthFirstRenderer(G.RendererConfig(sh_degree=3))
+        gi_r = lds.to_input()
+        o = rr.render(gi_r, cam_r, 1920, 1080)
+        o = rr.render(gi_r, cam_r, 1920, 1080)  # capacity lock-in
+        sr = time_frames(lambda: rr.render(gi_r, cam_r, 1920, 1080))
+        results["depthfirst_1m_realistic_ply"] = dict(
+            ms=round(sr["avg"], 3), overflow=int(o.header.overflow),
+            instances=int(o.header.total_instances),
+            slot_total=int(o.header.slot_total))
+        print(f"# realistic ply: {results['depthfirst_1m_realistic_ply']}",
+              file=sys.stderr)
+
     stage_split = None
     if args.stages:
         import gsm_renderer_tpu as G

@@ -38,11 +38,25 @@ class CameraParams:
     far_plane: float = 100.0
 
     def astuple_jax(self):
-        return (
+        """Device copies of (view, proj, position), cached per value.
+
+        Renderers call this every frame; without the cache each call uploads
+        three small arrays (a per-frame host->device round trip that costs
+        real milliseconds on tunneled backends).  The cache keys on the raw
+        bytes so mutating the matrices invalidates it."""
+        key = (np.asarray(self.view_matrix, np.float32).tobytes(),
+               np.asarray(self.projection_matrix, np.float32).tobytes(),
+               np.asarray(self.position, np.float32).tobytes())
+        cached = self.__dict__.get("_jax_cache")
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        vals = (
             jnp.asarray(self.view_matrix, jnp.float32),
             jnp.asarray(self.projection_matrix, jnp.float32),
             jnp.asarray(self.position, jnp.float32),
         )
+        self.__dict__["_jax_cache"] = (key, vals)
+        return vals
 
 
 @dataclasses.dataclass
@@ -52,6 +66,36 @@ class StereoCameraParams:
     left: CameraParams
     right: CameraParams
     scene_transform: Array | None = None  # (4, 4) world -> scene
+
+    def astuple_jax(self):
+        """Device copies of (views (2,4,4), projs (2,4,4), centers (2,3),
+        scene_transform (4,4)), cached per value like CameraParams."""
+        st = (np.eye(4, dtype=np.float32) if self.scene_transform is None
+              else np.asarray(self.scene_transform, np.float32))
+        key = (np.asarray(self.left.view_matrix, np.float32).tobytes(),
+               np.asarray(self.right.view_matrix, np.float32).tobytes(),
+               np.asarray(self.left.projection_matrix, np.float32).tobytes(),
+               np.asarray(self.right.projection_matrix, np.float32).tobytes(),
+               np.asarray(self.left.position, np.float32).tobytes(),
+               np.asarray(self.right.position, np.float32).tobytes(),
+               st.tobytes())
+        cached = self.__dict__.get("_jax_cache")
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        vals = (
+            jnp.asarray(np.stack([
+                np.asarray(self.left.view_matrix, np.float32),
+                np.asarray(self.right.view_matrix, np.float32)])),
+            jnp.asarray(np.stack([
+                np.asarray(self.left.projection_matrix, np.float32),
+                np.asarray(self.right.projection_matrix, np.float32)])),
+            jnp.asarray(np.stack([
+                np.asarray(self.left.position, np.float32),
+                np.asarray(self.right.position, np.float32)])),
+            jnp.asarray(st),
+        )
+        self.__dict__["_jax_cache"] = (key, vals)
+        return vals
 
 
 def make_projection_matrix(

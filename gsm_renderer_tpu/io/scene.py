@@ -109,6 +109,82 @@ def generate_grid_gaussians(count: int, sh_degree: int = 0, seed: int = 42,
                            harmonics.astype(np.float32))
 
 
+def generate_realistic_gaussians(count: int, sh_degree: int = 3,
+                                 seed: int = 11) -> GaussianDataset:
+    """Heavy-tailed synthetic scene matched to published 3DGS statistics, for
+    benchmarking against real-asset workloads (the reference harness benches a
+    real ~1M-gaussian garden PLY — PLYBenchmarkTests.swift:135-202; this
+    environment has no network access, so the realistic distribution is
+    synthesized instead):
+
+    * positions clustered on surfaces — a ground plane, several blobby
+      objects, and a sparse far background shell (trained scenes put ~90% of
+      splats on surfaces);
+    * log-normal scale distribution (sigma ~0.9: most splats a few pixels,
+      a long tail of large low-frequency background splats) with surfel-like
+      anisotropy (flattened smallest axis);
+    * bimodal opacity (densification keeps many near-opaque splats plus a
+      haze of low-opacity ones);
+    * Morton-sorted like real pipelines ship their assets.
+    """
+    rng = np.random.default_rng(seed)
+    n_ground = int(count * 0.35)
+    n_obj = int(count * 0.45)
+    n_bg = count - n_ground - n_obj
+
+    # ground plane y ~ -1, jittered
+    gx = rng.uniform(-6, 6, n_ground)
+    gz = rng.uniform(1.0, 14.0, n_ground)
+    gy = -1.0 + rng.normal(0, 0.03, n_ground)
+    ground = np.stack([gx, gy, gz], -1)
+
+    # objects: gaussian blobs at random spots in the frustum
+    n_blobs = 12
+    centers = np.stack([rng.uniform(-3, 3, n_blobs),
+                        rng.uniform(-0.8, 1.2, n_blobs),
+                        rng.uniform(2.0, 10.0, n_blobs)], -1)
+    radii = rng.uniform(0.25, 0.9, n_blobs)
+    which = rng.integers(0, n_blobs, n_obj)
+    # sample near each blob's surface (surface-biased radius)
+    dirs = rng.normal(size=(n_obj, 3))
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    r = radii[which] * (0.85 + 0.15 * rng.random(n_obj))
+    objs = centers[which] + dirs * r[:, None]
+
+    # far background shell
+    bdir = rng.normal(size=(n_bg, 3))
+    bdir[:, 2] = np.abs(bdir[:, 2]) + 0.4
+    bdir /= np.linalg.norm(bdir, axis=-1, keepdims=True)
+    bg = bdir * rng.uniform(15.0, 30.0, n_bg)[:, None]
+
+    positions = np.concatenate([ground, objs, bg]).astype(np.float32)
+
+    # log-normal scales; background splats are larger (low-frequency sky)
+    base = np.exp(rng.normal(np.log(0.012), 0.9, count))
+    base[n_ground + n_obj:] *= 6.0
+    base = np.clip(base, 1e-4, 2.5)
+    aniso = np.stack([np.ones(count),
+                      np.exp(rng.normal(0, 0.35, count)),
+                      np.exp(rng.normal(-1.6, 0.5, count))], -1)  # surfel-ish
+    scales = (base[:, None] * aniso).astype(np.float32)
+
+    quats = rng.normal(size=(count, 4)).astype(np.float32)
+    quats /= np.linalg.norm(quats, axis=-1, keepdims=True)
+
+    solid = rng.random(count) < 0.55
+    opacities = np.where(solid, rng.uniform(0.65, 1.0, count),
+                         rng.beta(1.2, 4.0, count)).astype(np.float32)
+
+    n_coeffs = sh_components(sh_degree)
+    harmonics = np.zeros((count, n_coeffs, 3), np.float32)
+    harmonics[:, 0, :] = (rng.uniform(0.05, 0.95, (count, 3)) - 0.5) / 0.28209479
+    if n_coeffs > 1:
+        harmonics[:, 1:, :] = rng.normal(0, 0.06, (count, n_coeffs - 1, 3))
+    ds = GaussianDataset(positions, scales, quats, opacities,
+                         harmonics.astype(np.float32))
+    return sort_by_morton(ds)
+
+
 def generate_visible_gaussians(count: int, sh_degree: int = 0, seed: int = 7,
                                spread: float = 1.5,
                                scale_range=(0.01, 0.12)) -> GaussianDataset:

@@ -252,6 +252,26 @@ def _mult_scan_exclusive(om):
     return excl, y[g - 1:g, :]
 
 
+def _mxu_mult_scan_exclusive(om, ltri_b):
+    """Multiplicative exclusive scan via the MXU: texcl = exp(L @ log(om))
+    with L strictly lower-triangular ones.
+
+    The log-sum runs as TWO bf16 matmuls over a hi/lo split of log(om)
+    (f32 accumulation), keeping ~2^-16 relative precision — the 14-op VPU
+    Hillis-Steele doubling scan becomes 2 cheap MXU issues + one log1p/exp
+    pair.  Returns (exclusive_products (G, P), total_product_row (1, P))."""
+    lg = jnp.log1p(om - 1.0)  # log(om) = log1p(-alpha); om >= 0.01 (clamp)
+    hi = lg.astype(jnp.bfloat16)
+    lo = (lg - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    esum = (jax.lax.dot_general(ltri_b, hi, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(ltri_b, lo, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32))
+    excl = jnp.exp(esum)
+    total = excl[-1:] * om[-1:]
+    return excl, total
+
+
 def _add_scan_exclusive(x):
     """Additive Hillis-Steele scan over axis 0 of (G, P); returns
     (exclusive_sums, total_row)."""
@@ -271,7 +291,7 @@ def _row_blend_kernel(starts_ref, counts_ref, oyoff_ref, table_ref, *rest,
                       blocks_per_dma: int, depth_mode: str = "weighted",
                       r2_cutoff: float = 0.0, warped: bool = False,
                       skip_period: int = 0, compute_dtype: str = "f32",
-                      n_eyes: int = 1):
+                      n_eyes: int = 1, scan_mode: str = "vpu"):
     """One grid step = one tile row.
 
     DMA latency is hidden with tile-level double buffering: while tile t's first
@@ -307,6 +327,12 @@ def _row_blend_kernel(starts_ref, counts_ref, oyoff_ref, table_ref, *rest,
     # (DepthFirstShaders.metal:1825-1982).  The table carries 4 record words
     # per eye per instance (8 rows).
     word_rows = WORD_ROWS * n_eyes
+    if scan_mode == "mxu":
+        # strictly-lower-triangular ones for the MXU log-scan (built once;
+        # lives in registers/VMEM as a loop constant)
+        ri = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+        ci = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 1)
+        ltri_b = (ri > ci).astype(jnp.bfloat16)
 
     pidx = jax.lax.broadcasted_iota(jnp.int32, (1, pix), 1)
     px_row = (pidx % tile_w).astype(jnp.float32)   # (1, P) tile-local x
@@ -448,7 +474,12 @@ def _row_blend_kernel(starts_ref, counts_ref, oyoff_ref, table_ref, *rest,
                                                   cdt(0.0), alpha)
 
                             om = cdt(1.0) - alpha
-                            texcl, ttot = _mult_scan_exclusive(om)
+                            if scan_mode == "mxu":
+                                texcl, ttot = _mxu_mult_scan_exclusive(
+                                    om.astype(jnp.float32), ltri_b)
+                                texcl = texcl.astype(cdt)
+                            else:
+                                texcl, ttot = _mult_scan_exclusive(om)
                             # fold the per-pixel running transmittance into
                             # the (P, 4) contribution instead of the (128, P)
                             # weights (same math; one large multiply becomes
@@ -586,14 +617,15 @@ def _row_blend_kernel(starts_ref, counts_ref, oyoff_ref, table_ref, *rest,
                                              "tile_h", "blocks_per_dma",
                                              "interpret", "depth_mode",
                                              "r2_cutoff", "skip_period",
-                                             "compute_dtype", "n_eyes"))
+                                             "compute_dtype", "n_eyes",
+                                             "scan_mode"))
 def blend_tiles_pallas(table, starts, counts, *, tiles_x: int, tiles_y: int,
                        tile_w: int = 16, tile_h: int = 16,
                        blocks_per_dma: int = 2, interpret: bool = False,
                        depth_mode: str = "weighted", r2_cutoff: float = 0.0,
                        tile_row_offset=None, pixel_coords=None,
                        skip_period: int = 0, compute_dtype: str = "f32",
-                       n_eyes: int = 1):
+                       n_eyes: int = 1, scan_mode: str = "vpu"):
     """Production blend.  Returns (tile_color (T, P, 4), tile_depth (T, P)).
 
     ``table``: (CB, 4, 128) record-word table (from :func:`build_words_table`)
@@ -643,7 +675,8 @@ def blend_tiles_pallas(table, starts, counts, *, tiles_x: int, tiles_y: int,
                                tile_h=tile_h, blocks_per_dma=blocks_per_dma,
                                depth_mode=depth_mode, r2_cutoff=r2_cutoff,
                                warped=warped, skip_period=skip_period,
-                               compute_dtype=compute_dtype, n_eyes=n_eyes)
+                               compute_dtype=compute_dtype, n_eyes=n_eyes,
+                               scan_mode=scan_mode)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((tiles_y, chans, txp, pix),

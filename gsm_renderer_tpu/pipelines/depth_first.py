@@ -323,15 +323,8 @@ def _stereo_render(self, gi, camera, width, height):
     self.validate_inputs(gi, width, height)
     n = gi.count
     c = self.config
-    left, right = camera.left, camera.right
-    views = jnp.stack([jnp.asarray(left.view_matrix, jnp.float32),
-                       jnp.asarray(right.view_matrix, jnp.float32)])
-    projs = jnp.stack([jnp.asarray(left.projection_matrix, jnp.float32),
-                       jnp.asarray(right.projection_matrix, jnp.float32)])
-    centers = jnp.stack([jnp.asarray(left.position, jnp.float32),
-                         jnp.asarray(right.position, jnp.float32)])
-    st = camera.scene_transform
-    st = jnp.eye(4, dtype=jnp.float32) if st is None else jnp.asarray(st, jnp.float32)
+    left = camera.left
+    views, projs, centers, st = camera.astuple_jax()
     statics = dict(
         width=width, height=height,
         # stereo expands full union rects (createInstancesStereoKernel writes
@@ -496,16 +489,16 @@ def _stereo_foveated_render(self, gi, camera, target):
     self.validate_inputs(gi, target.display_width, target.display_height)
     n = gi.count
     c = self.config
-    left, right = camera.left, camera.right
-    views = jnp.stack([jnp.asarray(left.view_matrix, jnp.float32),
-                       jnp.asarray(right.view_matrix, jnp.float32)])
-    projs = jnp.stack([jnp.asarray(left.projection_matrix, jnp.float32),
-                       jnp.asarray(right.projection_matrix, jnp.float32)])
-    centers = jnp.stack([jnp.asarray(left.position, jnp.float32),
-                         jnp.asarray(right.position, jnp.float32)])
-    st = camera.scene_transform
-    st = jnp.eye(4, dtype=jnp.float32) if st is None else jnp.asarray(st, jnp.float32)
-    tabs = foveated_raster_tables(target)
+    left = camera.left
+    views, projs, centers, st = camera.astuple_jax()
+    # device copies of the warp tables, cached on the target (per-frame
+    # uploads of ~100 KB of tables cost real time on tunneled backends)
+    tabs_dev = target.__dict__.get("_jax_tabs")
+    if tabs_dev is None:
+        tabs = foveated_raster_tables(target)
+        tabs_dev = tuple(jnp.asarray(tabs[k])
+                         for k in ("inv_fit", "coord_x", "coord_y", "bounds"))
+        target.__dict__["_jax_tabs"] = tabs_dev
     statics = dict(
         display_width=target.display_width,
         display_height=target.display_height,
@@ -523,9 +516,6 @@ def _stereo_foveated_render(self, gi, camera, target):
            tuple(sorted(statics.items())))
     prog = self._program(
         key, lambda: AotProgram(depth_first_stereo_foveated_frame, key, statics))
-    out = prog(gi, views, projs, centers, st,
-               jnp.asarray(tabs["inv_fit"]),
-               jnp.asarray(tabs["coord_x"]), jnp.asarray(tabs["coord_y"]),
-               jnp.asarray(tabs["bounds"]))
+    out = prog(gi, views, projs, centers, st, *tabs_dev)
     self.note_frame(n, out.header, kind="df_foveated")
     return out

@@ -89,6 +89,32 @@ def test_expand_xla_1m_slots():
 
 @pytest.mark.skipif(not os.environ.get("GSM_TPU_TESTS"),
                     reason="real-chip scale test (set GSM_TPU_TESTS=1)")
+def test_render_6m_gaussians_real_chip():
+    """Reference default-config scale (RendererConfig 6M gaussians,
+    GaussianRendererProtocol.swift:195-228; hard cap 30M,
+    DepthFirstRenderer.swift:7): a full 6M-gaussian frame must fit memory at
+    the 4x capacity model, render finite output, and keep overflow=0; the
+    adaptive second frame must agree."""
+    import gsm_renderer_tpu as G
+    from gsm_renderer_tpu.io.scene import generate_visible_gaussians
+
+    n = 6_000_000
+    ds = generate_visible_gaussians(n, sh_degree=0, scale_range=(0.001, 0.006))
+    cam = G.make_camera(1920, 1080, far=50.0)
+    r = G.DepthFirstRenderer(G.RendererConfig(sh_degree=0))
+    gi = ds.to_input()
+    o1 = r.render(gi, cam, 1920, 1080)       # full 4x model (24M slots)
+    c1 = np.asarray(o1.color)
+    assert np.isfinite(c1).all()
+    assert int(o1.header.overflow) == 0
+    assert int(o1.header.visible_count) > n // 2
+    o2 = r.render(gi, cam, 1920, 1080)       # adaptive capacity
+    assert int(o2.header.overflow) == 0
+    np.testing.assert_array_equal(c1, np.asarray(o2.color))
+
+
+@pytest.mark.skipif(not os.environ.get("GSM_TPU_TESTS"),
+                    reason="real-chip scale test (set GSM_TPU_TESTS=1)")
 def test_expand_pallas_1m_real_chip():
     """Production Pallas expand at 1M+ slots on the real TPU vs the XLA
     mirror (the reference's testDepthSortAtScale analogue)."""
