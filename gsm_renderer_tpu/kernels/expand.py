@@ -79,21 +79,9 @@ def _nth_set_bit(mask_u32, jj):
     return p
 
 
-def exact_tile_masks(w0, w1, w2, w3, min_tx, min_ty, rect_w, rect_h,
-                     tile_w: int, tile_h: int, alpha_threshold: float):
-    """Exact per-tile pass mask over a gaussian's clamped tile rect, for rects
-    fitting the fixed MASK_W x MASK_H window.
-
-    Evaluates the same quantized-record minQuadRect <= d2Cutoff predicate the
-    expand kernel applies (``_exact_tile_test``) at up to 32 rect positions
-    per gaussian, packing passes into a u32 (bit = dy * 8 + dx).  Returns
-    (mask (N,) uint32, count (N,) int32 = popcount).  The caller decides
-    eligibility (rect_w <= 8 and rect_h <= 4) and falls back to full-rect
-    counting otherwise.
-    """
-    tau = max(alpha_threshold, 1e-12)
-    # conic from the quantized record, once per gaussian (the per-position
-    # loop below reuses it; formulas identical to _record_d2min)
+def _conic_from_words(w0, w1, w2):
+    """Decode conic (ca, cb, cc) + mean + precomputed reciprocals from the
+    quantized record words (formulas identical to ``_record_d2min``)."""
     mx = _f16_bits_to_f32(w0)
     my = _f16_bits_to_f32(w0 >> 16)
     theta = (w1 & jnp.uint32(0xFFFF)).astype(jnp.int32).astype(jnp.float32) * (
@@ -107,36 +95,87 @@ def exact_tile_masks(w0, w1, w2, w3, min_tx, min_ty, rect_w, rect_h,
     ca = c * c * iv1 + s * s * iv2
     cb = c * s * (iv1 - iv2)
     cc = s * s * iv1 + c * c * iv2
-    inv_a = 1.0 / jnp.maximum(ca, 1e-20)
-    inv_c = 1.0 / jnp.maximum(cc, 1e-20)
+    return dict(mx=mx, my=my, ca=ca, cb=cb, cc=cc,
+                inv_a=1.0 / jnp.maximum(ca, 1e-20),
+                inv_c=1.0 / jnp.maximum(cc, 1e-20))
+
+
+def _d2min_rect(con, xmin, xmax, ymin, ymax):
+    """minQuadRect of a decoded conic over a mean-centered rect."""
+    ca, cb, cc = con["ca"], con["cb"], con["cc"]
+    inside = (xmin <= 0.0) & (0.0 <= xmax) & (ymin <= 0.0) & (0.0 <= ymax)
+
+    def quad(x, y):
+        return ca * x * x + 2.0 * cb * x * y + cc * y * y
+
+    q1 = quad(xmin, jnp.clip(-(cb * con["inv_c"]) * xmin, ymin, ymax))
+    q2 = quad(xmax, jnp.clip(-(cb * con["inv_c"]) * xmax, ymin, ymax))
+    q3 = quad(jnp.clip(-(cb * con["inv_a"]) * ymin, xmin, xmax), ymin)
+    q4 = quad(jnp.clip(-(cb * con["inv_a"]) * ymax, xmin, xmax), ymax)
+    return jnp.where(inside, 0.0,
+                     jnp.minimum(jnp.minimum(q1, q2), jnp.minimum(q3, q4)))
+
+
+def exact_tile_masks(w0, w1, w2, w3, min_tx, min_ty, rect_w, rect_h,
+                     tile_w: int, tile_h: int, alpha_threshold: float):
+    """Exact per-tile pass mask over a gaussian's clamped tile rect, for rects
+    fitting the fixed MASK_W x MASK_H window.
+
+    Evaluates the same quantized-record minQuadRect <= d2Cutoff predicate the
+    expand kernel applies (``_exact_tile_test``) at up to 32 rect positions
+    per gaussian, packing passes into a u32 (bit = dy * 8 + dx).  Returns
+    (mask (N,) uint32, count (N,) int32 = popcount).  The caller decides
+    eligibility (rect_w <= 8 and rect_h <= 4) and falls back to full-rect
+    counting otherwise.
+    """
+    tau = max(alpha_threshold, 1e-12)
+    con = _conic_from_words(w0, w1, w2)
     op = ((w3 >> 24) & jnp.uint32(0xFF)).astype(jnp.int32).astype(
         jnp.float32) * (1.0 / 255.0)
     cutoff = jnp.where(op < tau, -1.0,
                        -2.0 * jnp.log(tau / jnp.maximum(op, 1e-30)))
 
-    x_base = min_tx.astype(jnp.float32) * tile_w - mx
-    y_base = min_ty.astype(jnp.float32) * tile_h - my
+    x_base = min_tx.astype(jnp.float32) * tile_w - con["mx"]
+    y_base = min_ty.astype(jnp.float32) * tile_h - con["my"]
 
     mask = jnp.zeros(w0.shape, jnp.uint32)
     for p in range(MASK_W * MASK_H):
         dx, dy = p % MASK_W, p // MASK_W
         xmin = x_base + float(dx * tile_w)
-        xmax = xmin + tile_w
         ymin = y_base + float(dy * tile_h)
-        ymax = ymin + tile_h
-        inside = (xmin <= 0.0) & (0.0 <= xmax) & (ymin <= 0.0) & (0.0 <= ymax)
-
-        def quad(x, y):
-            return ca * x * x + 2.0 * cb * x * y + cc * y * y
-
-        q1 = quad(xmin, jnp.clip(-(cb * inv_c) * xmin, ymin, ymax))
-        q2 = quad(xmax, jnp.clip(-(cb * inv_c) * xmax, ymin, ymax))
-        q3 = quad(jnp.clip(-(cb * inv_a) * ymin, xmin, xmax), ymin)
-        q4 = quad(jnp.clip(-(cb * inv_a) * ymax, xmin, xmax), ymax)
-        d2min = jnp.where(inside, 0.0,
-                          jnp.minimum(jnp.minimum(q1, q2),
-                                      jnp.minimum(q3, q4)))
+        d2min = _d2min_rect(con, xmin, xmin + tile_w, ymin, ymin + tile_h)
         passes = (dx < rect_w) & (dy < rect_h) & (d2min <= cutoff)
+        mask = mask | (passes.astype(jnp.uint32) << p)
+    return mask, _popcount(mask)
+
+
+def stereo_tile_masks(wl, wr, min_tx, min_ty, rect_w, rect_h,
+                      tile_w: int, tile_h: int):
+    """Dual-eye exact pass mask over the union tile rect: keep a position if
+    EITHER eye's quantized ellipse reaches q <= STEREO_R2_CUTOFF inside the
+    tile (the same predicate the expand kernel's "stereo" mode applies —
+    output-identical pruning, since the stereo blend zeroes alpha past
+    r^2 = 9; DepthFirstShaders.metal:1915-1935).
+
+    ``wl``/``wr``: (w0, w1, w2) word triples of the left/right records.
+    Returns (mask (N,) uint32, count (N,) int32)."""
+    con_l = _conic_from_words(*wl)
+    con_r = _conic_from_words(*wr)
+    xl = min_tx.astype(jnp.float32) * tile_w - con_l["mx"]
+    yl = min_ty.astype(jnp.float32) * tile_h - con_l["my"]
+    xr = min_tx.astype(jnp.float32) * tile_w - con_r["mx"]
+    yr = min_ty.astype(jnp.float32) * tile_h - con_r["my"]
+
+    mask = jnp.zeros(min_tx.shape, jnp.uint32)
+    for p in range(MASK_W * MASK_H):
+        dx, dy = p % MASK_W, p // MASK_W
+        ox, oy = float(dx * tile_w), float(dy * tile_h)
+        d2l = _d2min_rect(con_l, xl + ox, xl + ox + tile_w,
+                          yl + oy, yl + oy + tile_h)
+        d2r = _d2min_rect(con_r, xr + ox, xr + ox + tile_w,
+                          yr + oy, yr + oy + tile_h)
+        passes = ((dx < rect_w) & (dy < rect_h)
+                  & (jnp.minimum(d2l, d2r) <= STEREO_R2_CUTOFF))
         mask = mask | (passes.astype(jnp.uint32) << p)
     return mask, _popcount(mask)
 
@@ -416,6 +455,9 @@ def _expand_kernel(r0_ref, total_ref, rowoff_ref, tab_hbm,
             y0 = t_y.astype(jnp.float32) * float(tile_h)
             y1 = y0 + float(tile_h)
         passes = _stereo_tile_test(aux_vals, x0, x1, y0, y1)
+        if has_mask:
+            # dual-eye pre-counted gaussians already passed at projection
+            passes = jnp.logical_or(passes, is_masked)
         dead = jnp.logical_or(dead, jnp.logical_not(passes))
 
     if fused_depth16:
@@ -625,6 +667,8 @@ def expand_slots_xla(counts, rect_word, aux_words, *, capacity: int,
             y0 = t_y.astype(jnp.float32) * float(tile_h)
             y1 = y0 + float(tile_h)
         passes = _stereo_tile_test(aux, x0, x1, y0, y1)
+        if is_masked is not None:
+            passes = passes | is_masked
         dead = dead | ~passes
     if fused_depth16:
         key = (tile << 16) | (aux[0] & jnp.uint32(0xFFFF))

@@ -141,11 +141,21 @@ def binning_inputs(visible, min_tx, min_ty, max_tx, rect_count,
     rect_word = B.pack_rect_word(min_tx, min_ty, rect_w)
     counts = rect_count
     tile_mask = None
-    if precount and exact_test is True and tile_row_offset is None:
+    mask = cnt = None
+    if precount and tile_row_offset is None:
         rect_h = rect_count // jnp.maximum(rect_w, 1)
-        mask, cnt = E.exact_tile_masks(
-            word_list[0], word_list[1], word_list[2], word_list[3],
-            min_tx, min_ty, rect_w, rect_h, tile_w, tile_h, alpha_threshold)
+        if exact_test is True:
+            mask, cnt = E.exact_tile_masks(
+                word_list[0], word_list[1], word_list[2], word_list[3],
+                min_tx, min_ty, rect_w, rect_h, tile_w, tile_h,
+                alpha_threshold)
+        elif exact_test == "stereo" and len(word_list) >= 8:
+            # dual-eye exact pre-count over the union rect (word_list =
+            # left record words 0..3, right 4..7)
+            mask, cnt = E.stereo_tile_masks(
+                word_list[0:3], word_list[4:7],
+                min_tx, min_ty, rect_w, rect_h, tile_w, tile_h)
+    if mask is not None:
         eligible = visible & (rect_w <= E.MASK_W) & (rect_h <= E.MASK_H)
         counts = jnp.where(eligible, cnt, rect_count)
         visible = visible & (~eligible | (cnt > 0))
@@ -189,7 +199,10 @@ def fused_binning_words(visible, min_tx, min_ty, max_tx, rect_count,
     counts, rect_word, tile_mask, aux = binning_inputs(
         visible, min_tx, min_ty, max_tx, rect_count, depth_sort_word,
         word_list, exact_test=exact_test, tile_w=tile_w, tile_h=tile_h,
-        alpha_threshold=alpha_threshold, precount=precount,
+        alpha_threshold=alpha_threshold,
+        # foveated targets test against warped physical-tile rects in-kernel;
+        # the display-space mask predicate would disagree, so no pre-count
+        precount=precount and warped_bounds is None,
         tile_row_offset=tile_row_offset)
 
     expand = E.expand_slots_pallas if use_pallas else E.expand_slots_xla
