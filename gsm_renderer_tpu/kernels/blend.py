@@ -411,19 +411,23 @@ def _row_blend_kernel(starts_ref, counts_ref, oyoff_ref, table_ref, *rest,
                     # low-precision rounding error stays RELATIVE to the
                     # offset (the reference's half path centers the same way:
                     # d = pixelCenter - mean, DepthFirstShaders.metal:1753-1759)
-                    eyes.append(dict(
-                        mx=jnp.transpose(_f16(w0)),
-                        my=jnp.transpose(_f16(w0 >> 16)),
-                        gdepth=jnp.transpose(_f16(w2 >> 16)),
-                        cr=jnp.transpose(_u8f(w3) * (1.0 / 255.0)),
-                        cg=jnp.transpose(_u8f(w3 >> 8) * (1.0 / 255.0)),
-                        cb=jnp.transpose(_u8f(w3 >> 16) * (1.0 / 255.0)),
-                        op=jnp.transpose(_u8f(w3 >> 24) * (1.0 / 255.0)),
-                        a1=jnp.transpose(cth * i1),
-                        b1=jnp.transpose(sth * i1),
-                        a2=jnp.transpose(-sth * i2),
-                        b2=jnp.transpose(cth * i2),
-                    ))
+                    # All 11 per-instance planes ride ONE sublane<->lane
+                    # transpose (vs 11 small ones — lane crossings are the
+                    # expensive shape op on the VPU).
+                    stacked = jnp.concatenate([
+                        _f16(w0),                       # 0: mx
+                        _f16(w0 >> 16),                 # 1: my
+                        _f16(w2 >> 16),                 # 2: depth
+                        _u8f(w3) * (1.0 / 255.0),       # 3: r
+                        _u8f(w3 >> 8) * (1.0 / 255.0),  # 4: g
+                        _u8f(w3 >> 16) * (1.0 / 255.0),  # 5: b
+                        _u8f(w3 >> 24) * (1.0 / 255.0),  # 6: opacity
+                        cth * i1,                       # 7: a1
+                        sth * i1,                       # 8: b1
+                        -sth * i2,                      # 9: a2
+                        cth * i2,                       # 10: b2
+                    ], axis=0)
+                    eyes.append(jnp.transpose(stacked))  # (128, 11 * r_dma)
 
                 def sub_block(rb, carry2):
                     accs2, transs2, fhs2 = carry2
@@ -446,26 +450,34 @@ def _row_blend_kernel(starts_ref, counts_ref, oyoff_ref, table_ref, *rest,
 
                     def live(carry3):
                         accs3, transs3, fhs3 = carry3
-                        sl = lambda t: t[:, rb:rb + 1]  # rb static (unrolled)
+                        # plane k of sub-block rb in the fused-transpose
+                        # layout (rb static: unrolled)
+                        sl = lambda t, k: t[:, k * r_dma + rb:
+                                            k * r_dma + rb + 1]
                         gidx = g0 + lane_iota
                         in_range = jnp.logical_and(gidx >= start, gidx < end)
                         out_a, out_t, out_f = [], [], []
                         for e in range(n_eyes):
                             ey = eyes[e]
-                            gdepth = sl(ey["gdepth"])
+                            gdepth = sl(ey, 2)
                             # centered offsets in f32, then the broadcast FMA
                             # chain (128,1) x (1,P) in the compute dtype
-                            dx = (pxa - sl(ey["mx"])).astype(cdt)
-                            dy = (pya - sl(ey["my"])).astype(cdt)
-                            u = (sl(ey["a1"]).astype(cdt) * dx
-                                 + sl(ey["b1"]).astype(cdt) * dy)
-                            v = (sl(ey["a2"]).astype(cdt) * dx
-                                 + sl(ey["b2"]).astype(cdt) * dy)
+                            dx = (pxa - sl(ey, 0)).astype(cdt)
+                            dy = (pya - sl(ey, 1)).astype(cdt)
+                            u = (sl(ey, 7).astype(cdt) * dx
+                                 + sl(ey, 8).astype(cdt) * dy)
+                            v = (sl(ey, 9).astype(cdt) * dx
+                                 + sl(ey, 10).astype(cdt) * dy)
                             q = u * u + v * v              # (128, P)
 
-                            op = jnp.where(in_range, sl(ey["op"]),
-                                           0.0).astype(cdt)
-                            alpha = jnp.minimum(op * jnp.exp(q * cdt(-0.5)),
+                            # fold opacity into the exponent: alpha =
+                            # exp(-q/2 + log(op)) — one fused fma + exp
+                            # instead of exp + multiply; masked/zero opacity
+                            # maps to exp(-inf) = 0
+                            log_op = jnp.log(jnp.where(in_range, sl(ey, 6),
+                                                       0.0)).astype(cdt)
+                            alpha = jnp.minimum(jnp.exp(q * cdt(-0.5)
+                                                        + log_op),
                                                 cdt(ALPHA_CLAMP))
                             if r2_cutoff > 0.0:
                                 # fragment discard at r^2 > cutoff
@@ -487,7 +499,7 @@ def _row_blend_kernel(starts_ref, counts_ref, oyoff_ref, table_ref, *rest,
                             w = alpha * texcl              # (128, P)
 
                             cols = jnp.concatenate(
-                                [sl(ey["cr"]), sl(ey["cg"]), sl(ey["cb"]),
+                                [sl(ey, 3), sl(ey, 4), sl(ey, 5),
                                  gdepth], axis=1).astype(cdt)
                             contrib = jax.lax.dot_general(
                                 w, cols, (((0,), (0,)), ((), ())),

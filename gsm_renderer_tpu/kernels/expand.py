@@ -304,7 +304,8 @@ def _expand_kernel(r0_ref, total_ref, rowoff_ref, tab_hbm,
 
     def dma(buf, blk):
         row = r0_ref[blk] // LANES
-        return pltpu.make_async_copy(tab_hbm.at[pl.ds(row, WIN_ROWS)],
+        # plane-major table: one strided DMA grabs every plane's window rows
+        return pltpu.make_async_copy(tab_hbm.at[:, pl.ds(row, WIN_ROWS)],
                                      win.at[buf], sem.at[buf])
 
     slot_buf = jax.lax.rem(i, DMA_DEPTH)
@@ -322,7 +323,7 @@ def _expand_kernel(r0_ref, total_ref, rowoff_ref, tab_hbm,
     def _():
         dma(jax.lax.rem(i + DMA_DEPTH - 1, DMA_DEPTH), i + DMA_DEPTH - 1).start()
 
-    wblk = win[slot_buf]                      # (WIN_ROWS, 2 + n_aux, LANES)
+    wblk = win[slot_buf]                      # (planes, WIN_ROWS, LANES)
 
     # slot ids for this block
     sub_iota = jax.lax.broadcasted_iota(jnp.int32, (BLK_SUB, LANES), 0)
@@ -336,7 +337,7 @@ def _expand_kernel(r0_ref, total_ref, rowoff_ref, tab_hbm,
     tgt = i * BLK + sub_iota * LANES          # row-constant targets
     acc = jnp.zeros((BLK_SUB, LANES), jnp.int32)
     for k in range(WIN_ROWS):
-        acc += (wblk[k:k + 1, 0, :] <= tgt).astype(jnp.int32)
+        acc += (wblk[0, k:k + 1, :] <= tgt).astype(jnp.int32)
     cnt = jnp.sum(acc, axis=1, keepdims=True)  # (BLK_SUB, 1)
     b = jnp.broadcast_to(jnp.minimum(cnt - 1, (WIN_ROWS - 1) * LANES - 1),
                          (BLK_SUB, LANES))
@@ -348,8 +349,8 @@ def _expand_kernel(r0_ref, total_ref, rowoff_ref, tab_hbm,
         rowB = jnp.zeros((BLK_SUB, LANES), jnp.int32)
         for k in range(WIN_ROWS - 1):
             sel = w_r == k
-            rowA = jnp.where(sel, wblk[k:k + 1, plane, :], rowA)
-            rowB = jnp.where(sel, wblk[k + 1:k + 2, plane, :], rowB)
+            rowA = jnp.where(sel, wblk[plane, k:k + 1, :], rowA)
+            rowB = jnp.where(sel, wblk[plane, k + 1:k + 2, :], rowB)
         return rowA, rowB
 
     offA, offB = two_rows(0)
@@ -474,15 +475,16 @@ def _expand_kernel(r0_ref, total_ref, rowoff_ref, tab_hbm,
 
 
 def _pad_rows(x, n):
-    """Pad a per-gaussian word plane to whole window rows: (rows, 1, 128) i32.
+    """Pad a per-gaussian word plane to whole window rows: (rows, 128) i32.
 
-    Planes are padded/reshaped individually and concatenated on the middle
-    axis by the caller — a strided copy; transposing a stacked (N, K) array's
-    minor dims costs ~9 ms at 4M on TPU (see CLAUDE.md)."""
+    Planes are padded/reshaped individually and stacked on a NEW LEADING
+    axis by the caller — a contiguous copy.  (The previous middle-axis
+    layout required a strided interleaving concat; minor-dim transposes of
+    stacked (N, K) arrays cost ~9 ms at 4M on TPU — see CLAUDE.md.)"""
     np_rows = -(-(n + 1) // LANES) + WIN_ROWS
     pad_to = np_rows * LANES - x.shape[0]
     x = jnp.pad(x, (0, pad_to))
-    return x.view(jnp.int32).reshape(np_rows, 1, LANES)
+    return x.view(jnp.int32).reshape(np_rows, LANES)
 
 
 @functools.partial(jax.jit, static_argnames=("capacity", "tiles_x",
@@ -553,15 +555,15 @@ def expand_slots_pallas(counts, rect_word, aux_words, *, capacity: int,
     mask_planes = [_pad_rows(tile_mask, n)] if has_mask else []
     planes = ([_pad_rows(rect_word, n)] + mask_planes
               + [_pad_rows(a, n) for a in aux_list])
-    # align row counts and pack as planes of ONE combined table (one DMA per
-    # block window): [offsets, rect, aux_0 .. aux_{K-1}] — plane-wise concat,
-    # never a minor-dim transpose (CLAUDE.md gotcha)
+    # align row counts and stack as a PLANE-MAJOR combined table
+    # [offsets, rect, (mask,) aux_0 .. aux_{K-1}]: a leading-axis stack is a
+    # contiguous copy (the per-block window is one strided DMA); never a
+    # minor-dim transpose (CLAUDE.md gotcha)
     rows = max(off_t.shape[0], planes[0].shape[0])
     off_t = jnp.pad(off_t, ((0, rows - off_t.shape[0]), (0, 0)),
                     constant_values=OFFSET_PAD)
-    planes = [jnp.pad(p, ((0, rows - p.shape[0]), (0, 0), (0, 0)))
-              for p in planes]
-    tab = jnp.concatenate([off_t[:, None, :]] + planes, axis=1)
+    planes = [jnp.pad(p, ((0, rows - p.shape[0]), (0, 0))) for p in planes]
+    tab = jnp.stack([off_t] + planes, axis=0)  # (planes, rows, LANES)
 
     if tile_row_offset is None:
         tile_row_offset = jnp.zeros((), jnp.int32)
@@ -582,7 +584,7 @@ def expand_slots_pallas(counts, rect_word, aux_words, *, capacity: int,
                          memory_space=pltpu.VMEM)
             for _ in range(1 + n_aux)),
         scratch_shapes=[
-            pltpu.VMEM((DMA_DEPTH, WIN_ROWS, 2 + has_mask + n_aux, LANES),
+            pltpu.VMEM((DMA_DEPTH, 2 + has_mask + n_aux, WIN_ROWS, LANES),
                        jnp.int32),
             pltpu.SemaphoreType.DMA((DMA_DEPTH,)),
         ],

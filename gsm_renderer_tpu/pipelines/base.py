@@ -179,16 +179,21 @@ class GaussianRenderer:
             return full
         try:
             # blocks on the feedback frame's completion — paid once at
-            # lock-in and every ADAPTIVE_REFRESH frames thereafter
-            overflowed = int(fb.overflow)
+            # lock-in and every ADAPTIVE_REFRESH frames thereafter.
+            # slot_total is computed BEFORE the capacity clamp, so it is the
+            # true demand even for an overflowed frame — adaptation both
+            # shrinks under-full models and GROWS past them (the reference's
+            # HardwareRenderer grows its resources 2x on demand the same
+            # way, HardwareRenderer.swift:92-232), up to a 4x-of-model
+            # memory ceiling.
             total = int(fb.slot_total)
         except Exception:
             return full
-        cap = full if overflowed else int(total * ADAPTIVE_MARGIN) + 4096
+        cap = int(total * ADAPTIVE_MARGIN) + 4096
         # quantize to 1/32 of magnitude: bounds recompiles to ~32 buckets per
         # octave while keeping the slack under ~3%
         bucket = max(4096, 1 << max(cap.bit_length() - 5, 0))
-        cap = max(min(-(-cap // bucket) * bucket, full), 4096)
+        cap = max(min(-(-cap // bucket) * bucket, 4 * full), 4096)
         if self._cap_state is None:
             self._cap_state = {}
         self._cap_state[(kind, n)] = {"cap": cap, "age": 0}

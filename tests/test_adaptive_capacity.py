@@ -49,6 +49,24 @@ def test_explicit_max_instances_disables_adaptation():
     assert not r._cap_state
 
 
+def test_adaptive_capacity_grows_past_model_on_overflow():
+    """slot_total is computed before the capacity clamp, so an overflowed
+    frame still reports true demand; the next capacity grows past the 4x
+    model (HardwareRenderer-style on-demand growth) up to the 4x-of-model
+    ceiling."""
+    import types
+    n = 5_000
+    r = G.DepthFirstRenderer(G.RendererConfig(sh_degree=0))
+    full = instance_capacity(r.config, n)
+    fb = types.SimpleNamespace(slot_total=np.int32(3 * full),
+                               overflow=np.int32(1),
+                               total_instances=np.int32(0),
+                               visible_count=np.int32(0))
+    r._cap_feedback = {("mono", n): fb}
+    cap = r.pick_capacity(n)
+    assert 3 * full <= cap <= 4 * full
+
+
 def test_adaptive_capacity_off_switch():
     w, h = 128, 96
     n = 5_000
