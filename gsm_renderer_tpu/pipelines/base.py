@@ -31,8 +31,12 @@ Array = Any
 #: scale with the STATIC capacity instead, so tracking the workload size is
 #: the TPU-native analogue.  On overflow the frame drops instances and sets
 #: header.overflow exactly like the reference's capacity clamp, and the next
-#: frame rebounds to the full model.
-ADAPTIVE_MARGIN = 1.10
+#: frame rebounds to the full model.  Margin A/B at the headline config
+#: (same process, slot_total 2.88M): 1.10+bucket -> 3.28M cap, 26.1 ms;
+#: 1.04 -> 3.00M cap, 24.8 ms; 1.01 measured identical to 1.04 — the sort
+#: is element-count-bound, so every point of margin costs ~0.05 ms, and 4%
+#: covers frame-to-frame drift between refresh reads.
+ADAPTIVE_MARGIN = 1.04
 #: frames between workload re-reads once a capacity is locked in: reading the
 #: device header blocks on the in-flight frame (a full sync costs ~30 ms
 #: through a tunneled backend, ~us locally), so steady-state frames reuse the
