@@ -291,7 +291,8 @@ def _row_blend_kernel(starts_ref, counts_ref, oyoff_ref, table_ref, *rest,
                       blocks_per_dma: int, depth_mode: str = "weighted",
                       r2_cutoff: float = 0.0, warped: bool = False,
                       skip_period: int = 0, compute_dtype: str = "f32",
-                      n_eyes: int = 1, scan_mode: str = "vpu"):
+                      n_eyes: int = 1, scan_mode: str = "vpu",
+                      sub_g: int = LANES):
     """One grid step = one tile row.
 
     DMA latency is hidden with tile-level double buffering: while tile t's first
@@ -338,7 +339,11 @@ def _row_blend_kernel(starts_ref, counts_ref, oyoff_ref, table_ref, *rest,
     px_row = (pidx % tile_w).astype(jnp.float32)   # (1, P) tile-local x
     py_row = (pidx // tile_w).astype(jnp.float32)
 
-    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (LANES, 1), 0)
+    # instance-id iota per composited sub-block (sub_g <= LANES instances at a
+    # time: the scan costs 2*log2(G) VPU ops per instance batch, so smaller
+    # sub-blocks trade scan steps for per-block fixed cost — a measured knob)
+    g_iota = jax.lax.broadcasted_iota(jnp.int32, (sub_g, 1), 0)
+    n_sub = LANES // sub_g
 
     def first_block(tid):
         return starts_ref[tid] // LANES
@@ -429,9 +434,10 @@ def _row_blend_kernel(starts_ref, counts_ref, oyoff_ref, table_ref, *rest,
                     ], axis=0)
                     eyes.append(jnp.transpose(stacked))  # (128, 11 * r_dma)
 
-                def sub_block(rb, carry2):
+                def sub_block(rb, h, carry2):
                     accs2, transs2, fhs2 = carry2
-                    g0 = (blk0 + c * r_dma + rb) * LANES
+                    sbi = rb * n_sub + h
+                    g0 = (blk0 + c * r_dma + rb) * LANES + h * sub_g
                     # skip sub-blocks past the tile's span AND (every
                     # ``skip_period``-th sub-block) saturated ones — the
                     # reference's early-exit at 128-instance granularity
@@ -440,8 +446,8 @@ def _row_blend_kernel(starts_ref, counts_ref, oyoff_ref, table_ref, *rest,
                     # which stalls the VPU pipeline, so its frequency is a
                     # measured tuning knob (0 disables it).
                     alive = g0 < end
-                    if skip_period > 0 and (rb % skip_period == 0) and \
-                            not (first_chunk and rb == 0):
+                    if skip_period > 0 and (sbi % skip_period == 0) and \
+                            not (first_chunk and sbi == 0):
                         tmx = transs2[0]
                         for e in range(1, n_eyes):
                             tmx = jnp.maximum(tmx, transs2[e])
@@ -452,9 +458,10 @@ def _row_blend_kernel(starts_ref, counts_ref, oyoff_ref, table_ref, *rest,
                         accs3, transs3, fhs3 = carry3
                         # plane k of sub-block rb in the fused-transpose
                         # layout (rb static: unrolled)
-                        sl = lambda t, k: t[:, k * r_dma + rb:
+                        sl = lambda t, k: t[h * sub_g:(h + 1) * sub_g,
+                                            k * r_dma + rb:
                                             k * r_dma + rb + 1]
-                        gidx = g0 + lane_iota
+                        gidx = g0 + g_iota
                         in_range = jnp.logical_and(gidx >= start, gidx < end)
                         out_a, out_t, out_f = [], [], []
                         for e in range(n_eyes):
@@ -534,8 +541,9 @@ def _row_blend_kernel(starts_ref, counts_ref, oyoff_ref, table_ref, *rest,
                                         (accs2, transs2, fhs2))
 
                 carry2 = carry
-                for rb in range(r_dma):  # unrolled: rb must be static
-                    carry2 = sub_block(rb, carry2)
+                for rb in range(r_dma):  # unrolled: rb/h must be static
+                    for h in range(n_sub):
+                        carry2 = sub_block(rb, h, carry2)
                 return carry2
 
             # Empty-tile skip (the reference dispatches only nonempty tiles
@@ -630,14 +638,15 @@ def _row_blend_kernel(starts_ref, counts_ref, oyoff_ref, table_ref, *rest,
                                              "interpret", "depth_mode",
                                              "r2_cutoff", "skip_period",
                                              "compute_dtype", "n_eyes",
-                                             "scan_mode"))
+                                             "scan_mode", "sub_g"))
 def blend_tiles_pallas(table, starts, counts, *, tiles_x: int, tiles_y: int,
                        tile_w: int = 16, tile_h: int = 16,
                        blocks_per_dma: int = 2, interpret: bool = False,
                        depth_mode: str = "weighted", r2_cutoff: float = 0.0,
                        tile_row_offset=None, pixel_coords=None,
                        skip_period: int = 0, compute_dtype: str = "f32",
-                       n_eyes: int = 1, scan_mode: str = "vpu"):
+                       n_eyes: int = 1, scan_mode: str = "vpu",
+                       sub_g: int = LANES):
     """Production blend.  Returns (tile_color (T, P, 4), tile_depth (T, P)).
 
     ``table``: (CB, 4, 128) record-word table (from :func:`build_words_table`)
@@ -688,7 +697,7 @@ def blend_tiles_pallas(table, starts, counts, *, tiles_x: int, tiles_y: int,
                                depth_mode=depth_mode, r2_cutoff=r2_cutoff,
                                warped=warped, skip_period=skip_period,
                                compute_dtype=compute_dtype, n_eyes=n_eyes,
-                               scan_mode=scan_mode)
+                               scan_mode=scan_mode, sub_g=sub_g)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((tiles_y, chans, txp, pix),

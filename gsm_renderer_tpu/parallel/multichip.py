@@ -91,9 +91,11 @@ def build_sharded_depth_first(
     bands = -(-tiles_y // n_dev)
     tiles_y_pad = bands * n_dev
     if capacity_per_device <= 0:
-        # band-clamped rects are expanded in full (no exact pre-count on the
-        # sharded path): keep the inflated full-rect factor
-        capacity_per_device = (cfg.FULL_RECT_CAPACITY_FACTOR * n_total) // n_dev
+        # exact pre-count masks travel with the all-gather and are band-shifted
+        # per device, so the per-band capacity follows the mono 4x model
+        # (the reference's maxInstances discipline) instead of the inflated
+        # full-rect factor
+        capacity_per_device = (cfg.INSTANCE_CAPACITY_FACTOR * n_total) // n_dev
     # expand_slots_pallas requires capacity % 1024 == 0 (kernels/expand.py BLK);
     # round up to 4096 like the mono instance_capacity helper.
     capacity_per_device = -(-capacity_per_device // 4096) * 4096
@@ -110,19 +112,29 @@ def build_sharded_depth_first(
             total_ink_threshold=total_ink_threshold,
             input_is_srgb=input_is_srgb,
         )
+        from ..kernels import expand as E
         from ..pipelines.common import pack_record_words
         words = pack_record_words(pr.record)                      # (n/D, 4) u32
         rect_word = B.pack_rect_word(pr.min_tx, pr.min_ty,
                                      (pr.max_tx - pr.min_tx + 1))
         rect_rows = B.pack_rect_word(pr.min_ty, pr.max_ty,
                                      jnp.zeros_like(pr.min_ty))   # rows only
+        # exact 8x4 pre-count mask in GLOBAL display coordinates, computed on
+        # the owning shard (the same predicate the mono path pre-counts with;
+        # band devices sub-mask it after the gather)
+        mask_l, _ = E.exact_tile_masks(
+            words[:, 0], words[:, 1], words[:, 2], words[:, 3],
+            pr.min_tx, pr.min_ty, pr.max_tx - pr.min_tx + 1,
+            pr.max_ty - pr.min_ty + 1, tile_w, tile_h, alpha_threshold)
 
         # --- the one collective: all-gather compact per-gaussian data over ICI
+        # (4 record words + rect + rows + depth key + mask = 32 B/gaussian)
         ag = lambda x: jax.lax.all_gather(x, axis, tiled=True)
         words_g = ag(words)
         rect_word_g = ag(rect_word)
         rect_rows_g = ag(rect_rows)
         depth_key_g = ag(pr.depth_key)
+        mask_g = ag(mask_l)
         rect_w_g = ((rect_word_g >> 20) & jnp.uint32(0x3FF)).astype(jnp.int32)
 
         # --- SP: clamp every rect to this device's tile-row band --------------
@@ -138,6 +150,28 @@ def build_sharded_depth_first(
         visible_here = (depth_key_g != jnp.uint32(0xFFFFFFFF)) & (rows_in_band > 0)
         counts = jnp.where(visible_here, rect_w_g * rows_in_band, 0)
 
+        # band sub-mask: the global mask's rows rebased to the band clamp
+        # (bit = dy * 8 + dx relative to min_ty; the band keeps rows
+        # [bty0 - min_ty, bty1 - min_ty]) — eligible gaussians get exact
+        # band-local counts and the expand kernel's j-th-set-bit mapping
+        # works unchanged against the band-local min row
+        rect_h_full = max_ty_g - min_ty_g + 1
+        # eligible gaussians (rect_h <= MASK_H, >= 1 row in band) shift by at
+        # most MASK_H - 1; the clip also keeps the u32 shift in-range for
+        # ineligible ones whose sub_mask is never used
+        shift = jnp.clip(bty0 - min_ty_g, 0, E.MASK_H - 1)
+        sub_mask = mask_g >> (8 * shift).astype(jnp.uint32)
+        rows_bits = jnp.where(
+            rows_in_band >= E.MASK_H, jnp.uint32(0xFFFFFFFF),
+            (jnp.uint32(1) << (8 * jnp.clip(rows_in_band, 0, E.MASK_H - 1))
+             .astype(jnp.uint32)) - jnp.uint32(1))
+        sub_mask = sub_mask & rows_bits
+        eligible = (visible_here & (rect_w_g <= E.MASK_W)
+                    & (rect_h_full <= E.MASK_H))
+        sub_cnt = E._popcount(sub_mask)
+        counts = jnp.where(eligible, sub_cnt, counts)
+        visible_here = visible_here & (~eligible | (sub_cnt > 0))
+
         # fused binning in band-local tile space: every gathered gaussian owns
         # >= 1 slot; not-in-band ones are flagged culled; the exact per-tile
         # test runs in global coordinates via tile_row_offset
@@ -150,7 +184,8 @@ def build_sharded_depth_first(
             depth_key_g, word_list, capacity=capacity_per_device,
             tiles_x=tiles_x, fused_depth16=False, use_pallas=not use_xla_blend,
             exact_test=True, tile_w=tile_w, tile_h=tile_h,
-            alpha_threshold=alpha_threshold, tile_row_offset=band0)
+            alpha_threshold=alpha_threshold, tile_row_offset=band0,
+            mask_override=(sub_mask, sub_cnt, eligible))
 
         starts, cts = B.extract_tile_ranges(sorted_tile, tiles_x * bands)
 

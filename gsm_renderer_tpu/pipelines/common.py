@@ -125,7 +125,7 @@ def binning_inputs(visible, min_tx, min_ty, max_tx, rect_count,
                    depth_sort_word, word_list, *, exact_test=False,
                    tile_w: int = 16, tile_h: int = 16,
                    alpha_threshold: float = 0.005, precount: bool = True,
-                   tile_row_offset=None):
+                   tile_row_offset=None, mask_override=None):
     """Per-gaussian expand inputs: (counts, rect_word, tile_mask, aux).
 
     When the mono exact test is on and ``precount`` holds, gaussians whose
@@ -133,6 +133,13 @@ def binning_inputs(visible, min_tx, min_ty, max_tx, rect_count,
     counts (kernels/expand.py exact_tile_masks — the reference's
     count-before-expansion discipline, DepthFirstShaders.metal:181-219);
     zero-count ones are culled outright.
+
+    ``mask_override``: optional (mask (N,) u32, count (N,) i32, eligible (N,)
+    bool) computed by the caller — used by the multichip band-sharded path,
+    whose masks are built in global display space BEFORE the all-gather and
+    band-shifted per device (the in-place mask predicate cannot see the band
+    clamp).  Overrides the local mask computation and the rect-fits-window
+    eligibility check.
     """
     from ..kernels import expand as E
     from ..ops import binning as B
@@ -142,7 +149,10 @@ def binning_inputs(visible, min_tx, min_ty, max_tx, rect_count,
     counts = rect_count
     tile_mask = None
     mask = cnt = None
-    if precount and tile_row_offset is None:
+    eligible = None
+    if mask_override is not None:
+        mask, cnt, eligible = mask_override
+    elif precount and tile_row_offset is None:
         rect_h = rect_count // jnp.maximum(rect_w, 1)
         if exact_test is True:
             mask, cnt = E.exact_tile_masks(
@@ -156,7 +166,8 @@ def binning_inputs(visible, min_tx, min_ty, max_tx, rect_count,
                 word_list[0:3], word_list[4:7],
                 min_tx, min_ty, rect_w, rect_h, tile_w, tile_h)
     if mask is not None:
-        eligible = visible & (rect_w <= E.MASK_W) & (rect_h <= E.MASK_H)
+        if eligible is None:
+            eligible = visible & (rect_w <= E.MASK_W) & (rect_h <= E.MASK_H)
         counts = jnp.where(eligible, cnt, rect_count)
         visible = visible & (~eligible | (cnt > 0))
         rect_word = jnp.where(eligible,
@@ -179,7 +190,7 @@ def fused_binning_words(visible, min_tx, min_ty, max_tx, rect_count,
                         tile_w: int = 16, tile_h: int = 16,
                         alpha_threshold: float = 0.005,
                         tile_row_offset=None, warped_bounds=None,
-                        precount: bool = True):
+                        precount: bool = True, mask_override=None):
     """Core fused binning over arbitrary carried word lists (mono carries the
     4-word record; stereo carries 8 words = both eyes' records).
 
@@ -203,7 +214,7 @@ def fused_binning_words(visible, min_tx, min_ty, max_tx, rect_count,
         # foveated targets test against warped physical-tile rects in-kernel;
         # the display-space mask predicate would disagree, so no pre-count
         precount=precount and warped_bounds is None,
-        tile_row_offset=tile_row_offset)
+        tile_row_offset=tile_row_offset, mask_override=mask_override)
 
     expand = E.expand_slots_pallas if use_pallas else E.expand_slots_xla
     kw = {} if not use_pallas else {"interpret": interpret}
