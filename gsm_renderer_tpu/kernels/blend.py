@@ -292,7 +292,7 @@ def _row_blend_kernel(starts_ref, counts_ref, oyoff_ref, table_ref, *rest,
                       r2_cutoff: float = 0.0, warped: bool = False,
                       skip_period: int = 0, compute_dtype: str = "f32",
                       n_eyes: int = 1, scan_mode: str = "vpu",
-                      sub_g: int = LANES):
+                      sub_g: int = LANES, chunk_prefetch: bool = True):
     """One grid step = one tile row.
 
     DMA latency is hidden with tile-level double buffering: while tile t's first
@@ -580,13 +580,42 @@ def _row_blend_kernel(starts_ref, counts_ref, oyoff_ref, table_ref, *rest,
                         tmx = jnp.maximum(tmx, transs[e])
                     return jnp.max(tmx)
 
-                # Rare extra chunks: synchronous DMA into this tile's buffer.
-                # The early-exit transmittance check is carried as a scalar and
-                # only computed for tiles that actually have more chunks — a
-                # per-tile vector->scalar reduction in the while condition
-                # would stall the pipeline on every (mostly single-chunk) tile.
+                # Extra chunks of heavy tiles.  The early-exit transmittance
+                # check is carried as a scalar and only computed for tiles
+                # that actually have more chunks — a per-tile vector->scalar
+                # reduction in the while condition would stall the pipeline on
+                # every (mostly single-chunk) tile.  With ``chunk_prefetch``
+                # chunk c+1 DMAs into the spare buffer (index DMA_DEPTH — odd
+                # chunks) or this tile's own pipeline buffer (even chunks,
+                # whose first-chunk content is already consumed) WHILE chunk c
+                # computes — the synchronous copy-then-compute form exposes
+                # the full DMA latency on every extra chunk (~half the live
+                # chunks at the bench scene).  An early exit must DRAIN the
+                # in-flight prefetch: its buffer/semaphore are reused by the
+                # next tiles' first-chunk pipeline and an orphaned signal
+                # would race them.
                 tmax = jax.lax.cond(n_chunks > 1, tmax_of,
                                     lambda _t: jnp.float32(0.0), carry[1])
+
+                def chunk_cp(c, bc):
+                    return pltpu.make_async_copy(
+                        table_ref.at[pl.ds(blk0 + c * r_dma, r_dma)],
+                        scr.at[bc], sem.at[bc])
+
+                if chunk_prefetch:
+                    spare = jnp.int32(DMA_DEPTH)
+
+                    def chunk_buf(c):
+                        return jnp.where(jax.lax.rem(c, 2) == 1, spare, buf)
+
+                    # unconditionally on tmax, so "a prefetch for chunk c_f is
+                    # in flight iff c_f < n_chunks" holds on EVERY loop exit
+                    # (the drain below relies on it; a tmax-gated prologue
+                    # would leave the saturated-after-chunk-0 case waiting on
+                    # a DMA that never started)
+                    @pl.when(n_chunks > 1)
+                    def _():
+                        chunk_cp(jnp.int32(1), spare).start()
 
                 def chunk_cond(state):
                     c, carry, tmax = state
@@ -595,16 +624,31 @@ def _row_blend_kernel(starts_ref, counts_ref, oyoff_ref, table_ref, *rest,
 
                 def chunk_body(state):
                     c, carry, _tmax = state
-                    cp = pltpu.make_async_copy(
-                        table_ref.at[pl.ds(blk0 + c * r_dma, r_dma)],
-                        scr.at[buf], sem.at[buf])
-                    cp.start()
-                    cp.wait()
-                    carry = compute_chunk(c, buf, carry)
+                    if chunk_prefetch:
+                        bc = chunk_buf(c)
+                        chunk_cp(c, bc).wait()
+
+                        @pl.when(c + 1 < n_chunks)
+                        def _():
+                            chunk_cp(c + 1, chunk_buf(c + 1)).start()
+                    else:
+                        bc = buf
+                        cp = chunk_cp(c, bc)
+                        cp.start()
+                        cp.wait()
+                    carry = compute_chunk(c, bc, carry)
                     return c + 1, carry, tmax_of(carry[1])
 
-                _, carry, _ = jax.lax.while_loop(
+                c_f, carry, _ = jax.lax.while_loop(
                     chunk_cond, chunk_body, (jnp.int32(1), carry, tmax))
+
+                if chunk_prefetch:
+                    # drain the prefetch orphaned by an early exit (issued for
+                    # chunk c_f by the loop body — or the prologue — and
+                    # never waited)
+                    @pl.when(c_f < n_chunks)
+                    def _():
+                        chunk_cp(c_f, chunk_buf(c_f)).wait()
 
                 accs, transs, fhs = carry
                 for e in range(n_eyes):
@@ -626,10 +670,11 @@ def _row_blend_kernel(starts_ref, counts_ref, oyoff_ref, table_ref, *rest,
 
         jax.lax.fori_loop(0, tiles_x, tile_loop, 0)
 
+    n_buf = DMA_DEPTH + (1 if chunk_prefetch else 0)  # +1: chunk-prefetch spare
     pl.run_scoped(
         body,
-        scr=pltpu.VMEM((DMA_DEPTH, r_dma, word_rows, LANES), jnp.int32),
-        sem=pltpu.SemaphoreType.DMA((DMA_DEPTH,)),
+        scr=pltpu.VMEM((n_buf, r_dma, word_rows, LANES), jnp.int32),
+        sem=pltpu.SemaphoreType.DMA((n_buf,)),
     )
 
 
@@ -638,7 +683,8 @@ def _row_blend_kernel(starts_ref, counts_ref, oyoff_ref, table_ref, *rest,
                                              "interpret", "depth_mode",
                                              "r2_cutoff", "skip_period",
                                              "compute_dtype", "n_eyes",
-                                             "scan_mode", "sub_g"))
+                                             "scan_mode", "sub_g",
+                                             "chunk_prefetch"))
 def blend_tiles_pallas(table, starts, counts, *, tiles_x: int, tiles_y: int,
                        tile_w: int = 16, tile_h: int = 16,
                        blocks_per_dma: int = 2, interpret: bool = False,
@@ -646,7 +692,7 @@ def blend_tiles_pallas(table, starts, counts, *, tiles_x: int, tiles_y: int,
                        tile_row_offset=None, pixel_coords=None,
                        skip_period: int = 0, compute_dtype: str = "f32",
                        n_eyes: int = 1, scan_mode: str = "vpu",
-                       sub_g: int = LANES):
+                       sub_g: int = LANES, chunk_prefetch: bool = True):
     """Production blend.  Returns (tile_color (T, P, 4), tile_depth (T, P)).
 
     ``table``: (CB, 4, 128) record-word table (from :func:`build_words_table`)
@@ -697,7 +743,8 @@ def blend_tiles_pallas(table, starts, counts, *, tiles_x: int, tiles_y: int,
                                depth_mode=depth_mode, r2_cutoff=r2_cutoff,
                                warped=warped, skip_period=skip_period,
                                compute_dtype=compute_dtype, n_eyes=n_eyes,
-                               scan_mode=scan_mode, sub_g=sub_g)
+                               scan_mode=scan_mode, sub_g=sub_g,
+                               chunk_prefetch=chunk_prefetch)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((tiles_y, chans, txp, pix),
