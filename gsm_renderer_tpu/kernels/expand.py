@@ -180,6 +180,57 @@ def stereo_tile_masks(wl, wr, min_tx, min_ty, rect_w, rect_h,
     return mask, _popcount(mask)
 
 
+def stereo_warped_tile_masks(wl, wr, min_tx, min_ty, rect_w, rect_h,
+                             fwd_fit, tile_w: int, tile_h: int):
+    """Dual-eye exact pre-count mask for the FOVEATED path: the physical tile
+    rect's display-space pixel bounds come from the degree-9 forward-warp
+    polynomial fit (stereo.foveated_raster_tables ``fwd_fit``), widened by
+    the fit margin so the mask is conservative vs the in-kernel
+    boundary-table test — a kept-extra tile is zeroed per-pixel by the
+    blend's r^2 <= 9 cutoff, so pruning stays output-identical
+    (DepthFirstShaders.metal:1915-1935 economics, evaluated pre-expansion).
+
+    ``fwd_fit``: (2, 13) [coeff0..coeff9, lo, hi, margin] per axis mapping
+    physical PIXEL coordinate -> display pixel coordinate.
+    Returns (mask (N,) uint32, count (N,) int32)."""
+    con_l = _conic_from_words(*wl)
+    con_r = _conic_from_words(*wr)
+
+    def fwd(v, axis):
+        row = fwd_fit[axis]
+        lo, hi, margin = row[10], row[11], row[12]
+        t = (v - lo) / (hi - lo) * 2.0 - 1.0
+        acc = row[0]
+        for k in range(1, 10):
+            acc = acc * t + row[k]
+        return acc, margin
+
+    # display coords of the 9 x / 5 y physical tile boundaries of the window
+    fx, fy = [], []
+    for dx in range(MASK_W + 1):
+        v, mx_m = fwd((min_tx + dx).astype(jnp.float32) * tile_w, 0)
+        fx.append(v)
+    for dy in range(MASK_H + 1):
+        v, my_m = fwd((min_ty + dy).astype(jnp.float32) * tile_h, 1)
+        fy.append(v)
+
+    mask = jnp.zeros(min_tx.shape, jnp.uint32)
+    for p in range(MASK_W * MASK_H):
+        dx, dy = p % MASK_W, p // MASK_W
+        x0 = fx[dx] - mx_m
+        x1 = fx[dx + 1] + mx_m
+        y0 = fy[dy] - my_m
+        y1 = fy[dy + 1] + my_m
+        d2l = _d2min_rect(con_l, x0 - con_l["mx"], x1 - con_l["mx"],
+                          y0 - con_l["my"], y1 - con_l["my"])
+        d2r = _d2min_rect(con_r, x0 - con_r["mx"], x1 - con_r["mx"],
+                          y0 - con_r["my"], y1 - con_r["my"])
+        passes = ((dx < rect_w) & (dy < rect_h)
+                  & (jnp.minimum(d2l, d2r) <= STEREO_R2_CUTOFF))
+        mask = mask | (passes.astype(jnp.uint32) << p)
+    return mask, _popcount(mask)
+
+
 def _f16_bits_to_f32(bits_u32):
     """Decode IEEE float16 bit patterns (low 16 bits of a u32) to float32.
 
@@ -487,17 +538,156 @@ def _pad_rows(x, n):
     return x.view(jnp.int32).reshape(np_rows, LANES)
 
 
+def _prep_kernel(rw_ref, rh_ref, dk_ref, w0_ref, w1_ref, w2_ref, w3_ref,
+                 out_ref, carry_ref, *, n: int, tile_w: int, tile_h: int,
+                 alpha_threshold: float):
+    """One grid step preps BLK_SUB rows (4096 gaussians) of the combined
+    expand table: exact 8x4 tile masks + pre-counts + the global exclusive
+    instance-offset scan (carried across the sequential grid in SMEM) — the
+    fused TPU form of the reference's count-then-prefix-sum discipline
+    (depthFirstProjectCullKernel exact counts + instance-offset prefix sum,
+    DepthFirstShaders.metal:181-219, :642-788).
+
+    Replaces the XLA prep chain (32 unrolled minQuadRect evals + cumsum +
+    7 x _pad_rows + plane stack, ~1.6 ms at 1M) with one elementwise pass
+    that writes the (8, rows, 128) plane-major table directly.
+    """
+    i = pl.program_id(0)
+
+    carry = carry_ref[0]
+
+    @pl.when(i == 0)
+    def _():
+        carry_ref[0] = 0
+
+    carry = jnp.where(i == 0, 0, carry)
+
+    rword = pltpu.bitcast(rw_ref[...], jnp.uint32)
+    min_tx = (rword & jnp.uint32(0x3FF)).astype(jnp.int32)
+    min_ty = ((rword >> 10) & jnp.uint32(0x3FF)).astype(jnp.int32)
+    rect_w = ((rword >> 20) & jnp.uint32(0x3FF)).astype(jnp.int32)
+    culled0 = (rword & jnp.uint32(CULLED_BIT)) != 0
+    rect_h = rh_ref[...]
+    w0 = pltpu.bitcast(w0_ref[...], jnp.uint32)
+    w1 = pltpu.bitcast(w1_ref[...], jnp.uint32)
+    w2 = pltpu.bitcast(w2_ref[...], jnp.uint32)
+    w3 = pltpu.bitcast(w3_ref[...], jnp.uint32)
+
+    mask, cnt = exact_tile_masks(w0, w1, w2, w3, min_tx, min_ty, rect_w,
+                                 rect_h, tile_w, tile_h, alpha_threshold)
+
+    visible = jnp.logical_not(culled0)
+    eligible = visible & (rect_w <= MASK_W) & (rect_h <= MASK_H)
+    counts = jnp.where(visible,
+                       jnp.where(eligible, cnt, rect_w * rect_h), 0)
+    culled = jnp.logical_or(culled0, eligible & (cnt == 0))
+    rect_out = (rword
+                | jnp.where(eligible, jnp.uint32(MASKED_BIT), jnp.uint32(0))
+                | jnp.where(culled, jnp.uint32(CULLED_BIT), jnp.uint32(0)))
+
+    # every real gaussian owns >= 1 slot (strictly increasing offsets — the
+    # expand kernel's window-search invariant); padding past n counts 0 so
+    # position n lands on the grand total and the tail takes OFFSET_PAD
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (BLK_SUB, LANES), 0)
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (BLK_SUB, LANES), 1)
+    pos = (i * BLK_SUB + row_iota) * LANES + lane_iota
+    counts = jnp.where(pos < n, jnp.maximum(counts, 1), 0)
+    # zero the computed planes in the padding tail (bitwise parity with the
+    # XLA _pad_rows construction; the search never selects them either way)
+    rect_out = jnp.where(pos < n, rect_out, jnp.uint32(0))
+    mask = jnp.where(pos < n, mask, jnp.uint32(0))
+
+    # Exclusive prefix over the block in flat (row-major) position order.
+    # Lane-axis scans run on the transposed block so the Hillis-Steele
+    # shifts stay on the SUBLANE axis (the known-good shift direction).
+    ct = jnp.transpose(counts)                    # (LANES, BLK_SUB)
+    y = ct
+    k = 1
+    while k < LANES:
+        y = y + jnp.pad(y, ((k, 0), (0, 0)))[:LANES, :]
+        k *= 2
+    row_tot = jnp.transpose(y[LANES - 1:LANES, :])  # (BLK_SUB, 1) row sums
+    z = row_tot
+    k = 1
+    while k < BLK_SUB:
+        z = z + jnp.pad(z, ((k, 0), (0, 0)))[:BLK_SUB, :]
+        k *= 2
+    block_sum = jnp.max(z)                        # z is monotone: max = total
+    row_base = jnp.transpose(z - row_tot)         # (1, BLK_SUB) exclusive
+    excl = jnp.transpose(y - ct + row_base)       # (BLK_SUB, LANES)
+
+    off = carry + excl
+    off = jnp.where(pos > n, OFFSET_PAD, off)
+    carry_ref[0] = carry + block_sum
+
+    out_ref[0] = off
+    out_ref[1] = pltpu.bitcast(rect_out, jnp.int32)
+    out_ref[2] = pltpu.bitcast(mask, jnp.int32)
+    out_ref[3] = dk_ref[...]
+    out_ref[4] = w0_ref[...]
+    out_ref[5] = w1_ref[...]
+    out_ref[6] = w2_ref[...]
+    out_ref[7] = w3_ref[...]
+
+
+@functools.partial(jax.jit, static_argnames=("tile_w", "tile_h",
+                                             "alpha_threshold", "interpret"))
+def binning_prep_pallas(rect_word, rect_h, depth_word, word_list, *,
+                        tile_w: int = 16, tile_h: int = 16,
+                        alpha_threshold: float = 0.005,
+                        interpret: bool = False):
+    """Fused mono binning prep: builds the complete combined plane-major
+    expand table [offsets, rect, mask, depth, w0..w3] (8, rows, 128) in one
+    Pallas pass (see :func:`_prep_kernel`).
+
+    ``rect_word``: (N,) uint32 packed rect with CULLED_BIT already set for
+    invisible gaussians (pre-mask visibility); ``rect_h``: (N,) int32 clamped
+    rect height; ``word_list``: the 4 record words.  Returns the table, ready
+    for :func:`expand_slots_pallas` via ``prebuilt_tab``.
+    """
+    n = rect_word.shape[0]
+    np_rows = -(-(n + 2) // LANES) + WIN_ROWS
+    rows = -(-np_rows // BLK_SUB) * BLK_SUB
+
+    def prep(x):
+        x = jnp.pad(x, (0, rows * LANES - n))
+        if x.dtype != jnp.int32:
+            x = x.view(jnp.int32)
+        return x.reshape(rows, LANES)
+
+    ins = ([prep(rect_word), prep(rect_h.astype(jnp.int32)),
+            prep(depth_word)] + [prep(w) for w in word_list])
+
+    grid = rows // BLK_SUB
+    in_spec = pl.BlockSpec((BLK_SUB, LANES), lambda i: (i, 0))
+    kernel = functools.partial(_prep_kernel, n=n, tile_w=tile_w,
+                               tile_h=tile_h,
+                               alpha_threshold=alpha_threshold)
+    tab = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[in_spec] * 7,
+        out_specs=pl.BlockSpec((8, BLK_SUB, LANES), lambda i: (0, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((8, rows, LANES), jnp.int32),
+        scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
+        interpret=interpret,
+    )(*ins)
+    return tab
+
+
 @functools.partial(jax.jit, static_argnames=("capacity", "tiles_x",
                                              "fused_depth16", "interpret",
                                              "exact_test", "tile_w", "tile_h",
-                                             "alpha_threshold"))
+                                             "alpha_threshold",
+                                             "n_gaussians"))
 def expand_slots_pallas(counts, rect_word, aux_words, *, capacity: int,
                         tiles_x: int, fused_depth16: bool = False,
                         interpret: bool = False, exact_test=False,
                         tile_w: int = 16, tile_h: int = 16,
                         alpha_threshold: float = 0.005,
                         tile_row_offset=None, warped_bounds=None,
-                        tile_mask=None):
+                        tile_mask=None, prebuilt_tab=None,
+                        n_gaussians: int | None = None):
     """Expand per-gaussian tables into per-slot sort operands.
 
     counts:    (N,) int32 instance counts, every entry >= 1
@@ -524,46 +714,67 @@ def expand_slots_pallas(counts, rect_word, aux_words, *, capacity: int,
     c = capacity
     assert c % BLK == 0, f"capacity {c} must be a multiple of {BLK}"
     n_blocks = c // BLK
-    n = rect_word.shape[0]
-    aux_list = ([aux_words[:, k] for k in range(aux_words.shape[1])]
-                if not isinstance(aux_words, (list, tuple)) else list(aux_words))
-    n_aux = len(aux_list)
-
-    counts = counts.astype(jnp.int32)
-    offsets = jnp.cumsum(counts)
-    total = offsets[-1]
-    overflow = (total > c).astype(jnp.int32)
-    # exclusive offsets, one sentinel-ish tail entry (= total)
-    offsets_ex = jnp.concatenate([jnp.zeros(1, jnp.int32), offsets])
-
-    # Per-BLOCK first gaussian (rank of every BLK-th slot) for the window
-    # DMAs; the per-sublane-row base ranks are counted in-kernel from the
-    # offsets plane (an XLA searchsorted over capacity/128 queries measured
-    # ~3.5 ms at 1M/4M — XLA:TPU gathers price every searchsorted method).
     block_starts = jnp.arange(n_blocks, dtype=jnp.int32) * BLK
-    block_r0 = (jnp.searchsorted(offsets_ex, block_starts, side="right",
-                                 method="scan_unrolled").astype(jnp.int32) - 1)
-    block_r0 = jnp.clip(block_r0, 0, n - 1)
 
-    # pad the offsets table with OFFSET_PAD so the binary search never walks
-    # past the last gaussian
-    np_rows = -(-(n + 2) // LANES) + WIN_ROWS
-    pad_to = np_rows * LANES - (n + 1)
-    off_t = jnp.pad(offsets_ex, (0, pad_to),
-                    constant_values=OFFSET_PAD).reshape(np_rows, LANES)
-    has_mask = tile_mask is not None
-    mask_planes = [_pad_rows(tile_mask, n)] if has_mask else []
-    planes = ([_pad_rows(rect_word, n)] + mask_planes
-              + [_pad_rows(a, n) for a in aux_list])
-    # align row counts and stack as a PLANE-MAJOR combined table
-    # [offsets, rect, (mask,) aux_0 .. aux_{K-1}]: a leading-axis stack is a
-    # contiguous copy (the per-block window is one strided DMA); never a
-    # minor-dim transpose (CLAUDE.md gotcha)
-    rows = max(off_t.shape[0], planes[0].shape[0])
-    off_t = jnp.pad(off_t, ((0, rows - off_t.shape[0]), (0, 0)),
-                    constant_values=OFFSET_PAD)
-    planes = [jnp.pad(p, ((0, rows - p.shape[0]), (0, 0))) for p in planes]
-    tab = jnp.stack([off_t] + planes, axis=0)  # (planes, rows, LANES)
+    if prebuilt_tab is not None:
+        # table (incl. offsets plane + global scan) built by
+        # :func:`binning_prep_pallas`; derive the scalars from its off plane
+        n = n_gaussians
+        tab = prebuilt_tab
+        has_mask = True
+        n_aux = tab.shape[0] - 3
+        offsets_flat = tab[0].reshape(-1)
+        total = offsets_flat[n]
+        overflow = (total > c).astype(jnp.int32)
+        block_r0 = (jnp.searchsorted(offsets_flat[:n + 1], block_starts,
+                                     side="right",
+                                     method="scan_unrolled").astype(jnp.int32)
+                    - 1)
+        block_r0 = jnp.clip(block_r0, 0, n - 1)
+    else:
+        n = rect_word.shape[0]
+        aux_list = ([aux_words[:, k] for k in range(aux_words.shape[1])]
+                    if not isinstance(aux_words, (list, tuple))
+                    else list(aux_words))
+        n_aux = len(aux_list)
+
+        counts = counts.astype(jnp.int32)
+        offsets = jnp.cumsum(counts)
+        total = offsets[-1]
+        overflow = (total > c).astype(jnp.int32)
+        # exclusive offsets, one sentinel-ish tail entry (= total)
+        offsets_ex = jnp.concatenate([jnp.zeros(1, jnp.int32), offsets])
+
+        # Per-BLOCK first gaussian (rank of every BLK-th slot) for the window
+        # DMAs; the per-sublane-row base ranks are counted in-kernel from the
+        # offsets plane (an XLA searchsorted over capacity/128 queries
+        # measured ~3.5 ms at 1M/4M — XLA:TPU gathers price every
+        # searchsorted method).
+        block_r0 = (jnp.searchsorted(offsets_ex, block_starts, side="right",
+                                     method="scan_unrolled").astype(jnp.int32)
+                    - 1)
+        block_r0 = jnp.clip(block_r0, 0, n - 1)
+
+        # pad the offsets table with OFFSET_PAD so the binary search never
+        # walks past the last gaussian
+        np_rows = -(-(n + 2) // LANES) + WIN_ROWS
+        pad_to = np_rows * LANES - (n + 1)
+        off_t = jnp.pad(offsets_ex, (0, pad_to),
+                        constant_values=OFFSET_PAD).reshape(np_rows, LANES)
+        has_mask = tile_mask is not None
+        mask_planes = [_pad_rows(tile_mask, n)] if has_mask else []
+        planes = ([_pad_rows(rect_word, n)] + mask_planes
+                  + [_pad_rows(a, n) for a in aux_list])
+        # align row counts and stack as a PLANE-MAJOR combined table
+        # [offsets, rect, (mask,) aux_0 .. aux_{K-1}]: a leading-axis stack
+        # is a contiguous copy (the per-block window is one strided DMA);
+        # never a minor-dim transpose (CLAUDE.md gotcha)
+        rows = max(off_t.shape[0], planes[0].shape[0])
+        off_t = jnp.pad(off_t, ((0, rows - off_t.shape[0]), (0, 0)),
+                        constant_values=OFFSET_PAD)
+        planes = [jnp.pad(p, ((0, rows - p.shape[0]), (0, 0)))
+                  for p in planes]
+        tab = jnp.stack([off_t] + planes, axis=0)  # (planes, rows, LANES)
 
     if tile_row_offset is None:
         tile_row_offset = jnp.zeros((), jnp.int32)

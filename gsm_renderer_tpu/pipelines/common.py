@@ -190,7 +190,8 @@ def fused_binning_words(visible, min_tx, min_ty, max_tx, rect_count,
                         tile_w: int = 16, tile_h: int = 16,
                         alpha_threshold: float = 0.005,
                         tile_row_offset=None, warped_bounds=None,
-                        precount: bool = True, mask_override=None):
+                        precount: bool = True, mask_override=None,
+                        use_prep: bool | None = None):
     """Core fused binning over arbitrary carried word lists (mono carries the
     4-word record; stereo carries 8 words = both eyes' records).
 
@@ -206,24 +207,53 @@ def fused_binning_words(visible, min_tx, min_ty, max_tx, rect_count,
     """
     import jax
     from ..kernels import expand as E
+    from ..ops import binning as B
 
-    counts, rect_word, tile_mask, aux = binning_inputs(
-        visible, min_tx, min_ty, max_tx, rect_count, depth_sort_word,
-        word_list, exact_test=exact_test, tile_w=tile_w, tile_h=tile_h,
-        alpha_threshold=alpha_threshold,
-        # foveated targets test against warped physical-tile rects in-kernel;
-        # the display-space mask predicate would disagree, so no pre-count
-        precount=precount and warped_bounds is None,
-        tile_row_offset=tile_row_offset, mask_override=mask_override)
+    if use_prep is None:
+        use_prep = (use_pallas and exact_test is True and precount
+                    and len(word_list) == 4
+                    and tile_row_offset is None and warped_bounds is None
+                    and mask_override is None)
+    if use_prep:
+        # fused Pallas prep: masks + pre-counts + global offset scan + the
+        # combined plane-major table in ONE elementwise pass (replaces the
+        # XLA exact_tile_masks / cumsum / pad+stack chain)
+        rect_w = max_tx - min_tx + 1
+        rect_word0 = B.pack_rect_word(min_tx, min_ty, rect_w)
+        rect_word0 = jnp.where(visible, rect_word0,
+                               rect_word0 | jnp.uint32(E.CULLED_BIT))
+        rect_h = rect_count // jnp.maximum(rect_w, 1)
+        tab = E.binning_prep_pallas(
+            rect_word0, rect_h, depth_sort_word.astype(jnp.uint32),
+            [w.astype(jnp.uint32) for w in word_list],
+            tile_w=tile_w, tile_h=tile_h, alpha_threshold=alpha_threshold,
+            interpret=interpret)
+        outs = E.expand_slots_pallas(
+            None, None, None, capacity=capacity, tiles_x=tiles_x,
+            fused_depth16=fused_depth16, exact_test=exact_test,
+            tile_w=tile_w, tile_h=tile_h, alpha_threshold=alpha_threshold,
+            prebuilt_tab=tab, n_gaussians=visible.shape[0],
+            interpret=interpret)
+    else:
+        counts, rect_word, tile_mask, aux = binning_inputs(
+            visible, min_tx, min_ty, max_tx, rect_count, depth_sort_word,
+            word_list, exact_test=exact_test, tile_w=tile_w, tile_h=tile_h,
+            alpha_threshold=alpha_threshold,
+            # foveated targets test against warped physical-tile rects
+            # in-kernel; the display-space mask predicate would disagree,
+            # so no pre-count
+            precount=precount and warped_bounds is None,
+            tile_row_offset=tile_row_offset, mask_override=mask_override)
 
-    expand = E.expand_slots_pallas if use_pallas else E.expand_slots_xla
-    kw = {} if not use_pallas else {"interpret": interpret}
-    outs = expand(counts, rect_word, aux, capacity=capacity, tiles_x=tiles_x,
-                  fused_depth16=fused_depth16, exact_test=exact_test,
-                  tile_w=tile_w, tile_h=tile_h,
-                  alpha_threshold=alpha_threshold,
-                  tile_row_offset=tile_row_offset,
-                  warped_bounds=warped_bounds, tile_mask=tile_mask, **kw)
+        expand = E.expand_slots_pallas if use_pallas else E.expand_slots_xla
+        kw = {} if not use_pallas else {"interpret": interpret}
+        outs = expand(counts, rect_word, aux, capacity=capacity,
+                      tiles_x=tiles_x,
+                      fused_depth16=fused_depth16, exact_test=exact_test,
+                      tile_w=tile_w, tile_h=tile_h,
+                      alpha_threshold=alpha_threshold,
+                      tile_row_offset=tile_row_offset,
+                      warped_bounds=warped_bounds, tile_mask=tile_mask, **kw)
     key, d_slot = outs[0], outs[1]
     slot_words = outs[2:-2]
     total, overflow = outs[-2], outs[-1]

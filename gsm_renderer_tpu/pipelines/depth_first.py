@@ -350,7 +350,7 @@ def _stereo_render(self, gi, camera, width, height):
 def depth_first_stereo_foveated_frame(
     gi: GaussianInput,
     views: Array, projs: Array, centers: Array, scene_transform: Array,
-    inv_fit: Array,
+    inv_fit: Array, fwd_fit: Array,
     coord_x: Array, coord_y: Array, warp_bounds: Array,
     *,
     display_width: int, display_height: int,
@@ -430,10 +430,22 @@ def depth_first_stereo_foveated_frame(
     ).astype(jnp.int32)
 
     from .common import fused_binning_words
+    from ..kernels import expand as E
     words_l = pack_record_words(pr.record_left)
     words_r = pack_record_words(pr.record_right)
     word_list = ([words_l[:, k] for k in range(4)]
                  + [words_r[:, k] for k in range(4)])
+    # exact pre-count under the warp: dual-eye masks over margin-widened
+    # forward-fitted display rects (conservative vs the in-kernel
+    # boundary-table test; see kernels.expand.stereo_warped_tile_masks) —
+    # restores the reference's count-before-expansion discipline the
+    # foveated path had to skip when the mask predicate was display-space
+    rect_w = max_tx - min_tx + 1
+    rect_h = max_ty - min_ty + 1
+    wmask, wcnt = E.stereo_warped_tile_masks(
+        word_list[0:3], word_list[4:7], min_tx, min_ty, rect_w, rect_h,
+        fwd_fit, tile_w, tile_h)
+    eligible = visible & (rect_w <= E.MASK_W) & (rect_h <= E.MASK_H)
     # dual-eye r^2 <= 9 test against the WARPED physical tile rects (the
     # boundary tables) — this kills the tile-granular inflation of the
     # conservative display->physical rect mapping, which otherwise makes the
@@ -443,7 +455,7 @@ def depth_first_stereo_foveated_frame(
         pr.depth_key, word_list, capacity=capacity, tiles_x=tiles_x,
         fused_depth16=False, use_pallas=not use_xla_blend, interpret=interpret,
         exact_test="stereo", tile_w=tile_w, tile_h=tile_h,
-        warped_bounds=warp_bounds)
+        warped_bounds=warp_bounds, mask_override=(wmask, wcnt, eligible))
     starts, counts = B.extract_tile_ranges(sorted_tile, num_tiles)
 
     if use_xla_blend:
@@ -497,7 +509,8 @@ def _stereo_foveated_render(self, gi, camera, target):
     if tabs_dev is None:
         tabs = foveated_raster_tables(target)
         tabs_dev = tuple(jnp.asarray(tabs[k])
-                         for k in ("inv_fit", "coord_x", "coord_y", "bounds"))
+                         for k in ("inv_fit", "fwd_fit", "coord_x", "coord_y",
+                                   "bounds"))
         target.__dict__["_jax_tabs"] = tabs_dev
     statics = dict(
         display_width=target.display_width,

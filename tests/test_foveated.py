@@ -131,6 +131,88 @@ def test_foveated_raster_tables_invariants():
     assert tabs["lut_x_hi"].max() <= txp - 1
 
 
+def test_foveated_warped_masks_conservative():
+    """The forward-fit pre-count mask must be CONSERVATIVE vs the in-kernel
+    boundary-table dual-eye test: every (gaussian, tile) the true-bounds
+    predicate keeps must have its mask bit set (extra kept bits are fine —
+    the blend's r^2 <= 9 per-pixel cutoff zeroes them)."""
+    import gsm_renderer_tpu as G
+    from gsm_renderer_tpu.kernels import expand as E
+    from gsm_renderer_tpu.pipelines.common import pack_record_words
+    from gsm_renderer_tpu.ops.project import stereo_project_and_cull
+    from gsm_renderer_tpu.stereo import foveated_raster_tables
+    import jax.numpy as jnp
+
+    w, h = 128, 96
+    gi, stereo = _scene_and_stereo(w, h, n=300, seed=9)
+    t = make_rate_maps(w, h, min_rate=0.4, radius=0.3)
+    tabs = foveated_raster_tables(t)
+    left, right = stereo.left, stereo.right
+    views = jnp.stack([jnp.asarray(left.view_matrix),
+                       jnp.asarray(right.view_matrix)])
+    projs = jnp.stack([jnp.asarray(left.projection_matrix),
+                       jnp.asarray(right.projection_matrix)])
+    centers = jnp.stack([jnp.asarray(left.position),
+                         jnp.asarray(right.position)])
+    pr = stereo_project_and_cull(
+        gi, views, projs, centers, width=w, height=h, tile_w=16, tile_h=16,
+        sh_degree=1, near_plane=0.1, far_plane=10.0, alpha_threshold=0.005,
+        total_ink_threshold=2.0, input_is_srgb=False,
+        scene_transform=jnp.eye(4))
+
+    # physical rects via the inverse fit (mirrors the frame function)
+    inv = tabs["inv_fit"]
+
+    def inv_map(v, axis):
+        row = inv[axis]
+        tt = (np.asarray(v) - row[10]) / (row[11] - row[10]) * 2.0 - 1.0
+        return np.polyval(row[:10], tt), row[12]
+
+    txp = -(-t.render_width // 16)
+    typ = -(-t.render_height // 16)
+    sx0, mx = inv_map(pr.px_min, 0)
+    sx1, _ = inv_map(pr.px_max, 0)
+    sy0, my = inv_map(pr.py_min, 1)
+    sy1, _ = inv_map(pr.py_max, 1)
+    min_tx = np.clip(np.floor((sx0 - mx) / 16).astype(np.int32), 0, txp - 1)
+    max_tx = np.clip(np.floor((sx1 + mx) / 16).astype(np.int32), 0, txp - 1)
+    min_ty = np.clip(np.floor((sy0 - my) / 16).astype(np.int32), 0, typ - 1)
+    max_ty = np.clip(np.floor((sy1 + my) / 16).astype(np.int32), 0, typ - 1)
+    rect_w = max_tx - min_tx + 1
+    rect_h = max_ty - min_ty + 1
+
+    wl = pack_record_words(pr.record_left)
+    wr = pack_record_words(pr.record_right)
+    mask, cnt = E.stereo_warped_tile_masks(
+        [wl[:, k] for k in range(3)], [wr[:, k] for k in range(3)],
+        jnp.asarray(min_tx), jnp.asarray(min_ty),
+        jnp.asarray(rect_w), jnp.asarray(rect_h),
+        jnp.asarray(tabs["fwd_fit"]), 16, 16)
+    mask = np.asarray(mask)
+
+    # true-bounds predicate per window position
+    bx, by = tabs["bounds"][0], tabs["bounds"][1]
+    vis = np.asarray(pr.visible)
+    missed = 0
+    for p in range(E.MASK_W * E.MASK_H):
+        dx, dy = p % E.MASK_W, p // E.MASK_W
+        tx = np.minimum(min_tx + dx, 127)
+        ty = np.minimum(min_ty + dy, 127)
+        x0, x1 = bx[tx], bx[np.minimum(tx + 1, 127)]
+        y0, y1 = by[ty], by[np.minimum(ty + 1, 127)]
+        d2l = np.asarray(E._record_d2min(
+            jnp.asarray(wl[:, 0]), jnp.asarray(wl[:, 1]), jnp.asarray(wl[:, 2]),
+            jnp.asarray(x0), jnp.asarray(x1), jnp.asarray(y0), jnp.asarray(y1)))
+        d2r = np.asarray(E._record_d2min(
+            jnp.asarray(wr[:, 0]), jnp.asarray(wr[:, 1]), jnp.asarray(wr[:, 2]),
+            jnp.asarray(x0), jnp.asarray(x1), jnp.asarray(y0), jnp.asarray(y1)))
+        true_pass = (vis & (dx < rect_w) & (dy < rect_h)
+                     & (np.minimum(d2l, d2r) <= E.STEREO_R2_CUTOFF))
+        bit_unset = ((mask >> p) & 1) == 0
+        missed += np.count_nonzero(true_pass & bit_unset)
+    assert missed == 0, f"{missed} true-pass tiles missing from the mask"
+
+
 def test_foveated_pallas_interpret_parity():
     """The warped-coordinate Pallas blend must match the XLA oracle."""
     import gsm_renderer_tpu as G
@@ -164,6 +246,7 @@ def test_foveated_pallas_interpret_parity():
         use_xla_blend=False, interpret=True)
     out_p = jax.jit(fn)(gi, views, projs, centers, jnp.eye(4),
                         jnp.asarray(tabs["inv_fit"]),
+                        jnp.asarray(tabs["fwd_fit"]),
                         jnp.asarray(tabs["coord_x"]), jnp.asarray(tabs["coord_y"]),
                         jnp.asarray(tabs["bounds"]))
     diff = np.abs(np.asarray(out_p.color) - out_x).max()

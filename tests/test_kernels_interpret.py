@@ -43,6 +43,89 @@ def test_expand_pallas_interpret_matches_xla(rng, fused_depth16):
                                       err_msg=f"output {i}")
 
 
+def test_binning_prep_interpret_matches_xla_table(rng):
+    """The fused Pallas prep (masks + pre-counts + in-kernel offset scan +
+    plane-major table) must reproduce the XLA-built combined table exactly
+    (binning_inputs + exact_tile_masks + cumsum + _pad_rows/stack)."""
+    from gsm_renderer_tpu.pipelines.common import binning_inputs, \
+        pack_record_words
+    from gsm_renderer_tpu.ops.project import project_and_cull
+    # realistic quantized records via the actual projection path (random f16
+    # bit patterns make degenerate conics — sigma ~1e-4 px — whose f32
+    # minQuadRect is precision-dominated and legitimately differs between
+    # compilations; the quantizer never produces those)
+    n, w, h = 900, 480, 320
+    ds = generate_visible_gaussians(n, sh_degree=1,
+                                    scale_range=(0.005, 0.12), seed=7)
+    cam = G.make_camera(w, h, far=20.0)
+    view, proj, center = cam.astuple_jax()
+    pr = project_and_cull(ds.to_input(), view, proj, center, width=w,
+                          height=h, tile_w=16, tile_h=16, sh_degree=1,
+                          near_plane=0.1, far_plane=20.0,
+                          alpha_threshold=0.005, total_ink_threshold=2.0,
+                          input_is_srgb=False)
+    words = pack_record_words(pr.record)
+    word_list = [words[:, k] for k in range(4)]
+    depth = pr.depth_key
+    visible = pr.visible
+    min_tx, min_ty, max_tx = (np.asarray(pr.min_tx), np.asarray(pr.min_ty),
+                              np.asarray(pr.max_tx))
+    rect_w = np.asarray(max_tx - min_tx + 1)
+    rect_count = pr.rect_count
+    rect_h = np.asarray(rect_count) // np.maximum(rect_w, 1)
+
+    # XLA reference masks (binning_inputs: exact_tile_masks + count rules)
+    counts_x, rect_word_x, tile_mask_x, aux = binning_inputs(
+        visible, jnp.asarray(min_tx), jnp.asarray(min_ty),
+        jnp.asarray(max_tx), rect_count, depth, word_list, exact_test=True)
+
+    # Pallas prep table
+    from gsm_renderer_tpu.ops import binning as B
+    rect_word0 = B.pack_rect_word(jnp.asarray(min_tx), jnp.asarray(min_ty),
+                                  jnp.asarray(rect_w))
+    rect_word0 = jnp.where(visible, rect_word0,
+                           rect_word0 | jnp.uint32(E.CULLED_BIT))
+    tab_p = np.asarray(E.binning_prep_pallas(
+        rect_word0, jnp.asarray(rect_h), depth, word_list,
+        interpret=True)).view(np.uint32)
+    assert tab_p.shape[0] == 8
+
+    flat = tab_p.reshape(8, -1)
+    off_p = flat[0, :n + 1].view(np.int32)
+    rect_p = flat[1, :n]
+    mask_p = flat[2, :n]
+
+    # 1) pass-through planes are exact copies
+    for k, src in enumerate([depth] + word_list):
+        np.testing.assert_array_equal(flat[3 + k, :n], np.asarray(src))
+
+    # 2) structural consistency: the offsets plane is the exclusive scan of
+    #    the counts implied by the kernel's OWN masks + rules, and the
+    #    MASKED/CULLED bits agree with them
+    vis = np.asarray(visible)
+    eligible = vis & (rect_w <= E.MASK_W) & (rect_h <= E.MASK_H)
+    pcnt = np.array([bin(m).count("1") for m in mask_p], dtype=np.int32)
+    counts_impl = np.where(vis, np.where(eligible, pcnt, rect_w * rect_h), 0)
+    culled = ~vis | (eligible & (pcnt == 0))
+    counts_impl = np.maximum(counts_impl, 1)
+    np.testing.assert_array_equal(
+        off_p, np.concatenate([[0], np.cumsum(counts_impl)]))
+    base = np.asarray(rect_word0) & np.uint32(0x3FFFFFFF)
+    expect_rect = (base
+                   | np.where(eligible, np.uint32(E.MASKED_BIT), 0)
+                   | np.where(culled, np.uint32(E.CULLED_BIT), 0))
+    np.testing.assert_array_equal(rect_p, expect_rect)
+    # off-plane tail is OFFSET_PAD
+    assert (flat[0, n + 1:].view(np.int32) == E.OFFSET_PAD).all()
+
+    # 3) mask parity with the XLA exact_tile_masks: identical except for
+    #    borderline d2min == cutoff conics, where XLA's fma contraction may
+    #    differ between the two compilations (semantically negligible —
+    #    instances whose peak in-tile alpha sits exactly at the threshold)
+    diff = np.count_nonzero(mask_p != np.asarray(tile_mask_x))
+    assert diff <= 3, f"{diff} mask mismatches of {n}"
+
+
 def test_expand_pallas_interpret_overflow(rng):
     counts, rect, aux = _expand_inputs(rng, 3000, 5)
     outs_p = E.expand_slots_pallas(counts, rect, aux, capacity=4096, tiles_x=12,
