@@ -180,47 +180,100 @@ def stereo_tile_masks(wl, wr, min_tx, min_ty, rect_w, rect_h,
     return mask, _popcount(mask)
 
 
-def stereo_warped_tile_masks(wl, wr, min_tx, min_ty, rect_w, rect_h,
-                             fwd_fit, tile_w: int, tile_h: int):
-    """Dual-eye exact pre-count mask for the FOVEATED path: the physical tile
-    rect's display-space pixel bounds come from the degree-9 forward-warp
-    polynomial fit (stereo.foveated_raster_tables ``fwd_fit``), widened by
-    the fit margin so the mask is conservative vs the in-kernel
-    boundary-table test — a kept-extra tile is zeroed per-pixel by the
-    blend's r^2 <= 9 cutoff, so pruning stays output-identical
-    (DepthFirstShaders.metal:1915-1935 economics, evaluated pre-expansion).
+def warped_bounds_gather(bounds_row, idx, span: int):
+    """``bounds_row[idx + d]`` for d in [0, span) — (N, span) f32 — via a
+    one-hot MXU matmul: an elementwise XLA gather prices ~6 ns/element
+    (~50 ms at 1M x 9); the one-hot (N, 128) x (128, span) contraction rides
+    the MXU at ~exact f32 (precision HIGHEST; each output row selects ONE
+    table value).  ``idx + span - 1`` must stay < 128 (the foveated physical
+    tile grid fits 127 tiles/axis — stereo.foveated_raster_tables).
 
-    ``fwd_fit``: (2, 13) [coeff0..coeff9, lo, hi, margin] per axis mapping
-    physical PIXEL coordinate -> display pixel coordinate.
-    Returns (mask (N,) uint32, count (N,) int32)."""
+    Kept as the XLA oracle for :func:`warped_bounds_gather_pallas` (the
+    production path — the materialized one-hot cost ~2-3 ms at 1M)."""
+    lanes = bounds_row.shape[-1]
+    oh = (idx[:, None] == jnp.arange(lanes, dtype=jnp.int32)[None, :])
+    shifted = jnp.stack([jnp.roll(bounds_row, -d) for d in range(span)],
+                        axis=1)  # (128, span): shifted[t, d] = row[t + d]
+    return jax.lax.dot_general(oh.astype(jnp.float32), shifted,
+                               (((1,), (0,)), ((), ())),
+                               precision=jax.lax.Precision.HIGHEST)
+
+
+def _bgather_kernel(bounds_ref, tx_ref, ty_ref, out_ref):
+    """One grid step gathers the (MASK_W + 1) x / (MASK_H + 1) y display
+    boundaries for BLK_SUB rows of gaussians: lane-axis take_along_axis on
+    the broadcast 128-lane bounds rows (the same gather the expand kernel's
+    warped tile test uses per slot — here once per GAUSSIAN, pre-count)."""
+    bxi = jnp.broadcast_to(bounds_ref[0:1, :], tx_ref.shape)
+    byi = jnp.broadcast_to(bounds_ref[1:2, :], tx_ref.shape)
+    tx = tx_ref[...]
+    ty = ty_ref[...]
+    for d in range(MASK_W + 1):
+        idx = jnp.minimum(tx + d, LANES - 1)
+        out_ref[d] = pltpu.bitcast(jnp.take_along_axis(bxi, idx, axis=1),
+                                   jnp.int32)
+    for d in range(MASK_H + 1):
+        idx = jnp.minimum(ty + d, LANES - 1)
+        out_ref[MASK_W + 1 + d] = pltpu.bitcast(
+            jnp.take_along_axis(byi, idx, axis=1), jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def warped_bounds_gather_pallas(bounds, min_tx, min_ty, *,
+                                interpret: bool = False):
+    """Per-gaussian window boundary coords from the (2, 128) bounds table:
+    returns (fx list of MASK_W + 1 (N,) f32, fy list of MASK_H + 1) — the
+    display coords of physical tile boundaries min_t + 0 .. min_t + span.
+    See :func:`_bgather_kernel`; bitwise-equal to the XLA one-hot oracle
+    (:func:`warped_bounds_gather`), tested in tests/test_foveated.py."""
+    n = min_tx.shape[0]
+    rows = -(-n // (BLK_SUB * LANES)) * BLK_SUB
+    spans = (MASK_W + 1) + (MASK_H + 1)
+
+    def prep(x):
+        x = jnp.pad(x.astype(jnp.int32), (0, rows * LANES - n))
+        return x.reshape(rows, LANES)
+
+    in_spec = pl.BlockSpec((BLK_SUB, LANES), lambda i: (i, 0))
+    out = pl.pallas_call(
+        _bgather_kernel,
+        grid=(rows // BLK_SUB,),
+        in_specs=[pl.BlockSpec((2, LANES), lambda i: (0, 0)),
+                  in_spec, in_spec],
+        out_specs=pl.BlockSpec((spans, BLK_SUB, LANES), lambda i: (0, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((spans, rows, LANES), jnp.int32),
+        interpret=interpret,
+    )(bounds.astype(jnp.float32).view(jnp.int32), prep(min_tx), prep(min_ty))
+    planes = out.view(jnp.float32).reshape(spans, -1)
+    fx = [planes[d, :n] for d in range(MASK_W + 1)]
+    fy = [planes[MASK_W + 1 + d, :n] for d in range(MASK_H + 1)]
+    return fx, fy
+
+
+def stereo_warped_tile_masks(wl, wr, rect_w, rect_h, fx, fy):
+    """Dual-eye exact pre-count mask for the FOVEATED path: position
+    (dx, dy) of the 8x4 window is tested against the physical tile's
+    display-space pixel rect [fx[dx], fx[dx+1]] x [fy[dy], fy[dy+1]] — the
+    same boundary-table predicate the expand kernel applies in warped mode,
+    so the counts match the in-kernel survivors (the reference's
+    count-before-expansion discipline, DepthFirstShaders.metal:181-219,
+    under the rasterization-rate-map warp).  Borderline fma disagreements
+    between the two compilations stay output-identical: the blend zeroes
+    alpha past r^2 = 9 per pixel (DepthFirstShaders.metal:1915-1935).
+
+    ``fx``: list of MASK_W + 1 (N,) display-x boundary coords of the
+    window's tiles (:func:`warped_bounds_gather_pallas` at min_tx); ``fy``
+    likewise.  Returns (mask (N,) uint32, count (N,) int32)."""
     con_l = _conic_from_words(*wl)
     con_r = _conic_from_words(*wr)
 
-    def fwd(v, axis):
-        row = fwd_fit[axis]
-        lo, hi, margin = row[10], row[11], row[12]
-        t = (v - lo) / (hi - lo) * 2.0 - 1.0
-        acc = row[0]
-        for k in range(1, 10):
-            acc = acc * t + row[k]
-        return acc, margin
-
-    # display coords of the 9 x / 5 y physical tile boundaries of the window
-    fx, fy = [], []
-    for dx in range(MASK_W + 1):
-        v, mx_m = fwd((min_tx + dx).astype(jnp.float32) * tile_w, 0)
-        fx.append(v)
-    for dy in range(MASK_H + 1):
-        v, my_m = fwd((min_ty + dy).astype(jnp.float32) * tile_h, 1)
-        fy.append(v)
-
-    mask = jnp.zeros(min_tx.shape, jnp.uint32)
+    mask = jnp.zeros(rect_w.shape, jnp.uint32)
     for p in range(MASK_W * MASK_H):
         dx, dy = p % MASK_W, p // MASK_W
-        x0 = fx[dx] - mx_m
-        x1 = fx[dx + 1] + mx_m
-        y0 = fy[dy] - my_m
-        y1 = fy[dy + 1] + my_m
+        x0 = fx[dx]
+        x1 = fx[dx + 1]
+        y0 = fy[dy]
+        y1 = fy[dy + 1]
         d2l = _d2min_rect(con_l, x0 - con_l["mx"], x1 - con_l["mx"],
                           y0 - con_l["my"], y1 - con_l["my"])
         d2r = _d2min_rect(con_r, x0 - con_r["mx"], x1 - con_r["mx"],
@@ -507,8 +560,13 @@ def _expand_kernel(r0_ref, total_ref, rowoff_ref, tab_hbm,
             y0 = t_y.astype(jnp.float32) * float(tile_h)
             y1 = y0 + float(tile_h)
         passes = _stereo_tile_test(aux_vals, x0, x1, y0, y1)
-        if has_mask:
+        if has_mask and not warped:
             # dual-eye pre-counted gaussians already passed at projection
+            # (mask predicate == this test).  Under the WARP the mask is a
+            # conservative margin-widened superset, so the boundary-table
+            # test must still prune — mask-kept slop otherwise reaches the
+            # blend as near-zero-alpha work (measured: foveated 79.6 ms vs
+            # stereo 70.1 with the bypass).
             passes = jnp.logical_or(passes, is_masked)
         dead = jnp.logical_or(dead, jnp.logical_not(passes))
 
@@ -880,7 +938,9 @@ def expand_slots_xla(counts, rect_word, aux_words, *, capacity: int,
             y0 = t_y.astype(jnp.float32) * float(tile_h)
             y1 = y0 + float(tile_h)
         passes = _stereo_tile_test(aux, x0, x1, y0, y1)
-        if is_masked is not None:
+        if is_masked is not None and warped_bounds is None:
+            # see the Pallas kernel: under the warp the mask is conservative
+            # and the boundary-table test must still prune
             passes = passes | is_masked
         dead = dead | ~passes
     if fused_depth16:

@@ -350,7 +350,7 @@ def _stereo_render(self, gi, camera, width, height):
 def depth_first_stereo_foveated_frame(
     gi: GaussianInput,
     views: Array, projs: Array, centers: Array, scene_transform: Array,
-    inv_fit: Array, fwd_fit: Array,
+    inv_fit: Array,
     coord_x: Array, coord_y: Array, warp_bounds: Array,
     *,
     display_width: int, display_height: int,
@@ -435,16 +435,25 @@ def depth_first_stereo_foveated_frame(
     words_r = pack_record_words(pr.record_right)
     word_list = ([words_l[:, k] for k in range(4)]
                  + [words_r[:, k] for k in range(4)])
-    # exact pre-count under the warp: dual-eye masks over margin-widened
-    # forward-fitted display rects (conservative vs the in-kernel
-    # boundary-table test; see kernels.expand.stereo_warped_tile_masks) —
-    # restores the reference's count-before-expansion discipline the
-    # foveated path had to skip when the mask predicate was display-space
+    # exact pre-count under the warp: dual-eye masks against the EXACT
+    # boundary-table display rects (a Pallas lane-gather kernel; an XLA
+    # gather or one-hot MXU contraction measured ~2-4 ms at 1M) — the same
+    # predicate the expand kernel re-applies, restoring the reference's
+    # count-before-expansion discipline the foveated path had to skip when
+    # the mask predicate was display-space
     rect_w = max_tx - min_tx + 1
     rect_h = max_ty - min_ty + 1
+    if use_xla_blend:
+        # CPU/oracle path: the one-hot MXU gather (bitwise-equal)
+        fxa = E.warped_bounds_gather(warp_bounds[0], min_tx, E.MASK_W + 1)
+        fya = E.warped_bounds_gather(warp_bounds[1], min_ty, E.MASK_H + 1)
+        fx = [fxa[:, d] for d in range(E.MASK_W + 1)]
+        fy = [fya[:, d] for d in range(E.MASK_H + 1)]
+    else:
+        fx, fy = E.warped_bounds_gather_pallas(warp_bounds, min_tx, min_ty,
+                                               interpret=interpret)
     wmask, wcnt = E.stereo_warped_tile_masks(
-        word_list[0:3], word_list[4:7], min_tx, min_ty, rect_w, rect_h,
-        fwd_fit, tile_w, tile_h)
+        word_list[0:3], word_list[4:7], rect_w, rect_h, fx, fy)
     eligible = visible & (rect_w <= E.MASK_W) & (rect_h <= E.MASK_H)
     # dual-eye r^2 <= 9 test against the WARPED physical tile rects (the
     # boundary tables) — this kills the tile-granular inflation of the
@@ -509,8 +518,7 @@ def _stereo_foveated_render(self, gi, camera, target):
     if tabs_dev is None:
         tabs = foveated_raster_tables(target)
         tabs_dev = tuple(jnp.asarray(tabs[k])
-                         for k in ("inv_fit", "fwd_fit", "coord_x", "coord_y",
-                                   "bounds"))
+                         for k in ("inv_fit", "coord_x", "coord_y", "bounds"))
         target.__dict__["_jax_tabs"] = tabs_dev
     statics = dict(
         display_width=target.display_width,

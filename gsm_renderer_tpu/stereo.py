@@ -181,31 +181,11 @@ def foveated_raster_tables(target: FoveatedStereoTarget, tile_w: int = 16,
 
     fit = np.stack([inv_fit(xt_pad, target.display_width),
                     inv_fit(yt_pad, target.display_height)])
-
-    # Polynomial fit of the FORWARD warp (physical sample index -> display
-    # pixel coordinate), for the foveated exact pre-count masks: the mask
-    # predicate needs each physical tile boundary's display coordinate, and
-    # an XLA gather from the ``bounds`` table would price every element (the
-    # same ~6 ns/element economics as above).  The mask evaluates the
-    # dual-eye test on rects widened by the fit margin, so it stays
-    # conservative vs the in-kernel boundary-table test — extra kept tiles
-    # are zeroed per-pixel by the blend's r^2 <= 9 cutoff (output-identical).
-    def fwd_fit(t_pad, n_tiles, tile):
-        ext = pad_table(t_pad, n_tiles * tile + 1)
-        xs = np.arange(len(ext), dtype=np.float64)
-        t = (xs / (n_tiles * tile)) * 2.0 - 1.0
-        coeffs = np.polyfit(t, ext, 9)
-        margin = np.abs(np.polyval(coeffs, t) - ext).max() + 1e-3
-        return np.concatenate([coeffs, [0.0, float(n_tiles * tile),
-                                        float(margin)]]).astype(np.float32)
-
-    ffit = np.stack([fwd_fit(xt_pad, txp, tile_w),
-                     fwd_fit(yt_pad, typ, tile_h)])
     return dict(coord_x=coord_x, coord_y=coord_y,
                 lut_x_lo=lut_x_lo, lut_x_hi=lut_x_hi,
                 lut_y_lo=lut_y_lo, lut_y_hi=lut_y_hi,
                 bounds=np.stack([bound_x, bound_y]),
-                inv_fit=fit, fwd_fit=ffit)
+                inv_fit=fit)
 
 
 def compress_foveated(full: Array, target: FoveatedStereoTarget,

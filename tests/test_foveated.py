@@ -131,11 +131,12 @@ def test_foveated_raster_tables_invariants():
     assert tabs["lut_x_hi"].max() <= txp - 1
 
 
-def test_foveated_warped_masks_conservative():
-    """The forward-fit pre-count mask must be CONSERVATIVE vs the in-kernel
-    boundary-table dual-eye test: every (gaussian, tile) the true-bounds
-    predicate keeps must have its mask bit set (extra kept bits are fine —
-    the blend's r^2 <= 9 per-pixel cutoff zeroes them)."""
+def test_foveated_warped_masks_exact():
+    """The one-hot-MXU boundary-gather pre-count mask must agree with the
+    in-kernel boundary-table dual-eye predicate (same rects, same test);
+    only borderline d2 == cutoff fma disagreements between the two
+    compilations are tolerated — those stay output-identical because the
+    blend zeroes alpha past r^2 = 9 per pixel."""
     import gsm_renderer_tpu as G
     from gsm_renderer_tpu.kernels import expand as E
     from gsm_renderer_tpu.pipelines.common import pack_record_words
@@ -183,17 +184,34 @@ def test_foveated_warped_masks_conservative():
 
     wl = pack_record_words(pr.record_left)
     wr = pack_record_words(pr.record_right)
+    bounds = jnp.asarray(tabs["bounds"])
+    fxg = E.warped_bounds_gather(bounds[0], jnp.asarray(min_tx), E.MASK_W + 1)
+    fyg = E.warped_bounds_gather(bounds[1], jnp.asarray(min_ty), E.MASK_H + 1)
+    fx = [fxg[:, d] for d in range(E.MASK_W + 1)]
+    fy = [fyg[:, d] for d in range(E.MASK_H + 1)]
     mask, cnt = E.stereo_warped_tile_masks(
         [wl[:, k] for k in range(3)], [wr[:, k] for k in range(3)],
-        jnp.asarray(min_tx), jnp.asarray(min_ty),
-        jnp.asarray(rect_w), jnp.asarray(rect_h),
-        jnp.asarray(tabs["fwd_fit"]), 16, 16)
+        jnp.asarray(rect_w), jnp.asarray(rect_h), fx, fy)
     mask = np.asarray(mask)
 
-    # true-bounds predicate per window position
+    # the one-hot gather must reproduce the bounds table exactly, and the
+    # production Pallas lane-gather kernel must match it bitwise
     bx, by = tabs["bounds"][0], tabs["bounds"][1]
+    for d in range(E.MASK_W + 1):
+        np.testing.assert_array_equal(np.asarray(fxg[:, d]),
+                                      bx[np.minimum(min_tx + d, 127)])
+    fxp, fyp = E.warped_bounds_gather_pallas(
+        bounds, jnp.asarray(min_tx), jnp.asarray(min_ty), interpret=True)
+    for d in range(E.MASK_W + 1):
+        np.testing.assert_array_equal(np.asarray(fxp[d]), np.asarray(fx[d]))
+    for d in range(E.MASK_H + 1):
+        np.testing.assert_array_equal(np.asarray(fyp[d]), np.asarray(fy[d]))
+
+    # in-kernel-style predicate per window position (the _record_d2min the
+    # expand kernel evaluates on the same rects)
     vis = np.asarray(pr.visible)
-    missed = 0
+    n_elig = np.count_nonzero(vis & (rect_w <= E.MASK_W) & (rect_h <= E.MASK_H))
+    mismatch = 0
     for p in range(E.MASK_W * E.MASK_H):
         dx, dy = p % E.MASK_W, p // E.MASK_W
         tx = np.minimum(min_tx + dx, 127)
@@ -208,9 +226,10 @@ def test_foveated_warped_masks_conservative():
             jnp.asarray(x0), jnp.asarray(x1), jnp.asarray(y0), jnp.asarray(y1)))
         true_pass = (vis & (dx < rect_w) & (dy < rect_h)
                      & (np.minimum(d2l, d2r) <= E.STEREO_R2_CUTOFF))
-        bit_unset = ((mask >> p) & 1) == 0
-        missed += np.count_nonzero(true_pass & bit_unset)
-    assert missed == 0, f"{missed} true-pass tiles missing from the mask"
+        got = ((mask >> p) & 1).astype(bool) & vis
+        mismatch += np.count_nonzero(true_pass != got)
+    assert mismatch <= max(3, n_elig // 100), \
+        f"{mismatch} mask/predicate disagreements of {n_elig} eligible"
 
 
 def test_foveated_pallas_interpret_parity():
@@ -246,7 +265,6 @@ def test_foveated_pallas_interpret_parity():
         use_xla_blend=False, interpret=True)
     out_p = jax.jit(fn)(gi, views, projs, centers, jnp.eye(4),
                         jnp.asarray(tabs["inv_fit"]),
-                        jnp.asarray(tabs["fwd_fit"]),
                         jnp.asarray(tabs["coord_x"]), jnp.asarray(tabs["coord_y"]),
                         jnp.asarray(tabs["bounds"]))
     diff = np.abs(np.asarray(out_p.color) - out_x).max()
