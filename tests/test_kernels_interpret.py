@@ -126,6 +126,46 @@ def test_binning_prep_interpret_matches_xla_table(rng):
     assert diff <= 3, f"{diff} mask mismatches of {n}"
 
 
+@pytest.mark.parametrize("fused_depth16", [False, True])
+def test_fused_binning_prep_path_matches_nonprep(rng, fused_depth16):
+    """fused_binning_words' use_prep fast path (binning_prep_pallas +
+    prebuilt-table expand) must reproduce the non-prep path exactly — for
+    BOTH key layouts (fused_depth16=True is the Global/Local configuration,
+    which also routes through the prep path)."""
+    from gsm_renderer_tpu.pipelines.common import (fused_binning_words,
+                                                   pack_record_words)
+    from gsm_renderer_tpu.ops.project import project_and_cull
+    n, w, h = 700, 480, 320
+    ds = generate_visible_gaussians(n, sh_degree=1,
+                                    scale_range=(0.005, 0.10), seed=11)
+    cam = G.make_camera(w, h, far=20.0)
+    view, proj, center = cam.astuple_jax()
+    pr = project_and_cull(ds.to_input(), view, proj, center, width=w,
+                          height=h, tile_w=16, tile_h=16, sh_degree=1,
+                          near_plane=0.1, far_plane=20.0,
+                          alpha_threshold=0.005, total_ink_threshold=2.0,
+                          input_is_srgb=False)
+    words = pack_record_words(pr.record)
+    word_list = [words[:, k] for k in range(4)]
+    depth = (pr.depth_key >> 16 if fused_depth16 else pr.depth_key)
+    common = dict(capacity=8192, tiles_x=30, fused_depth16=fused_depth16,
+                  interpret=True, exact_test=True, use_pallas=True)
+    outs_prep = fused_binning_words(
+        pr.visible, pr.min_tx, pr.min_ty, pr.max_tx, pr.rect_count,
+        depth, word_list, use_prep=True, **common)
+    outs_base = fused_binning_words(
+        pr.visible, pr.min_tx, pr.min_ty, pr.max_tx, pr.rect_count,
+        depth, word_list, use_prep=False, **common)
+    # (sorted_tile, sorted word tuple, total, overflow)
+    np.testing.assert_array_equal(np.asarray(outs_prep[0]),
+                                  np.asarray(outs_base[0]))
+    for i, (p, b) in enumerate(zip(outs_prep[1], outs_base[1])):
+        np.testing.assert_array_equal(np.asarray(p), np.asarray(b),
+                                      err_msg=f"sorted word {i}")
+    assert int(outs_prep[2]) == int(outs_base[2])
+    assert int(outs_prep[3]) == int(outs_base[3])
+
+
 def test_expand_pallas_interpret_overflow(rng):
     counts, rect, aux = _expand_inputs(rng, 3000, 5)
     outs_p = E.expand_slots_pallas(counts, rect, aux, capacity=4096, tiles_x=12,
