@@ -1,0 +1,143 @@
+"""Foveated frame stage split (project / masks / expand / sort / ranges+table
+/ blend / assemble) — cumulative-prefix deltas, real chip.  Mirrors the
+production depth_first_stereo_foveated_frame structure."""
+import os, sys, time
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import numpy as np
+
+
+def main():
+    import jax
+    jax.config.update('jax_compilation_cache_dir', '/root/repo/.jax_cache')
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 5.0)
+    import jax.numpy as jnp
+    import gsm_renderer_tpu as G
+    from gsm_renderer_tpu import config as cfg
+    from gsm_renderer_tpu.io.scene import generate_visible_gaussians
+    from gsm_renderer_tpu.kernels import blend as K, expand as E
+    from gsm_renderer_tpu.ops import binning as B
+    from gsm_renderer_tpu.ops.project import stereo_project_and_cull
+    from gsm_renderer_tpu.pipelines.common import (binning_inputs,
+                                                   pack_record_words)
+    from gsm_renderer_tpu.stereo import make_rate_maps, foveated_raster_tables
+
+    n = 1_000_000
+    w, h = 1920, 1080
+    capacity = 4_718_592  # the foveated adaptive lock at this scene
+    tgt = make_rate_maps(w, h, min_rate=0.4, radius=0.3)
+    tabs = foveated_raster_tables(tgt)
+    rw_, rh_ = tgt.render_width, tgt.render_height
+    tiles_x, tiles_y = cfg.tiles_for(rw_, rh_, 16, 16)
+    ds = generate_visible_gaussians(n, sh_degree=3, scale_range=(0.002, 0.012))
+    cam = G.make_camera(w, h, far=50.0)
+    stereo = G.make_side_by_side_stereo(cam)
+    gi = ds.to_input()
+    views, projs, centers, st = stereo.astuple_jax()
+    inv_fit = jnp.asarray(tabs["inv_fit"])
+    coord_x = jnp.asarray(tabs["coord_x"])
+    coord_y = jnp.asarray(tabs["coord_y"])
+    bounds = jnp.asarray(tabs["bounds"])
+
+    def upto(stage):
+        def f(gi, views, projs, centers, st):
+            pr = stereo_project_and_cull(
+                gi, views, projs, centers, width=w, height=h, tile_w=16,
+                tile_h=16, sh_degree=3, near_plane=0.1, far_plane=50.0,
+                alpha_threshold=0.005, total_ink_threshold=2.0,
+                input_is_srgb=False, scene_transform=st)
+            # inverse-fit physical rects (mirrors the frame function)
+            def inv_map(v, axis):
+                row = inv_fit[axis]
+                lo, hi, margin = row[10], row[11], row[12]
+                t_ = (v - lo) / (hi - lo) * 2.0 - 1.0
+                acc = row[0]
+                for k in range(1, 10):
+                    acc = acc * t_ + row[k]
+                return acc, margin
+            sx0, mx = inv_map(pr.px_min, 0)
+            sx1, _ = inv_map(pr.px_max, 0)
+            sy0, my = inv_map(pr.py_min, 1)
+            sy1, _ = inv_map(pr.py_max, 1)
+            min_tx = jnp.clip(jnp.floor((sx0 - mx) / 16).astype(jnp.int32),
+                              0, tiles_x - 1)
+            max_tx = jnp.clip(jnp.floor((sx1 + mx) / 16).astype(jnp.int32),
+                              0, tiles_x - 1)
+            min_ty = jnp.clip(jnp.floor((sy0 - my) / 16).astype(jnp.int32),
+                              0, tiles_y - 1)
+            max_ty = jnp.clip(jnp.floor((sy1 + my) / 16).astype(jnp.int32),
+                              0, tiles_y - 1)
+            visible = pr.visible & (min_tx <= max_tx) & (min_ty <= max_ty)
+            rect_count = jnp.where(
+                visible, (max_tx - min_tx + 1) * (max_ty - min_ty + 1),
+                0).astype(jnp.int32)
+            if stage == 1:
+                return pr.depth_key.max() + jnp.uint32(rect_count.sum())
+            words_l = pack_record_words(pr.record_left)
+            words_r = pack_record_words(pr.record_right)
+            wl = ([words_l[:, k] for k in range(4)]
+                  + [words_r[:, k] for k in range(4)])
+            rect_w = max_tx - min_tx + 1
+            rect_h = max_ty - min_ty + 1
+            fx, fy = E.warped_bounds_gather_pallas(bounds, min_tx, min_ty)
+            wmask, wcnt = E.stereo_warped_tile_masks(
+                wl[0:3], wl[4:7], rect_w, rect_h, fx, fy)
+            eligible = visible & (rect_w <= E.MASK_W) & (rect_h <= E.MASK_H)
+            if stage == 2:
+                return jnp.uint32(wmask[0] + jnp.uint32(wcnt.sum()))
+            counts, rect_word, tile_mask, aux = binning_inputs(
+                visible, min_tx, min_ty, max_tx, rect_count,
+                pr.depth_key, wl, exact_test="stereo",
+                mask_override=(wmask, wcnt, eligible))
+            outs = E.expand_slots_pallas(
+                counts, rect_word, aux, capacity=capacity, tiles_x=tiles_x,
+                fused_depth16=False, exact_test="stereo",
+                tile_mask=tile_mask, warped_bounds=bounds)
+            key, d_slot = outs[0], outs[1]
+            if stage == 3:
+                return key[0] + outs[2][-1]
+            ops = jax.lax.sort((key, d_slot, *outs[2:10]), num_keys=2)
+            sorted_key, sw = ops[0], ops[2:]
+            if stage == 4:
+                return sorted_key[-1] + sw[0][0]
+            starts, counts_t = B.extract_tile_ranges(sorted_key,
+                                                     tiles_x * tiles_y)
+            table = K.build_words_table(list(sw), capacity)
+            if stage == 5:
+                return jnp.uint32(table[0, 0, 0]) + jnp.uint32(starts[0])
+            eye_raster = K.blend_tiles_pallas(
+                table, starts, counts_t, tiles_x=tiles_x, tiles_y=tiles_y,
+                r2_cutoff=9.0, n_eyes=2, pixel_coords=(coord_x, coord_y))
+            if stage == 6:
+                return jnp.uint32(eye_raster[0][0][0, 0, 0]
+                                  + eye_raster[1][1][-1, 0])
+            eyes = [K.assemble_image(tc, td, tiles_x=tiles_x, tiles_y=tiles_y,
+                                     width=rw_, height=rh_)
+                    for tc, td in eye_raster]
+            color = jnp.concatenate([eyes[0][0], eyes[1][0]], axis=1)
+            return jnp.uint32(color[0, 0, 0] + color[-1, -1, 0])
+        return f
+
+    args = (gi, views, projs, centers, st)
+
+    def t(fn):
+        f = jax.jit(fn)
+        np.asarray(f(*args)).ravel()[:1]
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(4):
+                r = f(*args)
+            np.asarray(r).ravel()[:1]
+            best = min(best, (time.perf_counter() - t0) / 4)
+        return best * 1000
+
+    prev = 0.0
+    names = ["project+rects", "masks", "expand", "sort", "ranges+table",
+             "blend", "assemble"]
+    for i, nm in enumerate(names, 1):
+        cum = t(upto(i))
+        print(f"{nm}: {cum - prev:.2f} ms (cum {cum:.2f})", flush=True)
+        prev = cum
+
+
+main()
