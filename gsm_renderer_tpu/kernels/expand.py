@@ -596,9 +596,8 @@ def _pad_rows(x, n):
     return x.view(jnp.int32).reshape(np_rows, LANES)
 
 
-def _prep_kernel(rw_ref, rh_ref, dk_ref, w0_ref, w1_ref, w2_ref, w3_ref,
-                 out_ref, carry_ref, *, n: int, tile_w: int, tile_h: int,
-                 alpha_threshold: float):
+def _prep_kernel(rw_ref, rh_ref, dk_ref, *rest, n: int, tile_w: int,
+                 tile_h: int, alpha_threshold: float, mode: str = "mono"):
     """One grid step preps BLK_SUB rows (4096 gaussians) of the combined
     expand table: exact 8x4 tile masks + pre-counts + the global exclusive
     instance-offset scan (carried across the sequential grid in SMEM) — the
@@ -608,8 +607,13 @@ def _prep_kernel(rw_ref, rh_ref, dk_ref, w0_ref, w1_ref, w2_ref, w3_ref,
 
     Replaces the XLA prep chain (32 unrolled minQuadRect evals + cumsum +
     7 x _pad_rows + plane stack, ~1.6 ms at 1M) with one elementwise pass
-    that writes the (8, rows, 128) plane-major table directly.
+    that writes the (3 + 1 + n_words, rows, 128) plane-major table directly.
+
+    ``mode``: "mono" (4 words, alpha-cutoff exact test) or "stereo" (8 words
+    = both eyes' records, dual-eye r^2 <= STEREO_R2_CUTOFF test — the same
+    predicates binning_inputs applies in XLA).
     """
+    *w_refs, out_ref, carry_ref = rest
     i = pl.program_id(0)
 
     carry = carry_ref[0]
@@ -626,13 +630,15 @@ def _prep_kernel(rw_ref, rh_ref, dk_ref, w0_ref, w1_ref, w2_ref, w3_ref,
     rect_w = ((rword >> 20) & jnp.uint32(0x3FF)).astype(jnp.int32)
     culled0 = (rword & jnp.uint32(CULLED_BIT)) != 0
     rect_h = rh_ref[...]
-    w0 = pltpu.bitcast(w0_ref[...], jnp.uint32)
-    w1 = pltpu.bitcast(w1_ref[...], jnp.uint32)
-    w2 = pltpu.bitcast(w2_ref[...], jnp.uint32)
-    w3 = pltpu.bitcast(w3_ref[...], jnp.uint32)
+    w = [pltpu.bitcast(r[...], jnp.uint32) for r in w_refs]
 
-    mask, cnt = exact_tile_masks(w0, w1, w2, w3, min_tx, min_ty, rect_w,
-                                 rect_h, tile_w, tile_h, alpha_threshold)
+    if mode == "stereo":
+        mask, cnt = stereo_tile_masks(w[0:3], w[4:7], min_tx, min_ty,
+                                      rect_w, rect_h, tile_w, tile_h)
+    else:
+        mask, cnt = exact_tile_masks(w[0], w[1], w[2], w[3], min_tx, min_ty,
+                                     rect_w, rect_h, tile_w, tile_h,
+                                     alpha_threshold)
 
     visible = jnp.logical_not(culled0)
     eligible = visible & (rect_w <= MASK_W) & (rect_h <= MASK_H)
@@ -682,30 +688,31 @@ def _prep_kernel(rw_ref, rh_ref, dk_ref, w0_ref, w1_ref, w2_ref, w3_ref,
     out_ref[1] = pltpu.bitcast(rect_out, jnp.int32)
     out_ref[2] = pltpu.bitcast(mask, jnp.int32)
     out_ref[3] = dk_ref[...]
-    out_ref[4] = w0_ref[...]
-    out_ref[5] = w1_ref[...]
-    out_ref[6] = w2_ref[...]
-    out_ref[7] = w3_ref[...]
+    for k, r in enumerate(w_refs):
+        out_ref[4 + k] = r[...]
 
 
 @functools.partial(jax.jit, static_argnames=("tile_w", "tile_h",
-                                             "alpha_threshold", "interpret"))
+                                             "alpha_threshold", "interpret",
+                                             "mode"))
 def binning_prep_pallas(rect_word, rect_h, depth_word, word_list, *,
                         tile_w: int = 16, tile_h: int = 16,
                         alpha_threshold: float = 0.005,
-                        interpret: bool = False):
-    """Fused mono binning prep: builds the complete combined plane-major
-    expand table [offsets, rect, mask, depth, w0..w3] (8, rows, 128) in one
-    Pallas pass (see :func:`_prep_kernel`).
+                        interpret: bool = False, mode: str = "mono"):
+    """Fused binning prep: builds the complete combined plane-major expand
+    table [offsets, rect, mask, depth, w0..w{K-1}] (3 + 1 + K, rows, 128) in
+    one Pallas pass (see :func:`_prep_kernel`).  ``mode`` "mono" (K = 4) or
+    "stereo" (K = 8, dual-eye masks).
 
     ``rect_word``: (N,) uint32 packed rect with CULLED_BIT already set for
     invisible gaussians (pre-mask visibility); ``rect_h``: (N,) int32 clamped
-    rect height; ``word_list``: the 4 record words.  Returns the table, ready
+    rect height; ``word_list``: the K record words.  Returns the table, ready
     for :func:`expand_slots_pallas` via ``prebuilt_tab``.
     """
     n = rect_word.shape[0]
     np_rows = -(-(n + 2) // LANES) + WIN_ROWS
     rows = -(-np_rows // BLK_SUB) * BLK_SUB
+    planes = 4 + len(word_list)
 
     def prep(x):
         x = jnp.pad(x, (0, rows * LANES - n))
@@ -720,13 +727,13 @@ def binning_prep_pallas(rect_word, rect_h, depth_word, word_list, *,
     in_spec = pl.BlockSpec((BLK_SUB, LANES), lambda i: (i, 0))
     kernel = functools.partial(_prep_kernel, n=n, tile_w=tile_w,
                                tile_h=tile_h,
-                               alpha_threshold=alpha_threshold)
+                               alpha_threshold=alpha_threshold, mode=mode)
     tab = pl.pallas_call(
         kernel,
         grid=(grid,),
-        in_specs=[in_spec] * 7,
-        out_specs=pl.BlockSpec((8, BLK_SUB, LANES), lambda i: (0, i, 0)),
-        out_shape=jax.ShapeDtypeStruct((8, rows, LANES), jnp.int32),
+        in_specs=[in_spec] * len(ins),
+        out_specs=pl.BlockSpec((planes, BLK_SUB, LANES), lambda i: (0, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((planes, rows, LANES), jnp.int32),
         scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],
         interpret=interpret,
     )(*ins)

@@ -210,14 +210,15 @@ def fused_binning_words(visible, min_tx, min_ty, max_tx, rect_count,
     from ..ops import binning as B
 
     if use_prep is None:
-        use_prep = (use_pallas and exact_test is True and precount
-                    and len(word_list) == 4
+        use_prep = (use_pallas and precount
+                    and ((exact_test is True and len(word_list) == 4)
+                         or (exact_test == "stereo" and len(word_list) == 8))
                     and tile_row_offset is None and warped_bounds is None
                     and mask_override is None)
     if use_prep:
         # fused Pallas prep: masks + pre-counts + global offset scan + the
         # combined plane-major table in ONE elementwise pass (replaces the
-        # XLA exact_tile_masks / cumsum / pad+stack chain)
+        # XLA exact/stereo_tile_masks / cumsum / pad+stack chain)
         rect_w = max_tx - min_tx + 1
         rect_word0 = B.pack_rect_word(min_tx, min_ty, rect_w)
         rect_word0 = jnp.where(visible, rect_word0,
@@ -227,7 +228,8 @@ def fused_binning_words(visible, min_tx, min_ty, max_tx, rect_count,
             rect_word0, rect_h, depth_sort_word.astype(jnp.uint32),
             [w.astype(jnp.uint32) for w in word_list],
             tile_w=tile_w, tile_h=tile_h, alpha_threshold=alpha_threshold,
-            interpret=interpret)
+            interpret=interpret,
+            mode="stereo" if exact_test == "stereo" else "mono")
         outs = E.expand_slots_pallas(
             None, None, None, capacity=capacity, tiles_x=tiles_x,
             fused_depth16=fused_depth16, exact_test=exact_test,

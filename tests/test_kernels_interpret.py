@@ -126,30 +126,43 @@ def test_binning_prep_interpret_matches_xla_table(rng):
     assert diff <= 3, f"{diff} mask mismatches of {n}"
 
 
-@pytest.mark.parametrize("fused_depth16", [False, True])
-def test_fused_binning_prep_path_matches_nonprep(rng, fused_depth16):
+@pytest.mark.parametrize("fused_depth16,stereo", [
+    (False, False), (True, False), (False, True)])
+def test_fused_binning_prep_path_matches_nonprep(rng, fused_depth16, stereo):
     """fused_binning_words' use_prep fast path (binning_prep_pallas +
     prebuilt-table expand) must reproduce the non-prep path exactly — for
-    BOTH key layouts (fused_depth16=True is the Global/Local configuration,
-    which also routes through the prep path)."""
+    BOTH key layouts (fused_depth16=True is the Global/Local configuration)
+    and for the 8-word dual-eye stereo configuration."""
     from gsm_renderer_tpu.pipelines.common import (fused_binning_words,
                                                    pack_record_words)
-    from gsm_renderer_tpu.ops.project import project_and_cull
+    from gsm_renderer_tpu.ops.project import (project_and_cull,
+                                              stereo_project_and_cull)
     n, w, h = 700, 480, 320
     ds = generate_visible_gaussians(n, sh_degree=1,
                                     scale_range=(0.005, 0.10), seed=11)
     cam = G.make_camera(w, h, far=20.0)
-    view, proj, center = cam.astuple_jax()
-    pr = project_and_cull(ds.to_input(), view, proj, center, width=w,
-                          height=h, tile_w=16, tile_h=16, sh_degree=1,
-                          near_plane=0.1, far_plane=20.0,
-                          alpha_threshold=0.005, total_ink_threshold=2.0,
-                          input_is_srgb=False)
-    words = pack_record_words(pr.record)
-    word_list = [words[:, k] for k in range(4)]
+    kw = dict(width=w, height=h, tile_w=16, tile_h=16, sh_degree=1,
+              near_plane=0.1, far_plane=20.0, alpha_threshold=0.005,
+              total_ink_threshold=2.0, input_is_srgb=False)
+    if stereo:
+        st = G.make_side_by_side_stereo(cam, ipd=0.08)
+        views, projs, centers, tr = st.astuple_jax()
+        pr = stereo_project_and_cull(ds.to_input(), views, projs, centers,
+                                     scene_transform=tr, **kw)
+        wl_ = pack_record_words(pr.record_left)
+        wr_ = pack_record_words(pr.record_right)
+        word_list = ([wl_[:, k] for k in range(4)]
+                     + [wr_[:, k] for k in range(4)])
+        exact = "stereo"
+    else:
+        view, proj, center = cam.astuple_jax()
+        pr = project_and_cull(ds.to_input(), view, proj, center, **kw)
+        words = pack_record_words(pr.record)
+        word_list = [words[:, k] for k in range(4)]
+        exact = True
     depth = (pr.depth_key >> 16 if fused_depth16 else pr.depth_key)
     common = dict(capacity=8192, tiles_x=30, fused_depth16=fused_depth16,
-                  interpret=True, exact_test=True, use_pallas=True)
+                  interpret=True, exact_test=exact, use_pallas=True)
     outs_prep = fused_binning_words(
         pr.visible, pr.min_tx, pr.min_ty, pr.max_tx, pr.rect_count,
         depth, word_list, use_prep=True, **common)
