@@ -609,11 +609,17 @@ def _prep_kernel(rw_ref, rh_ref, dk_ref, *rest, n: int, tile_w: int,
     7 x _pad_rows + plane stack, ~1.6 ms at 1M) with one elementwise pass
     that writes the (3 + 1 + n_words, rows, 128) plane-major table directly.
 
-    ``mode``: "mono" (4 words, alpha-cutoff exact test) or "stereo" (8 words
+    ``mode``: "mono" (4 words, alpha-cutoff exact test), "stereo" (8 words
     = both eyes' records, dual-eye r^2 <= STEREO_R2_CUTOFF test — the same
-    predicates binning_inputs applies in XLA).
+    predicates binning_inputs applies in XLA), or "warped" (stereo + the
+    foveated boundary-table rects: the tile's display-space pixel bounds
+    come from lane-gathers of the (2, 128) bounds input, fusing
+    warped_bounds_gather_pallas + stereo_warped_tile_masks into this pass).
     """
-    *w_refs, out_ref, carry_ref = rest
+    if mode == "warped":
+        *w_refs, bounds_ref, out_ref, carry_ref = rest
+    else:
+        *w_refs, out_ref, carry_ref = rest
     i = pl.program_id(0)
 
     carry = carry_ref[0]
@@ -632,7 +638,20 @@ def _prep_kernel(rw_ref, rh_ref, dk_ref, *rest, n: int, tile_w: int,
     rect_h = rh_ref[...]
     w = [pltpu.bitcast(r[...], jnp.uint32) for r in w_refs]
 
-    if mode == "stereo":
+    if mode == "warped":
+        bxi = jnp.broadcast_to(bounds_ref[0:1, :], min_tx.shape)
+        byi = jnp.broadcast_to(bounds_ref[1:2, :], min_tx.shape)
+
+        def bg(row, base, d):
+            idx = jnp.minimum(base + d, LANES - 1)
+            return pltpu.bitcast(jnp.take_along_axis(row, idx, axis=1),
+                                 jnp.float32)
+
+        fx = [bg(bxi, min_tx, d) for d in range(MASK_W + 1)]
+        fy = [bg(byi, min_ty, d) for d in range(MASK_H + 1)]
+        mask, cnt = stereo_warped_tile_masks(w[0:3], w[4:7], rect_w, rect_h,
+                                             fx, fy)
+    elif mode == "stereo":
         mask, cnt = stereo_tile_masks(w[0:3], w[4:7], min_tx, min_ty,
                                       rect_w, rect_h, tile_w, tile_h)
     else:
@@ -698,11 +717,13 @@ def _prep_kernel(rw_ref, rh_ref, dk_ref, *rest, n: int, tile_w: int,
 def binning_prep_pallas(rect_word, rect_h, depth_word, word_list, *,
                         tile_w: int = 16, tile_h: int = 16,
                         alpha_threshold: float = 0.005,
-                        interpret: bool = False, mode: str = "mono"):
+                        interpret: bool = False, mode: str = "mono",
+                        warped_bounds=None):
     """Fused binning prep: builds the complete combined plane-major expand
     table [offsets, rect, mask, depth, w0..w{K-1}] (3 + 1 + K, rows, 128) in
-    one Pallas pass (see :func:`_prep_kernel`).  ``mode`` "mono" (K = 4) or
-    "stereo" (K = 8, dual-eye masks).
+    one Pallas pass (see :func:`_prep_kernel`).  ``mode`` "mono" (K = 4),
+    "stereo" (K = 8, dual-eye masks), or "warped" (K = 8 + the (2, 128)
+    ``warped_bounds`` table — the foveated configuration).
 
     ``rect_word``: (N,) uint32 packed rect with CULLED_BIT already set for
     invisible gaussians (pre-mask visibility); ``rect_h``: (N,) int32 clamped
@@ -725,13 +746,17 @@ def binning_prep_pallas(rect_word, rect_h, depth_word, word_list, *,
 
     grid = rows // BLK_SUB
     in_spec = pl.BlockSpec((BLK_SUB, LANES), lambda i: (i, 0))
+    in_specs = [in_spec] * len(ins)
+    if mode == "warped":
+        ins.append(warped_bounds.astype(jnp.float32).view(jnp.int32))
+        in_specs.append(pl.BlockSpec((2, LANES), lambda i: (0, 0)))
     kernel = functools.partial(_prep_kernel, n=n, tile_w=tile_w,
                                tile_h=tile_h,
                                alpha_threshold=alpha_threshold, mode=mode)
     tab = pl.pallas_call(
         kernel,
         grid=(grid,),
-        in_specs=[in_spec] * len(ins),
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((planes, BLK_SUB, LANES), lambda i: (0, i, 0)),
         out_shape=jax.ShapeDtypeStruct((planes, rows, LANES), jnp.int32),
         scratch_shapes=[pltpu.SMEM((1,), jnp.int32)],

@@ -213,29 +213,30 @@ def fused_binning_words(visible, min_tx, min_ty, max_tx, rect_count,
         use_prep = (use_pallas and precount
                     and ((exact_test is True and len(word_list) == 4)
                          or (exact_test == "stereo" and len(word_list) == 8))
-                    and tile_row_offset is None and warped_bounds is None
-                    and mask_override is None)
+                    and tile_row_offset is None and mask_override is None)
     if use_prep:
         # fused Pallas prep: masks + pre-counts + global offset scan + the
         # combined plane-major table in ONE elementwise pass (replaces the
-        # XLA exact/stereo_tile_masks / cumsum / pad+stack chain)
+        # XLA exact/stereo_tile_masks / cumsum / pad+stack chain; with
+        # warped_bounds it also fuses the foveated boundary gathers)
         rect_w = max_tx - min_tx + 1
         rect_word0 = B.pack_rect_word(min_tx, min_ty, rect_w)
         rect_word0 = jnp.where(visible, rect_word0,
                                rect_word0 | jnp.uint32(E.CULLED_BIT))
         rect_h = rect_count // jnp.maximum(rect_w, 1)
+        mode = ("mono" if exact_test is True
+                else "warped" if warped_bounds is not None else "stereo")
         tab = E.binning_prep_pallas(
             rect_word0, rect_h, depth_sort_word.astype(jnp.uint32),
             [w.astype(jnp.uint32) for w in word_list],
             tile_w=tile_w, tile_h=tile_h, alpha_threshold=alpha_threshold,
-            interpret=interpret,
-            mode="stereo" if exact_test == "stereo" else "mono")
+            interpret=interpret, mode=mode, warped_bounds=warped_bounds)
         outs = E.expand_slots_pallas(
             None, None, None, capacity=capacity, tiles_x=tiles_x,
             fused_depth16=fused_depth16, exact_test=exact_test,
             tile_w=tile_w, tile_h=tile_h, alpha_threshold=alpha_threshold,
             prebuilt_tab=tab, n_gaussians=visible.shape[0],
-            interpret=interpret)
+            warped_bounds=warped_bounds, interpret=interpret)
     else:
         counts, rect_word, tile_mask, aux = binning_inputs(
             visible, min_tx, min_ty, max_tx, rect_count, depth_sort_word,

@@ -436,25 +436,26 @@ def depth_first_stereo_foveated_frame(
     word_list = ([words_l[:, k] for k in range(4)]
                  + [words_r[:, k] for k in range(4)])
     # exact pre-count under the warp: dual-eye masks against the EXACT
-    # boundary-table display rects (a Pallas lane-gather kernel; an XLA
-    # gather or one-hot MXU contraction measured ~2-4 ms at 1M) — the same
-    # predicate the expand kernel re-applies, restoring the reference's
-    # count-before-expansion discipline the foveated path had to skip when
-    # the mask predicate was display-space
-    rect_w = max_tx - min_tx + 1
-    rect_h = max_ty - min_ty + 1
+    # boundary-table display rects — the same predicate the expand kernel
+    # re-applies, restoring the reference's count-before-expansion
+    # discipline the foveated path had to skip when the mask predicate was
+    # display-space.  On the Pallas path the fused prep kernel computes the
+    # boundary gathers + masks + offset scan + table in one pass
+    # (fused_binning_words mode="warped"); the XLA oracle path builds the
+    # same masks via the one-hot MXU gather (bitwise-equal) and passes them
+    # as mask_override.
+    mask_override = None
     if use_xla_blend:
-        # CPU/oracle path: the one-hot MXU gather (bitwise-equal)
+        rect_w = max_tx - min_tx + 1
+        rect_h = max_ty - min_ty + 1
         fxa = E.warped_bounds_gather(warp_bounds[0], min_tx, E.MASK_W + 1)
         fya = E.warped_bounds_gather(warp_bounds[1], min_ty, E.MASK_H + 1)
         fx = [fxa[:, d] for d in range(E.MASK_W + 1)]
         fy = [fya[:, d] for d in range(E.MASK_H + 1)]
-    else:
-        fx, fy = E.warped_bounds_gather_pallas(warp_bounds, min_tx, min_ty,
-                                               interpret=interpret)
-    wmask, wcnt = E.stereo_warped_tile_masks(
-        word_list[0:3], word_list[4:7], rect_w, rect_h, fx, fy)
-    eligible = visible & (rect_w <= E.MASK_W) & (rect_h <= E.MASK_H)
+        wmask, wcnt = E.stereo_warped_tile_masks(
+            word_list[0:3], word_list[4:7], rect_w, rect_h, fx, fy)
+        eligible = visible & (rect_w <= E.MASK_W) & (rect_h <= E.MASK_H)
+        mask_override = (wmask, wcnt, eligible)
     # dual-eye r^2 <= 9 test against the WARPED physical tile rects (the
     # boundary tables) — this kills the tile-granular inflation of the
     # conservative display->physical rect mapping, which otherwise makes the
@@ -464,7 +465,7 @@ def depth_first_stereo_foveated_frame(
         pr.depth_key, word_list, capacity=capacity, tiles_x=tiles_x,
         fused_depth16=False, use_pallas=not use_xla_blend, interpret=interpret,
         exact_test="stereo", tile_w=tile_w, tile_h=tile_h,
-        warped_bounds=warp_bounds, mask_override=(wmask, wcnt, eligible))
+        warped_bounds=warp_bounds, mask_override=mask_override)
     starts, counts = B.extract_tile_ranges(sorted_tile, num_tiles)
 
     if use_xla_blend:

@@ -232,6 +232,90 @@ def test_foveated_warped_masks_exact():
         f"{mismatch} mask/predicate disagreements of {n_elig} eligible"
 
 
+def test_foveated_warped_prep_path_matches_mask_override():
+    """The fused warped prep (in-kernel boundary gathers + dual-eye masks +
+    offset scan + table) must reproduce the explicit mask_override path
+    bitwise through fused_binning_words."""
+    import gsm_renderer_tpu as G
+    from gsm_renderer_tpu.kernels import expand as E
+    from gsm_renderer_tpu.pipelines.common import (fused_binning_words,
+                                                   pack_record_words)
+    from gsm_renderer_tpu.ops.project import stereo_project_and_cull
+    from gsm_renderer_tpu.stereo import foveated_raster_tables
+    import jax.numpy as jnp
+
+    w, h = 128, 96
+    gi, stereo = _scene_and_stereo(w, h, n=260, seed=13)
+    t = make_rate_maps(w, h, min_rate=0.4, radius=0.3)
+    tabs = foveated_raster_tables(t)
+    left, right = stereo.left, stereo.right
+    views = jnp.stack([jnp.asarray(left.view_matrix),
+                       jnp.asarray(right.view_matrix)])
+    projs = jnp.stack([jnp.asarray(left.projection_matrix),
+                       jnp.asarray(right.projection_matrix)])
+    centers = jnp.stack([jnp.asarray(left.position),
+                         jnp.asarray(right.position)])
+    pr = stereo_project_and_cull(
+        gi, views, projs, centers, width=w, height=h, tile_w=16, tile_h=16,
+        sh_degree=1, near_plane=0.1, far_plane=10.0, alpha_threshold=0.005,
+        total_ink_threshold=2.0, input_is_srgb=False,
+        scene_transform=jnp.eye(4))
+
+    inv = tabs["inv_fit"]
+
+    def inv_map(v, axis):
+        row = inv[axis]
+        tt = (np.asarray(v) - row[10]) / (row[11] - row[10]) * 2.0 - 1.0
+        return np.polyval(row[:10], tt), row[12]
+
+    txp = -(-t.render_width // 16)
+    typ = -(-t.render_height // 16)
+    sx0, mx = inv_map(pr.px_min, 0)
+    sx1, _ = inv_map(pr.px_max, 0)
+    sy0, my = inv_map(pr.py_min, 1)
+    sy1, _ = inv_map(pr.py_max, 1)
+    min_tx = np.clip(np.floor((sx0 - mx) / 16).astype(np.int32), 0, txp - 1)
+    max_tx = np.clip(np.floor((sx1 + mx) / 16).astype(np.int32), 0, txp - 1)
+    min_ty = np.clip(np.floor((sy0 - my) / 16).astype(np.int32), 0, typ - 1)
+    max_ty = np.clip(np.floor((sy1 + my) / 16).astype(np.int32), 0, typ - 1)
+    rect_w = max_tx - min_tx + 1
+    rect_h = max_ty - min_ty + 1
+    visible = np.asarray(pr.visible) & (min_tx <= max_tx) & (min_ty <= max_ty)
+    rect_count = np.where(visible, rect_w * rect_h, 0).astype(np.int32)
+
+    wl = pack_record_words(pr.record_left)
+    wr = pack_record_words(pr.record_right)
+    word_list = ([wl[:, k] for k in range(4)] + [wr[:, k] for k in range(4)])
+    bounds = jnp.asarray(tabs["bounds"])
+    common = dict(capacity=8192, tiles_x=txp, fused_depth16=False,
+                  interpret=True, exact_test="stereo", use_pallas=True,
+                  tile_w=16, tile_h=16, warped_bounds=bounds)
+    args = (jnp.asarray(visible), jnp.asarray(min_tx), jnp.asarray(min_ty),
+            jnp.asarray(max_tx), jnp.asarray(rect_count), pr.depth_key,
+            word_list)
+    outs_prep = fused_binning_words(*args, use_prep=True, **common)
+
+    fxg = E.warped_bounds_gather(bounds[0], jnp.asarray(min_tx), E.MASK_W + 1)
+    fyg = E.warped_bounds_gather(bounds[1], jnp.asarray(min_ty), E.MASK_H + 1)
+    wmask, wcnt = E.stereo_warped_tile_masks(
+        word_list[0:3], word_list[4:7], jnp.asarray(rect_w),
+        jnp.asarray(rect_h), [fxg[:, d] for d in range(E.MASK_W + 1)],
+        [fyg[:, d] for d in range(E.MASK_H + 1)])
+    eligible = (jnp.asarray(visible) & (jnp.asarray(rect_w) <= E.MASK_W)
+                & (jnp.asarray(rect_h) <= E.MASK_H))
+    outs_base = fused_binning_words(
+        *args, use_prep=False, mask_override=(wmask, wcnt, eligible),
+        **common)
+
+    np.testing.assert_array_equal(np.asarray(outs_prep[0]),
+                                  np.asarray(outs_base[0]))
+    for i, (p, b) in enumerate(zip(outs_prep[1], outs_base[1])):
+        np.testing.assert_array_equal(np.asarray(p), np.asarray(b),
+                                      err_msg=f"sorted word {i}")
+    assert int(outs_prep[2]) == int(outs_base[2])
+    assert int(outs_prep[3]) == int(outs_base[3])
+
+
 def test_foveated_pallas_interpret_parity():
     """The warped-coordinate Pallas blend must match the XLA oracle."""
     import gsm_renderer_tpu as G
