@@ -63,6 +63,12 @@ MIN_TRANSMITTANCE = 1.0 / 255.0
 DMA_DEPTH = 3  # per-tile first-chunk DMAs in flight
 ALPHA_CLAMP = 0.99
 WORD_ROWS = 4  # packed record words per instance in the kernel table
+# Kernel-table layout: True = plane-major (W, CB, 128) — the table build is
+# a LEADING-axis stack (one contiguous copy, like the expand table; the
+# middle-axis concat of the (CB, W, 128) form is a strided interleave that
+# shows up in the ranges+table stage) — chunk windows become one strided
+# DMA across planes, the expand kernel's proven pattern.
+PLANE_MAJOR_TABLE = True
 
 # "First significant hit" alpha threshold for the Local renderer's depth output
 # (LocalShaders.metal:529-537).
@@ -88,12 +94,13 @@ def build_blend_table(attrs: dict, capacity: int):
 
 
 def build_words_table(sorted_word_list, capacity: int):
-    """Pack sorted record words into the (CB, 4, 128) kernel table layout
-    (16 B per instance in HBM).
+    """Pack sorted record words into the kernel table layout (16 B per
+    instance per eye in HBM): plane-major (W, CB, 128) when
+    ``PLANE_MAJOR_TABLE`` (a leading-axis stack — one contiguous copy),
+    else the interleaved (CB, W, 128) form (a strided middle-axis concat).
 
-    Takes the four (C,) uint32 arrays separately: stacking to (C, 4) and
-    transposing the minor dims costs ~9 ms at 4M instances; reshaping each
-    word plane to (CB, 1, 128) and concatenating is a plain strided copy.
+    Takes the (C,) uint32 arrays separately: stacking to (C, W) and
+    transposing the minor dims costs ~9 ms at 4M instances.
     """
     cb = -(-capacity // LANES)
     planes = []
@@ -101,8 +108,11 @@ def build_words_table(sorted_word_list, capacity: int):
         w = w.astype(jnp.uint32)
         if w.shape[0] < cb * LANES:
             w = jnp.pad(w, (0, cb * LANES - w.shape[0]))
-        planes.append(w.view(jnp.int32).reshape(cb, 1, LANES))
-    return jnp.concatenate(planes, axis=1)
+        if PLANE_MAJOR_TABLE:
+            planes.append(w.view(jnp.int32).reshape(1, cb, LANES))
+        else:
+            planes.append(w.view(jnp.int32).reshape(cb, 1, LANES))
+    return jnp.concatenate(planes, axis=0 if PLANE_MAJOR_TABLE else 1)
 
 
 # ---------------------------------------------------------------------------------
@@ -374,14 +384,19 @@ def _row_blend_kernel(starts_ref, counts_ref, oyoff_ref, table_ref, *rest,
     def body(scr, sem):
         # scr: (DMA_DEPTH, r_dma, 16, 128) pipelined tile buffers
 
+        def chunk_window(blk):
+            if PLANE_MAJOR_TABLE:
+                return table_ref.at[:, pl.ds(blk, r_dma)]
+            return table_ref.at[pl.ds(blk, r_dma)]
+
         def start_dma(buf, blk):
-            cp = pltpu.make_async_copy(table_ref.at[pl.ds(blk, r_dma)],
+            cp = pltpu.make_async_copy(chunk_window(blk),
                                        scr.at[buf], sem.at[buf])
             cp.start()
             return cp
 
         def wait_dma(buf, blk):
-            pltpu.make_async_copy(table_ref.at[pl.ds(blk, r_dma)],
+            pltpu.make_async_copy(chunk_window(blk),
                                   scr.at[buf], sem.at[buf]).wait()
 
         # prime the pipeline: first chunks of tiles 0..DMA_DEPTH-2 in flight
@@ -420,13 +435,19 @@ def _row_blend_kernel(starts_ref, counts_ref, oyoff_ref, table_ref, *rest,
                 # per-sub-block decode on (128, 1) vectors uses 1/256th of the
                 # VPU and dominated the kernel.  Transposed to (128, r_dma) so
                 # sub-blocks slice (128, 1) columns.
-                wblk = pltpu.bitcast(scr[buf2], jnp.uint32)  # (r_dma, 4E, 128)
+                wblk = pltpu.bitcast(scr[buf2], jnp.uint32)
                 eyes = []
                 for e in range(n_eyes):
-                    w0 = wblk[:, 4 * e + 0, :]
-                    w1 = wblk[:, 4 * e + 1, :]
-                    w2 = wblk[:, 4 * e + 2, :]
-                    w3 = wblk[:, 4 * e + 3, :]
+                    if PLANE_MAJOR_TABLE:       # wblk: (4E, r_dma, 128)
+                        w0 = wblk[4 * e + 0]
+                        w1 = wblk[4 * e + 1]
+                        w2 = wblk[4 * e + 2]
+                        w3 = wblk[4 * e + 3]
+                    else:                       # wblk: (r_dma, 4E, 128)
+                        w0 = wblk[:, 4 * e + 0, :]
+                        w1 = wblk[:, 4 * e + 1, :]
+                        w2 = wblk[:, 4 * e + 2, :]
+                        w3 = wblk[:, 4 * e + 3, :]
                     theta = _u16f(w1) * (3.14159265358979 / 65535.0)
                     s1 = jnp.maximum(_f16(w1 >> 16), 1e-4)
                     s2 = jnp.maximum(_f16(w2), 1e-4)
@@ -625,7 +646,7 @@ def _row_blend_kernel(starts_ref, counts_ref, oyoff_ref, table_ref, *rest,
 
                 def chunk_cp(c, bc):
                     return pltpu.make_async_copy(
-                        table_ref.at[pl.ds(blk0 + c * r_dma, r_dma)],
+                        chunk_window(blk0 + c * r_dma),
                         scr.at[bc], sem.at[bc])
 
                 if chunk_prefetch:
@@ -697,9 +718,11 @@ def _row_blend_kernel(starts_ref, counts_ref, oyoff_ref, table_ref, *rest,
         jax.lax.fori_loop(0, tiles_x, tile_loop, 0)
 
     n_buf = DMA_DEPTH + (1 if chunk_prefetch else 0)  # +1: chunk-prefetch spare
+    scr_shape = ((n_buf, word_rows, r_dma, LANES) if PLANE_MAJOR_TABLE
+                 else (n_buf, r_dma, word_rows, LANES))
     pl.run_scoped(
         body,
-        scr=pltpu.VMEM((n_buf, r_dma, word_rows, LANES), jnp.int32),
+        scr=pltpu.VMEM(scr_shape, jnp.int32),
         sem=pltpu.SemaphoreType.DMA((n_buf,)),
     )
 
@@ -721,8 +744,9 @@ def blend_tiles_pallas(table, starts, counts, *, tiles_x: int, tiles_y: int,
                        sub_g: int = LANES, chunk_prefetch: bool = True):
     """Production blend.  Returns (tile_color (T, P, 4), tile_depth (T, P)).
 
-    ``table``: (CB, 4, 128) record-word table (from :func:`build_words_table`)
-    with instances depth-ordered within each tile's [start, start+count) span.
+    ``table``: record-word table from :func:`build_words_table` — plane-major
+    (W, CB, 128) under ``PLANE_MAJOR_TABLE``, else (CB, W, 128) — with
+    instances depth-ordered within each tile's [start, start+count) span.
     ``tile_row_offset``: optional scalar — global tile-row index of this
     raster's first row (used by the multi-chip band-sharded path so pixel
     coordinates stay in global screen space).
@@ -741,8 +765,12 @@ def blend_tiles_pallas(table, starts, counts, *, tiles_x: int, tiles_y: int,
     n_t = tiles_x * tiles_y
     txp = -(-tiles_x // 8) * 8
 
-    # fixed-size DMA windows may overrun the last blocks: pad the table.
-    table = jnp.pad(table, ((0, blocks_per_dma), (0, 0), (0, 0)))
+    # fixed-size DMA windows may overrun the last blocks: pad the table's
+    # block axis (axis 1 in the plane-major layout).
+    if PLANE_MAJOR_TABLE:
+        table = jnp.pad(table, ((0, 0), (0, blocks_per_dma), (0, 0)))
+    else:
+        table = jnp.pad(table, ((0, blocks_per_dma), (0, 0), (0, 0)))
     table = table.view(jnp.int32) if table.dtype == jnp.uint32 else table
     if tile_row_offset is None:
         tile_row_offset = jnp.zeros((), jnp.int32)
