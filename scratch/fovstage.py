@@ -78,20 +78,21 @@ def main():
                   + [words_r[:, k] for k in range(4)])
             rect_w = max_tx - min_tx + 1
             rect_h = max_ty - min_ty + 1
-            fx, fy = E.warped_bounds_gather_pallas(bounds, min_tx, min_ty)
-            wmask, wcnt = E.stereo_warped_tile_masks(
-                wl[0:3], wl[4:7], rect_w, rect_h, fx, fy)
-            eligible = visible & (rect_w <= E.MASK_W) & (rect_h <= E.MASK_H)
+            # production path: fused warped prep (gathers + masks + scan +
+            # table in one Pallas pass)
+            rect_word0 = B.pack_rect_word(min_tx, min_ty, rect_w)
+            rect_word0 = jnp.where(visible, rect_word0,
+                                   rect_word0 | jnp.uint32(E.CULLED_BIT))
+            tab = E.binning_prep_pallas(
+                rect_word0, rect_h, pr.depth_key.astype(jnp.uint32),
+                [w_.astype(jnp.uint32) for w_ in wl], mode="warped",
+                warped_bounds=bounds)
             if stage == 2:
-                return jnp.uint32(wmask[0] + jnp.uint32(wcnt.sum()))
-            counts, rect_word, tile_mask, aux = binning_inputs(
-                visible, min_tx, min_ty, max_tx, rect_count,
-                pr.depth_key, wl, exact_test="stereo",
-                mask_override=(wmask, wcnt, eligible))
+                return jnp.uint32(tab[0, 0, 0] + tab[2, 0, 0])
             outs = E.expand_slots_pallas(
-                counts, rect_word, aux, capacity=capacity, tiles_x=tiles_x,
-                fused_depth16=False, exact_test="stereo",
-                tile_mask=tile_mask, warped_bounds=bounds)
+                None, None, None, capacity=capacity, tiles_x=tiles_x,
+                fused_depth16=False, exact_test="stereo", prebuilt_tab=tab,
+                n_gaussians=visible.shape[0], warped_bounds=bounds)
             key, d_slot = outs[0], outs[1]
             if stage == 3:
                 return key[0] + outs[2][-1]
@@ -132,7 +133,7 @@ def main():
         return best * 1000
 
     prev = 0.0
-    names = ["project+rects", "masks", "expand", "sort", "ranges+table",
+    names = ["project+rects", "prep", "expand", "sort", "ranges+table",
              "blend", "assemble"]
     for i, nm in enumerate(names, 1):
         cum = t(upto(i))

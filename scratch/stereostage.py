@@ -42,12 +42,20 @@ def main():
             words_r = pack_record_words(pr.record_right)
             wl = ([words_l[:, k] for k in range(4)]
                   + [words_r[:, k] for k in range(4)])
-            counts, rect_word, tile_mask, aux = binning_inputs(
-                pr.visible, pr.min_tx, pr.min_ty, pr.max_tx, pr.rect_count,
-                pr.depth_key, wl, exact_test="stereo")
+            # production path: fused Pallas prep (stereo mode) + expand
+            from gsm_renderer_tpu.pipelines.common import fused_binning_words
+            rect_w = pr.max_tx - pr.min_tx + 1
+            rect_word0 = B.pack_rect_word(pr.min_tx, pr.min_ty, rect_w)
+            rect_word0 = jnp.where(pr.visible, rect_word0,
+                                   rect_word0 | jnp.uint32(E.CULLED_BIT))
+            rect_h = pr.rect_count // jnp.maximum(rect_w, 1)
+            tab = E.binning_prep_pallas(
+                rect_word0, rect_h, pr.depth_key.astype(jnp.uint32),
+                [w_.astype(jnp.uint32) for w_ in wl], mode="stereo")
             outs = E.expand_slots_pallas(
-                counts, rect_word, aux, capacity=capacity, tiles_x=tiles_x,
-                fused_depth16=False, exact_test="stereo", tile_mask=tile_mask)
+                None, None, None, capacity=capacity, tiles_x=tiles_x,
+                fused_depth16=False, exact_test="stereo", prebuilt_tab=tab,
+                n_gaussians=pr.visible.shape[0])
             key, d_slot = outs[0], outs[1]
             if stage == 2:
                 return key[0] + outs[2][-1]
