@@ -358,6 +358,45 @@ def _unpack_unorm(v, shift, bits):
     return (((v >> np.uint32(shift)) & mask).astype(np.float32) / float(mask))
 
 
+def _load_compressed_native(chunks, verts, n_chunks, n_verts):
+    """Threaded C++ fast path for the compressed decode (same formulas as
+    native/gsm_native.cpp ply_decode_compressed); None without the lib."""
+    from ..native import get_lib
+    lib = get_lib()
+    if lib is None:
+        return None
+    need = ("packed_position", "packed_rotation", "packed_scale",
+            "packed_color")
+    if any(nm not in verts.dtype.names for nm in need):
+        return None
+    order = ("min_x", "min_y", "min_z", "max_x", "max_y", "max_z",
+             "min_scale_x", "min_scale_y", "min_scale_z",
+             "max_scale_x", "max_scale_y", "max_scale_z",
+             "min_r", "min_g", "min_b", "max_r", "max_g", "max_b")
+    cd = np.zeros((n_chunks, 18), np.float32)
+    for k, nm in enumerate(order):
+        if nm in chunks.dtype.names:
+            cd[:, k] = chunks[nm].astype(np.float32)
+    packed = np.empty((n_verts, 4), np.uint32)
+    for k, nm in enumerate(need):
+        packed[:, k] = verts[nm].astype(np.uint32)
+    positions = np.empty((n_verts, 3), np.float32)
+    scales = np.empty((n_verts, 3), np.float32)
+    rotations = np.empty((n_verts, 4), np.float32)
+    opacities = np.empty(n_verts, np.float32)
+    harmonics = np.empty((n_verts, 1, 3), np.float32)
+    lib.ply_decode_compressed(np.ascontiguousarray(cd), n_chunks,
+                              np.ascontiguousarray(packed), n_verts,
+                              positions, scales, rotations, opacities,
+                              harmonics)
+    center = 0.5 * (positions.min(0) + positions.max(0))
+    if np.linalg.norm(center) > 1e-6:
+        positions = positions - center
+    return GaussianDataset(positions=positions, scales=scales,
+                           rotations=rotations, opacities=opacities,
+                           harmonics=harmonics)
+
+
 def _load_compressed(data, elements, body, endian) -> GaussianDataset:
     """PlayCanvas / splat-transform compressed PLY (PLYLoader.swift:291-514)."""
     by_name = {e[0]: e for e in elements}
@@ -372,6 +411,10 @@ def _load_compressed(data, elements, body, endian) -> GaussianDataset:
     chunks = np.frombuffer(data, dtype=cdt, count=n_chunks, offset=body)
     vstart = body + cdt.itemsize * n_chunks
     verts = np.frombuffer(data, dtype=vdt, count=n_verts, offset=vstart)
+
+    native = _load_compressed_native(chunks, verts, n_chunks, n_verts)
+    if native is not None:
+        return native
 
     ci = np.arange(n_verts) // 256
     ci = np.minimum(ci, n_chunks - 1)

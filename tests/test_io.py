@@ -333,6 +333,25 @@ def test_compressed_ply_roundtrip():
     np.testing.assert_allclose(dots, 1.0, atol=3e-3)
 
 
+def test_compressed_ply_native_matches_numpy(monkeypatch):
+    """The threaded C++ compressed decode must agree with the NumPy path to
+    float rounding (the lerp is algebraically rearranged)."""
+    ds = make_ds(500, sh_degree=0, seed=5)
+    ds.opacities = np.clip(ds.opacities, 0.02, 0.98)
+    data = ply.write_compressed_ply(ds)
+    out_a = ply.load_ply(data)  # native when the lib builds, else NumPy
+    monkeypatch.setattr(ply, "_load_compressed_native",
+                        lambda *a, **k: None)
+    out_b = ply.load_ply(data)  # forced NumPy
+    span = float((out_b.positions.max(0) - out_b.positions.min(0)).max())
+    np.testing.assert_allclose(out_a.positions, out_b.positions,
+                               atol=span * 1e-6 + 1e-6)
+    np.testing.assert_allclose(out_a.scales, out_b.scales, rtol=1e-5)
+    np.testing.assert_allclose(out_a.rotations, out_b.rotations, atol=1e-6)
+    np.testing.assert_allclose(out_a.opacities, out_b.opacities, atol=1e-7)
+    np.testing.assert_allclose(out_a.harmonics, out_b.harmonics, atol=1e-5)
+
+
 def test_camera_poses_json():
     """INRIA cameras.json and nerfstudio transforms.json both decode to
     CameraParams whose view matrix maps the camera center to the origin and
