@@ -319,13 +319,14 @@ def _add_scan_exclusive(x):
     return excl, y[g - 1:g, :]
 
 
-def _row_blend_kernel(starts_ref, counts_ref, oyoff_ref, table_ref, *rest,
+def _row_blend_kernel(starts_ref, counts_ref, oyoff_ref, *refs,
                       tiles_x: int, tile_w: int, tile_h: int,
                       blocks_per_dma: int, depth_mode: str = "weighted",
                       r2_cutoff: float = 0.0, warped: bool = False,
                       skip_period: int = 0, compute_dtype: str = "f32",
                       n_eyes: int = 1, scan_mode: str = "split16",
-                      sub_g: int = LANES, chunk_prefetch: bool = True):
+                      sub_g: int = LANES, chunk_prefetch: bool = True,
+                      exponent_mode: str = "vpu"):
     """One grid step = one tile row.
 
     DMA latency is hidden with tile-level double buffering: while tile t's first
@@ -333,13 +334,20 @@ def _row_blend_kernel(starts_ref, counts_ref, oyoff_ref, table_ref, *rest,
     (most tiles need exactly one chunk).  Extra chunks of heavy tiles fall back
     to synchronous copies into the same buffer.
     """
-    if warped:
+    mxu_exp = exponent_mode == "mxu"
+    if warped and mxu_exp:
+        # foveated MXU-exponent: TILE-CENTERED coordinate tables (small
+        # magnitudes keep the bf16 row split accurate) + integer per-tile
+        # origins via scalar prefetch
+        xo_ref, yo_ref, table_ref, xtab_ref, ytab_ref, out_ref = refs
+    elif warped:
         # foveated: per-pixel coordinate tables in the gaussians' (display)
         # screen space replace the uniform iota grid
-        xtab_ref, ytab_ref, out_ref = rest
+        xo_ref = yo_ref = None
+        table_ref, xtab_ref, ytab_ref, out_ref = refs
     else:
-        xtab_ref = ytab_ref = None
-        (out_ref,) = rest
+        xo_ref = yo_ref = xtab_ref = ytab_ref = None
+        table_ref, out_ref = refs
     r_dma = blocks_per_dma
     pix = tile_w * tile_h
     first_hit = depth_mode == "first_hit"
@@ -371,6 +379,24 @@ def _row_blend_kernel(starts_ref, counts_ref, oyoff_ref, table_ref, *rest,
     pidx = jax.lax.broadcasted_iota(jnp.int32, (1, pix), 1)
     px_row = (pidx % tile_w).astype(jnp.float32)   # (1, P) tile-local x
     py_row = (pidx // tile_w).astype(jnp.float32)
+
+    # MXU exponent mode: the whole per-pair chain -q/2 + log(op) collapses to
+    # ONE matmul  e = C @ R  with per-instance quadratic coefficients C and a
+    # per-tile row matrix R = (x'^2, x'y', y'^2, x', y', 1) in TILE-LOCAL
+    # coordinates.  Uniform grids: x', y' are small exact integers, so R is
+    # EXACT in bf16 and a hi/lo split of C (both halves bf16-exact f32 values;
+    # the TPU's default-precision matmul truncates operands to bf16 with f32
+    # accumulation) keeps ~2^-18 relative precision — no 6-pass f32 emulation
+    # (the round-2 "MXU u/v" rejection) and ~11 fewer (128, P) VPU ops.
+    n_k = 0
+    rows_const = None
+    if mxu_exp:
+        n_k = 12 if not warped else 18
+        if not warped:
+            r6 = jnp.concatenate(
+                [px_row * px_row, px_row * py_row, py_row * py_row,
+                 px_row, py_row, jnp.ones_like(px_row)], axis=0)
+            rows_const = jnp.concatenate([r6, r6], axis=0)  # (12, P)
 
     # instance-id iota per composited sub-block (sub_g <= LANES instances at a
     # time: the scan costs 2*log2(G) VPU ops per instance batch, so smaller
@@ -421,7 +447,21 @@ def _row_blend_kernel(starts_ref, counts_ref, oyoff_ref, table_ref, *rest,
                 start_dma(jax.lax.rem(tx + DMA_DEPTH - 1, DMA_DEPTH),
                           first_block(tid + DMA_DEPTH - 1))
 
-            if warped:
+            rows_t = rows_const
+            pxa = pya = None
+            if warped and mxu_exp:
+                # tile-centered display coords (small magnitudes); rows get a
+                # hi/lo split since they are no longer exact integers.
+                xc = xtab_ref[tx]                     # (1, P) centered x
+                yc = ytab_ref[0]
+                ox = xo_ref[tx].astype(jnp.float32)   # integer tile origin
+                oy = yo_ref[ty].astype(jnp.float32)
+                r6 = jnp.concatenate(
+                    [xc * xc, xc * yc, yc * yc, xc, yc,
+                     jnp.ones_like(xc)], axis=0)      # (6, P)
+                r6h = r6.astype(jnp.bfloat16).astype(jnp.float32)
+                rows_t = jnp.concatenate([r6h, r6 - r6h, r6h], axis=0)
+            elif warped:
                 pxa = xtab_ref[tx]                    # (1, P) display-space x
                 pya = ytab_ref[0]
             else:
@@ -436,6 +476,14 @@ def _row_blend_kernel(starts_ref, counts_ref, oyoff_ref, table_ref, *rest,
                 # VPU and dominated the kernel.  Transposed to (128, r_dma) so
                 # sub-blocks slice (128, 1) columns.
                 wblk = pltpu.bitcast(scr[buf2], jnp.uint32)
+                if mxu_exp:
+                    # in-range mask at decode shape (r_dma, 128): folded into
+                    # the p5 coefficient so dead/out-of-span slots cost no
+                    # (128, P) masking op
+                    ri_d = jax.lax.broadcasted_iota(jnp.int32, (r_dma, LANES), 0)
+                    li_d = jax.lax.broadcasted_iota(jnp.int32, (r_dma, LANES), 1)
+                    gidx_d = (blk0 + c * r_dma) * LANES + ri_d * LANES + li_d
+                    in_rng = jnp.logical_and(gidx_d >= start, gidx_d < end)
                 eyes = []
                 for e in range(n_eyes):
                     if PLANE_MAJOR_TABLE:       # wblk: (4E, r_dma, 128)
@@ -455,6 +503,60 @@ def _row_blend_kernel(starts_ref, counts_ref, oyoff_ref, table_ref, *rest,
                     sth = jnp.sin(theta)
                     i1 = 1.0 / s1
                     i2 = 1.0 / s2
+                    if mxu_exp:
+                        # per-instance quadratic coefficients of the exponent
+                        # e = -q/2 + log(op) in tile-local coords:
+                        # e = p0 x'^2 + p1 x'y' + p2 y'^2 + p3 x' + p4 y' + p5
+                        # (expansion of q = u^2 + v^2 with u = a1 x' + b1 y'
+                        # + u0; all (r_dma, 128)-shaped — 1/256th VPU cost)
+                        mxp = _f16(w0)
+                        myp = _f16(w0 >> 16)
+                        dxc = ox - mxp
+                        dyc = oy - myp
+                        i1s = i1 * i1
+                        i2s = i2 * i2
+                        cc = cth * cth
+                        ss = sth * sth
+                        cs = cth * sth
+                        p0 = -0.5 * (i1s * cc + i2s * ss)
+                        p1 = -cs * (i1s - i2s)
+                        p2 = -0.5 * (i1s * ss + i2s * cc)
+                        u0 = i1 * (cth * dxc + sth * dyc)
+                        v0 = i2 * (cth * dyc - sth * dxc)
+                        p3 = -(cth * i1 * u0 - sth * i2 * v0)
+                        p4 = -(sth * i1 * u0 + cth * i2 * v0)
+                        op = _u8f(w3 >> 24) * (1.0 / 255.0)
+                        logop = jnp.where(
+                            jnp.logical_and(in_rng, op > 0),
+                            jnp.log(jnp.maximum(op, 1e-12)), -30000.0)
+                        p5 = -0.5 * (u0 * u0 + v0 * v0) + logop
+                        p5 = jnp.maximum(p5, -30000.0)  # exp -> exact 0
+                        # hi/lo split: both halves are bf16-exact f32 values;
+                        # the default-precision matmul truncates to bf16 with
+                        # f32 accumulation, so C @ R carries ~2^-18 relative
+                        # precision of the exact coefficients
+                        coeff = [p0, p1, p2, p3, p4, p5]
+                        hi = [p.astype(jnp.bfloat16).astype(jnp.float32)
+                              for p in coeff]
+                        lo = [p - h for p, h in zip(coeff, hi)]
+                        # uniform: C=[hi|lo] vs R=[R6;R6]; warped:
+                        # C=[hi|hi|lo] vs R=[R6h;R6lo;R6h]
+                        planes = hi + hi + lo if warped else hi + lo
+                        cstack = jnp.concatenate(
+                            [p[rb:rb + 1] for rb in range(r_dma)
+                             for p in planes], axis=0)  # (n_k*r_dma, 128)
+                        restp = [
+                            _f16(w2 >> 16),                  # 0: depth
+                            _u8f(w3) * (1.0 / 255.0),        # 1: r
+                            _u8f(w3 >> 8) * (1.0 / 255.0),   # 2: g
+                            _u8f(w3 >> 16) * (1.0 / 255.0),  # 3: b
+                        ]
+                        if r2_cutoff > 0.0:
+                            restp.append(logop)              # 4: log opacity
+                        rest = jnp.concatenate(restp, axis=0)
+                        eyes.append((jnp.transpose(cstack),
+                                     jnp.transpose(rest)))
+                        continue
                     # centered linear forms: u = a1*(px-mx) + b1*(py-my), v
                     # likewise — the subtraction happens per-pixel in f32 so
                     # low-precision rounding error stays RELATIVE to the
@@ -509,32 +611,67 @@ def _row_blend_kernel(starts_ref, counts_ref, oyoff_ref, table_ref, *rest,
                         in_range = jnp.logical_and(gidx >= start, gidx < end)
                         out_a, out_t, out_f = [], [], []
                         for e in range(n_eyes):
-                            ey = eyes[e]
-                            gdepth = sl(ey, 2)
-                            # centered offsets in f32, then the broadcast FMA
-                            # chain (128,1) x (1,P) in the compute dtype
-                            dx = (pxa - sl(ey, 0)).astype(cdt)
-                            dy = (pya - sl(ey, 1)).astype(cdt)
-                            u = (sl(ey, 7).astype(cdt) * dx
-                                 + sl(ey, 8).astype(cdt) * dy)
-                            v = (sl(ey, 9).astype(cdt) * dx
-                                 + sl(ey, 10).astype(cdt) * dy)
-                            q = u * u + v * v              # (128, P)
+                            if mxu_exp:
+                                # one MXU issue computes the full exponent
+                                # e = -q/2 + log(op) for the whole (G, P)
+                                # block; VPU keeps only exp/min/om/scan/w
+                                ceye, reye = eyes[e]
+                                slr = lambda k: reye[h * sub_g:(h + 1) * sub_g,
+                                                     k * r_dma + rb:
+                                                     k * r_dma + rb + 1]
+                                gdepth = slr(0)
+                                cmat = ceye[h * sub_g:(h + 1) * sub_g,
+                                            rb * n_k:(rb + 1) * n_k]
+                                # explicit bf16 operands: a single MXU pass
+                                # (an f32 Pallas dot triggers multi-pass
+                                # emulation); the casts are exact — both
+                                # sides hold bf16-exact values
+                                e_mat = jax.lax.dot_general(
+                                    cmat.astype(jnp.bfloat16),
+                                    rows_t.astype(jnp.bfloat16),
+                                    (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+                                alpha = jnp.minimum(jnp.exp(e_mat),
+                                                    ALPHA_CLAMP).astype(cdt)
+                                if r2_cutoff > 0.0:
+                                    # q > cutoff  <=>  e < log(op) - cutoff/2
+                                    alpha = jnp.where(
+                                        e_mat < slr(4) - 0.5 * r2_cutoff,
+                                        cdt(0.0), alpha)
+                                cols = jnp.concatenate(
+                                    [slr(1), slr(2), slr(3), gdepth],
+                                    axis=1).astype(cdt)
+                            else:
+                                ey = eyes[e]
+                                gdepth = sl(ey, 2)
+                                # centered offsets in f32, then the broadcast
+                                # FMA chain (128,1) x (1,P) in compute dtype
+                                dx = (pxa - sl(ey, 0)).astype(cdt)
+                                dy = (pya - sl(ey, 1)).astype(cdt)
+                                u = (sl(ey, 7).astype(cdt) * dx
+                                     + sl(ey, 8).astype(cdt) * dy)
+                                v = (sl(ey, 9).astype(cdt) * dx
+                                     + sl(ey, 10).astype(cdt) * dy)
+                                q = u * u + v * v              # (128, P)
 
-                            # fold opacity into the exponent: alpha =
-                            # exp(-q/2 + log(op)) — one fused fma + exp
-                            # instead of exp + multiply; masked/zero opacity
-                            # maps to exp(-inf) = 0
-                            log_op = jnp.log(jnp.where(in_range, sl(ey, 6),
-                                                       0.0)).astype(cdt)
-                            alpha = jnp.minimum(jnp.exp(q * cdt(-0.5)
-                                                        + log_op),
-                                                cdt(ALPHA_CLAMP))
-                            if r2_cutoff > 0.0:
-                                # fragment discard at r^2 > cutoff
-                                # (HardwareGaussianShaders.metal:771-780)
-                                alpha = jnp.where(q > cdt(r2_cutoff),
-                                                  cdt(0.0), alpha)
+                                # fold opacity into the exponent: alpha =
+                                # exp(-q/2 + log(op)) — one fused fma + exp
+                                # instead of exp + multiply; masked/zero
+                                # opacity maps to exp(-inf) = 0
+                                log_op = jnp.log(jnp.where(in_range,
+                                                           sl(ey, 6),
+                                                           0.0)).astype(cdt)
+                                alpha = jnp.minimum(jnp.exp(q * cdt(-0.5)
+                                                            + log_op),
+                                                    cdt(ALPHA_CLAMP))
+                                if r2_cutoff > 0.0:
+                                    # fragment discard at r^2 > cutoff
+                                    # (HardwareGaussianShaders.metal:771-780)
+                                    alpha = jnp.where(q > cdt(r2_cutoff),
+                                                      cdt(0.0), alpha)
+                                cols = jnp.concatenate(
+                                    [sl(ey, 3), sl(ey, 4), sl(ey, 5),
+                                     gdepth], axis=1).astype(cdt)
 
                             om = cdt(1.0) - alpha
                             if scan_mode == "mxu":
@@ -552,9 +689,6 @@ def _row_blend_kernel(starts_ref, counts_ref, oyoff_ref, table_ref, *rest,
                             # a small one)
                             w = alpha * texcl              # (128, P)
 
-                            cols = jnp.concatenate(
-                                [sl(ey, 3), sl(ey, 4), sl(ey, 5),
-                                 gdepth], axis=1).astype(cdt)
                             contrib = jax.lax.dot_general(
                                 w, cols, (((0,), (0,)), ((), ())),
                                 precision=(None if bf
@@ -733,7 +867,8 @@ def _row_blend_kernel(starts_ref, counts_ref, oyoff_ref, table_ref, *rest,
                                              "r2_cutoff", "skip_period",
                                              "compute_dtype", "n_eyes",
                                              "scan_mode", "sub_g",
-                                             "chunk_prefetch"))
+                                             "chunk_prefetch",
+                                             "exponent_mode"))
 def blend_tiles_pallas(table, starts, counts, *, tiles_x: int, tiles_y: int,
                        tile_w: int = 16, tile_h: int = 16,
                        blocks_per_dma: int = 2, interpret: bool = False,
@@ -741,7 +876,8 @@ def blend_tiles_pallas(table, starts, counts, *, tiles_x: int, tiles_y: int,
                        tile_row_offset=None, pixel_coords=None,
                        skip_period: int = 0, compute_dtype: str = "f32",
                        n_eyes: int = 1, scan_mode: str = "split16",
-                       sub_g: int = LANES, chunk_prefetch: bool = True):
+                       sub_g: int = LANES, chunk_prefetch: bool = True,
+                       exponent_mode: str = "vpu"):
     """Production blend.  Returns (tile_color (T, P, 4), tile_depth (T, P)).
 
     ``table``: record-word table from :func:`build_words_table` — plane-major
@@ -776,13 +912,25 @@ def blend_tiles_pallas(table, starts, counts, *, tiles_x: int, tiles_y: int,
         tile_row_offset = jnp.zeros((), jnp.int32)
 
     warped = pixel_coords is not None
+    mxu_exp = exponent_mode == "mxu"
     extra_args = []
     extra_specs = []
+    prefetch_extra = []
     if warped:
         cx_tab, cy_tab = pixel_coords
-        cx_tab = jnp.pad(cx_tab.astype(jnp.float32),
+        cx_tab = cx_tab.astype(jnp.float32)
+        cy_tab = cy_tab.astype(jnp.float32)
+        if mxu_exp:
+            # tile-center the tables (small magnitudes keep the bf16 row
+            # split accurate); integer origins ride scalar prefetch
+            xo = jnp.round(cx_tab[:, 0]).astype(jnp.int32)   # (TX,)
+            yo = jnp.round(cy_tab[:, 0]).astype(jnp.int32)   # (TY,)
+            cx_tab = cx_tab - xo[:, None].astype(jnp.float32)
+            cy_tab = cy_tab - yo[:, None].astype(jnp.float32)
+            prefetch_extra = [jnp.pad(xo, (0, txp - xo.shape[0])), yo]
+        cx_tab = jnp.pad(cx_tab,
                          ((0, txp - cx_tab.shape[0]), (0, 0)))[:, None, :]
-        cy_tab = cy_tab.astype(jnp.float32)[:, None, :]
+        cy_tab = cy_tab[:, None, :]
         extra_args = [cx_tab, cy_tab]  # (TXP, 1, P), (TY, 1, P)
         extra_specs = [
             pl.BlockSpec((txp, 1, pix), lambda ty, *_: (0, 0, 0),
@@ -798,13 +946,14 @@ def blend_tiles_pallas(table, starts, counts, *, tiles_x: int, tiles_y: int,
                                warped=warped, skip_period=skip_period,
                                compute_dtype=compute_dtype, n_eyes=n_eyes,
                                scan_mode=scan_mode, sub_g=sub_g,
-                               chunk_prefetch=chunk_prefetch)
+                               chunk_prefetch=chunk_prefetch,
+                               exponent_mode=exponent_mode)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((tiles_y, chans, txp, pix),
                                        jnp.float32),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=3 + len(prefetch_extra),
             grid=(tiles_y,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)] + extra_specs,
             out_specs=pl.BlockSpec((1, chans, txp, pix),
@@ -813,7 +962,8 @@ def blend_tiles_pallas(table, starts, counts, *, tiles_x: int, tiles_y: int,
         ),
         interpret=interpret,
     )(starts.astype(jnp.int32), counts.astype(jnp.int32),
-      tile_row_offset.reshape(1).astype(jnp.int32), table, *extra_args)
+      tile_row_offset.reshape(1).astype(jnp.int32), *prefetch_extra,
+      table, *extra_args)
 
     # (TY, chans, TXP, P) -> (T, P, chans)
     out = out[:, :, :tiles_x, :]                      # (TY, chans, TX, P)

@@ -217,6 +217,107 @@ def test_depth_first_frame_pallas_interpret_matches_xla():
                                np.asarray(out_x.depth), atol=2e-2)
 
 
+def _synth_blend_inputs(rng, tiles_x, tiles_y, cap, n_live):
+    """Quantized record words + matching XLA-oracle attribute table."""
+    from gsm_renderer_tpu.kernels import blend as K
+    n_t = tiles_x * tiles_y
+    mx = rng.uniform(0, tiles_x * 16, n_live).astype(np.float32)
+    my = rng.uniform(0, tiles_y * 16, n_live).astype(np.float32)
+    s1 = rng.uniform(0.6, 12.0, n_live).astype(np.float32)
+    s2 = rng.uniform(0.6, 12.0, n_live).astype(np.float32)
+    th = rng.uniform(0, np.pi, n_live).astype(np.float32)
+    op = rng.integers(1, 256, n_live).astype(np.float32) / 255.0
+    col = rng.integers(0, 256, (n_live, 3)).astype(np.float32) / 255.0
+    dep = rng.uniform(0.1, 50.0, n_live).astype(np.float32)
+
+    def f16b(x):
+        return np.asarray(x, np.float16).view(np.uint16).astype(np.uint32)
+
+    thq = np.round(th / np.pi * 65535.0).astype(np.uint32)
+    w0 = f16b(mx) | (f16b(my) << 16)
+    w1 = thq | (f16b(s1) << 16)
+    w2 = f16b(s2) | (f16b(dep) << 16)
+    w3 = (np.round(col[:, 0] * 255).astype(np.uint32)
+          | (np.round(col[:, 1] * 255).astype(np.uint32) << 8)
+          | (np.round(col[:, 2] * 255).astype(np.uint32) << 16)
+          | (np.round(op * 255).astype(np.uint32) << 24))
+
+    per = n_live // n_t
+    starts = (np.arange(n_t) * per).astype(np.int32)
+    counts = np.full(n_t, per, np.int32)
+    counts[min(3, n_t - 1)] = 0          # empty-tile path
+    counts[min(5, n_t - 1)] = per - 7    # dead tail slots within the span
+    words = [np.zeros(cap, np.uint32) for _ in range(4)]
+    for k, w in enumerate((w0, w1, w2, w3)):
+        words[k][:n_live] = w
+    t5 = min(5, n_t - 1)
+    for k in range(4):
+        words[k][starts[t5] + counts[t5]:starts[t5] + per] = 0
+    table = K.build_words_table([jnp.asarray(w) for w in words], cap)
+
+    # oracle attrs from the DECODED (quantized) values, like the kernel
+    def deco(bits):
+        return np.frombuffer(np.asarray(bits, np.uint16).tobytes(),
+                             np.float16).astype(np.float32)
+    mx_d, my_d = deco(w0 & 0xFFFF), deco(w0 >> 16)
+    s1_d = np.maximum(deco(w1 >> 16), 1e-4)
+    s2_d = np.maximum(deco(w2 & 0xFFFF), 1e-4)
+    dep_d = deco(w2 >> 16)
+    th_d = (w1 & 0xFFFF).astype(np.float32) * (np.pi / 65535.0)
+    c, s = np.cos(th_d), np.sin(th_d)
+    a1, b1 = c / s1_d, s / s1_d
+    a2, b2 = -s / s2_d, c / s2_d
+
+    def padc(x):
+        o = np.zeros(cap, np.float32)
+        o[:n_live] = x
+        return o
+    attrs = dict(a1=padc(a1), b1=padc(b1), c1=padc(-(a1 * mx_d + b1 * my_d)),
+                 a2=padc(a2), b2=padc(b2), c2=padc(-(a2 * mx_d + b2 * my_d)),
+                 r=padc((w3 & 0xFF) / 255.0), g=padc(((w3 >> 8) & 0xFF) / 255.0),
+                 b=padc(((w3 >> 16) & 0xFF) / 255.0), depth=padc(dep_d),
+                 op=padc(((w3 >> 24) & 0xFF) / 255.0))
+    for k in attrs:
+        attrs[k][starts[t5] + counts[t5]:starts[t5] + per] = 0.0
+    attr_table = K.build_blend_table(
+        {k: jnp.asarray(v) for k, v in attrs.items()}, cap)
+    return table, attr_table, jnp.asarray(starts), jnp.asarray(counts), per
+
+
+@pytest.mark.parametrize("emode,r2,warp", [
+    ("mxu", 0.0, False), ("mxu", 9.0, False), ("mxu", 0.0, True),
+    ("vpu", 0.0, True),
+])
+def test_blend_exponent_modes_interpret_match_oracle(rng, emode, r2, warp):
+    """exponent_mode='mxu' (one-matmul exponent, bf16 hi/lo split) must match
+    the XLA oracle within the split's ~2^-18 precision — incl. the r2-cutoff
+    compare rewrite and the tile-centered warped row tables."""
+    from gsm_renderer_tpu.kernels import blend as K
+    tiles_x, tiles_y = 6, 4
+    table, attr_table, starts, counts, per = _synth_blend_inputs(
+        rng, tiles_x, tiles_y, cap=1024, n_live=900)
+    pc = None
+    if warp:
+        px = np.arange(16, dtype=np.float32)
+        cx = np.stack([tx * 16 + px * (1.0 + 0.4 * tx / tiles_x)
+                       for tx in range(tiles_x)])
+        cy = np.stack([ty * 16 + px * (1.0 + 0.3 * ty / tiles_y)
+                       for ty in range(tiles_y)])
+        pc = (jnp.asarray(np.tile(cx, (1, 16))),       # x varies fastest
+              jnp.asarray(np.repeat(cy, 16, axis=1)))
+    oc, od = K.blend_tiles_xla(attr_table, starts, counts, tiles_x=tiles_x,
+                               tiles_y=tiles_y, max_per_tile=per,
+                               r2_cutoff=r2, pixel_coords=pc)
+    tc, td = K.blend_tiles_pallas(table, starts, counts, tiles_x=tiles_x,
+                                  tiles_y=tiles_y, interpret=True,
+                                  r2_cutoff=r2, pixel_coords=pc,
+                                  exponent_mode=emode)
+    # r2 boundary flips move alpha by up to op*exp(-r2/2); wider tolerance
+    catol, datol = (8e-3, 0.4) if r2 > 0 else (2e-3, 5e-2)
+    np.testing.assert_allclose(np.asarray(tc), np.asarray(oc), atol=catol)
+    np.testing.assert_allclose(np.asarray(td), np.asarray(od), atol=datol)
+
+
 def test_stereo_frame_pallas_interpret_matches_xla():
     """Stereo frame (8 carried words + r^2 cutoff blend) interpret parity."""
     w, h = 64, 64
