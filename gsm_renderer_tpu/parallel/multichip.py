@@ -82,14 +82,30 @@ def build_sharded_depth_first(
     input_is_srgb: bool = False,
     use_xla_blend: bool | None = None,
     axis: str = "dp",
+    band_starts: tuple | None = None,
 ):
     """Returns a jitted ``fn(gi_sharded, view, proj, center) -> (color, depth)``
-    running the full DepthFirst render step over every device in ``mesh``."""
+    running the full DepthFirst render step over every device in ``mesh``.
+
+    ``band_starts``: optional STATIC tile-row boundaries (len n_dev + 1,
+    monotone, [0] == 0, [-1] >= tiles_y) — content-adaptive load balancing
+    (:func:`balance_band_starts` from a measured per-row instance histogram).
+    SPMD keeps one uniform program: every device renders a ``bands``-row
+    (max band height) raster; rows past its own band stay empty (the blend's
+    empty-tile skip makes them ~free) and the final image is stitched from
+    STATIC per-device row segments.  None = equal split (row-uniform)."""
     n_dev = mesh.shape[axis]
     tiles_x, tiles_y = cfg.tiles_for(width, height, tile_w, tile_h)
-    # pad tile rows to a band multiple
-    bands = -(-tiles_y // n_dev)
-    tiles_y_pad = bands * n_dev
+    if band_starts is not None:
+        bs = tuple(int(b) for b in band_starts)
+        assert len(bs) == n_dev + 1 and bs[0] == 0 and bs[-1] >= tiles_y \
+            and all(b1 > b0 for b0, b1 in zip(bs, bs[1:])), bs
+        bands = max(b1 - b0 for b0, b1 in zip(bs, bs[1:]))
+    else:
+        # equal split: pad tile rows to a band multiple
+        bands = -(-tiles_y // n_dev)
+        bs = tuple(d * bands for d in range(n_dev + 1))
+    tiles_y_pad = bs[-1]
     if capacity_per_device <= 0:
         # exact pre-count masks travel with the all-gather and are band-shifted
         # per device, so the per-band capacity follows the mono 4x model
@@ -139,8 +155,10 @@ def build_sharded_depth_first(
 
         # --- SP: clamp every rect to this device's tile-row band --------------
         band = jax.lax.axis_index(axis)
-        band0 = (band * bands).astype(jnp.int32)
-        band1 = band0 + bands  # exclusive
+        # static boundary tables (built in-trace from Python ints: module
+        # jnp constants trip jax 0.9.0's const-arg dispatch — CLAUDE.md)
+        band0 = jnp.asarray(bs[:-1], jnp.int32)[band]
+        band1 = jnp.asarray(bs[1:], jnp.int32)[band]  # exclusive
 
         min_ty_g = (rect_rows_g & jnp.uint32(0x3FF)).astype(jnp.int32)
         max_ty_g = ((rect_rows_g >> 10) & jnp.uint32(0x3FF)).astype(jnp.int32)
@@ -234,9 +252,92 @@ def build_sharded_depth_first(
     @jax.jit
     def render(gi_sharded, view, proj, center):
         color, depth, overflow = mapped(gi_sharded, view, proj, center)
-        return color[:height], depth[:height], overflow
+        if band_starts is None:
+            return color[:height], depth[:height], overflow
+        # stitch the STATIC per-device row segments (each device rendered a
+        # max-height raster; only its own band's rows are real)
+        segs_c, segs_d = [], []
+        for d in range(n_dev):
+            r0 = d * bands * tile_h
+            h_d = (bs[d + 1] - bs[d]) * tile_h
+            segs_c.append(color[r0:r0 + h_d])
+            segs_d.append(depth[r0:r0 + h_d])
+        return (jnp.concatenate(segs_c)[:height],
+                jnp.concatenate(segs_d)[:height], overflow)
 
     return render
+
+
+def row_instance_histogram(gi: GaussianInput, view, proj, center, *,
+                           width: int, height: int, tile_w: int = 16,
+                           tile_h: int = 16, sh_degree: int = 3,
+                           near_plane: float = 0.1, far_plane: float = 100.0,
+                           alpha_threshold: float = cfg.DEFAULT_ALPHA_THRESHOLD,
+                           total_ink_threshold: float =
+                           cfg.DEFAULT_TOTAL_INK_THRESHOLD,
+                           input_is_srgb: bool = False):
+    """Per-tile-row instance counts (exact pre-count masks where eligible,
+    full rects otherwise) — the planning input for
+    :func:`balance_band_starts`.  Single-device; run once per scene/viewpoint
+    class, not per frame."""
+    from ..kernels import expand as E
+    from ..pipelines.common import pack_record_words
+    tiles_x, tiles_y = cfg.tiles_for(width, height, tile_w, tile_h)
+    pr = project_and_cull(
+        gi, view, proj, center, width=width, height=height, tile_w=tile_w,
+        tile_h=tile_h, sh_degree=sh_degree, near_plane=near_plane,
+        far_plane=far_plane, alpha_threshold=alpha_threshold,
+        total_ink_threshold=total_ink_threshold, input_is_srgb=input_is_srgb)
+    words = pack_record_words(pr.record)
+    rect_w = pr.max_tx - pr.min_tx + 1
+    rect_h = pr.max_ty - pr.min_ty + 1
+    mask, _cnt = E.exact_tile_masks(
+        words[:, 0], words[:, 1], words[:, 2], words[:, 3],
+        pr.min_tx, pr.min_ty, rect_w, rect_h, tile_w, tile_h, alpha_threshold)
+    eligible = pr.visible & (rect_w <= E.MASK_W) & (rect_h <= E.MASK_H)
+    hist = jnp.zeros(tiles_y, jnp.int32)
+    for dy in range(E.MASK_H):
+        row_bits = (mask >> (8 * dy)) & jnp.uint32(0xFF)
+        row_cnt = jnp.where(
+            eligible, E._popcount(row_bits),
+            jnp.where(pr.visible & (dy < rect_h), rect_w, 0))
+        hist = hist + jax.ops.segment_sum(
+            row_cnt, jnp.clip(pr.min_ty + dy, 0, tiles_y - 1),
+            num_segments=tiles_y)
+    # ineligible tall rects: rows past MASK_H still count
+    import numpy as np
+    extra_rows = int(jnp.max(jnp.where(pr.visible, rect_h, 0)))
+    for dy in range(E.MASK_H, max(extra_rows, E.MASK_H)):
+        row_cnt = jnp.where(pr.visible & ~eligible & (dy < rect_h), rect_w, 0)
+        hist = hist + jax.ops.segment_sum(
+            row_cnt, jnp.clip(pr.min_ty + dy, 0, tiles_y - 1),
+            num_segments=tiles_y)
+    return np.asarray(hist)
+
+
+def balance_band_starts(row_hist, n_dev: int):
+    """Split tile rows into ``n_dev`` contiguous bands with ~equal instance
+    loads: boundary d lands where the cumulative histogram crosses
+    total * d / n_dev.  Returns a monotone tuple of length n_dev + 1 for
+    :func:`build_sharded_depth_first`'s ``band_starts``."""
+    import numpy as np
+    hist = np.asarray(row_hist, np.float64)
+    tiles_y = hist.shape[0]
+    cum = np.concatenate([[0.0], np.cumsum(hist)])
+    total = max(cum[-1], 1.0)
+    starts = [0]
+    for d in range(1, n_dev):
+        target = total * d / n_dev
+        b = int(np.searchsorted(cum, target, side="left"))
+        # the crossing may overshoot by a whole hot row; take the closer side
+        if b > 1 and abs(cum[b - 1] - target) < abs(cum[min(b, tiles_y)]
+                                                    - target):
+            b -= 1
+        # monotone, leave at least one row per remaining band
+        b = min(max(b, starts[-1] + 1), tiles_y - (n_dev - d))
+        starts.append(b)
+    starts.append(tiles_y)
+    return tuple(starts)
 
 
 
