@@ -113,6 +113,14 @@ class RendererConfig:
     # at trace time when 0 — see pipelines).
     max_instances: int = 0
 
+    # Periphery LOD for foveated rendering (BEYOND reference parity; the
+    # rate map only changes where the reference shades, not what it draws).
+    # 0.0 = off (exact foveated output).  > 0: toward the periphery,
+    # instances whose opacity-weighted display footprint falls below the
+    # rate-scaled threshold are skipped — the fovea is always exact.  Units:
+    # opacity * display px^2 (see kernels/expand.py stereo_warped_tile_masks).
+    foveated_lod: float = 0.0
+
     def __post_init__(self):
         if not (0 <= self.sh_degree <= 3):
             raise ValueError(f"sh_degree must be in [0, 3], got {self.sh_degree}")

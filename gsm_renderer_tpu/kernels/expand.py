@@ -250,7 +250,9 @@ def warped_bounds_gather_pallas(bounds, min_tx, min_ty, *,
     return fx, fy
 
 
-def stereo_warped_tile_masks(wl, wr, rect_w, rect_h, fx, fy):
+def stereo_warped_tile_masks(wl, wr, rect_w, rect_h, fx, fy, *, w3=None,
+                             lod_min: float = 0.0, tile_w: int = 16,
+                             tile_h: int = 16):
     """Dual-eye exact pre-count mask for the FOVEATED path: position
     (dx, dy) of the 8x4 window is tested against the physical tile's
     display-space pixel rect [fx[dx], fx[dx+1]] x [fy[dy], fy[dy+1]] — the
@@ -261,11 +263,29 @@ def stereo_warped_tile_masks(wl, wr, rect_w, rect_h, fx, fy):
     between the two compilations stay output-identical: the blend zeroes
     alpha past r^2 = 9 per pixel (DepthFirstShaders.metal:1915-1935).
 
+    ``lod_min`` > 0 enables PERIPHERY LOD (beyond reference parity — the
+    rate map only changes where the reference *shades*, not what it draws):
+    at local rate product ar = (tile_w / display_tile_w) * (tile_h /
+    display_tile_h), an instance is dropped where its opacity-weighted
+    display footprint op * sigma1 * sigma2 * ar < lod_min * (1 - ar).  In
+    the fovea ar = 1 so the threshold vanishes (exact output); toward the
+    periphery sub-sample splats whose energy the reduced sampling rate
+    cannot resolve are skipped.  Requires ``w3`` (the eye-shared
+    color/opacity word).
+
     ``fx``: list of MASK_W + 1 (N,) display-x boundary coords of the
     window's tiles (:func:`warped_bounds_gather_pallas` at min_tx); ``fy``
     likewise.  Returns (mask (N,) uint32, count (N,) int32)."""
     con_l = _conic_from_words(*wl)
     con_r = _conic_from_words(*wr)
+    if lod_min > 0.0:
+        s1l = jnp.maximum(_f16_bits_to_f32(wl[1] >> 16), 1e-4)
+        s2l = jnp.maximum(_f16_bits_to_f32(wl[2]), 1e-4)
+        s1r = jnp.maximum(_f16_bits_to_f32(wr[1] >> 16), 1e-4)
+        s2r = jnp.maximum(_f16_bits_to_f32(wr[2]), 1e-4)
+        op = ((w3 >> 24) & jnp.uint32(0xFF)).astype(jnp.int32).astype(
+            jnp.float32) * (1.0 / 255.0)
+        ink = op * jnp.maximum(s1l * s2l, s1r * s2r)
 
     mask = jnp.zeros(rect_w.shape, jnp.uint32)
     for p in range(MASK_W * MASK_H):
@@ -280,6 +300,11 @@ def stereo_warped_tile_masks(wl, wr, rect_w, rect_h, fx, fy):
                           y0 - con_r["my"], y1 - con_r["my"])
         passes = ((dx < rect_w) & (dy < rect_h)
                   & (jnp.minimum(d2l, d2r) <= STEREO_R2_CUTOFF))
+        if lod_min > 0.0:
+            ar = ((float(tile_w) / jnp.maximum(x1 - x0, 1e-6))
+                  * (float(tile_h) / jnp.maximum(y1 - y0, 1e-6)))
+            passes = passes & (ink * ar >= lod_min
+                               * (1.0 - jnp.minimum(ar, 1.0)))
         mask = mask | (passes.astype(jnp.uint32) << p)
     return mask, _popcount(mask)
 
@@ -597,7 +622,8 @@ def _pad_rows(x, n):
 
 
 def _prep_kernel(rw_ref, rh_ref, dk_ref, *rest, n: int, tile_w: int,
-                 tile_h: int, alpha_threshold: float, mode: str = "mono"):
+                 tile_h: int, alpha_threshold: float, mode: str = "mono",
+                 lod_min: float = 0.0):
     """One grid step preps BLK_SUB rows (4096 gaussians) of the combined
     expand table: exact 8x4 tile masks + pre-counts + the global exclusive
     instance-offset scan (carried across the sequential grid in SMEM) — the
@@ -650,7 +676,8 @@ def _prep_kernel(rw_ref, rh_ref, dk_ref, *rest, n: int, tile_w: int,
         fx = [bg(bxi, min_tx, d) for d in range(MASK_W + 1)]
         fy = [bg(byi, min_ty, d) for d in range(MASK_H + 1)]
         mask, cnt = stereo_warped_tile_masks(w[0:3], w[4:7], rect_w, rect_h,
-                                             fx, fy)
+                                             fx, fy, w3=w[3], lod_min=lod_min,
+                                             tile_w=tile_w, tile_h=tile_h)
     elif mode == "stereo":
         mask, cnt = stereo_tile_masks(w[0:3], w[4:7], min_tx, min_ty,
                                       rect_w, rect_h, tile_w, tile_h)
@@ -713,12 +740,12 @@ def _prep_kernel(rw_ref, rh_ref, dk_ref, *rest, n: int, tile_w: int,
 
 @functools.partial(jax.jit, static_argnames=("tile_w", "tile_h",
                                              "alpha_threshold", "interpret",
-                                             "mode"))
+                                             "mode", "lod_min"))
 def binning_prep_pallas(rect_word, rect_h, depth_word, word_list, *,
                         tile_w: int = 16, tile_h: int = 16,
                         alpha_threshold: float = 0.005,
                         interpret: bool = False, mode: str = "mono",
-                        warped_bounds=None):
+                        warped_bounds=None, lod_min: float = 0.0):
     """Fused binning prep: builds the complete combined plane-major expand
     table [offsets, rect, mask, depth, w0..w{K-1}] (3 + 1 + K, rows, 128) in
     one Pallas pass (see :func:`_prep_kernel`).  ``mode`` "mono" (K = 4),
@@ -752,7 +779,8 @@ def binning_prep_pallas(rect_word, rect_h, depth_word, word_list, *,
         in_specs.append(pl.BlockSpec((2, LANES), lambda i: (0, 0)))
     kernel = functools.partial(_prep_kernel, n=n, tile_w=tile_w,
                                tile_h=tile_h,
-                               alpha_threshold=alpha_threshold, mode=mode)
+                               alpha_threshold=alpha_threshold, mode=mode,
+                               lod_min=lod_min)
     tab = pl.pallas_call(
         kernel,
         grid=(grid,),

@@ -191,7 +191,7 @@ def fused_binning_words(visible, min_tx, min_ty, max_tx, rect_count,
                         alpha_threshold: float = 0.005,
                         tile_row_offset=None, warped_bounds=None,
                         precount: bool = True, mask_override=None,
-                        use_prep: bool | None = None):
+                        use_prep: bool | None = None, lod_min: float = 0.0):
     """Core fused binning over arbitrary carried word lists (mono carries the
     4-word record; stereo carries 8 words = both eyes' records).
 
@@ -230,7 +230,8 @@ def fused_binning_words(visible, min_tx, min_ty, max_tx, rect_count,
             rect_word0, rect_h, depth_sort_word.astype(jnp.uint32),
             [w.astype(jnp.uint32) for w in word_list],
             tile_w=tile_w, tile_h=tile_h, alpha_threshold=alpha_threshold,
-            interpret=interpret, mode=mode, warped_bounds=warped_bounds)
+            interpret=interpret, mode=mode, warped_bounds=warped_bounds,
+            lod_min=lod_min)
         outs = E.expand_slots_pallas(
             None, None, None, capacity=capacity, tiles_x=tiles_x,
             fused_depth16=fused_depth16, exact_test=exact_test,

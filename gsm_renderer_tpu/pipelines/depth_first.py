@@ -360,6 +360,7 @@ def depth_first_stereo_foveated_frame(
     tile_w: int = 16, tile_h: int = 16,
     use_xla_blend: bool = False,
     interpret: bool = False,
+    foveated_lod: float = 0.0,
 ):
     """TRUE foveated stereo: rasterize DIRECTLY into the reduced-rate physical
     target (the reference attaches an ``MTLRasterizationRateMap`` so the copy
@@ -453,7 +454,9 @@ def depth_first_stereo_foveated_frame(
         fx = [fxa[:, d] for d in range(E.MASK_W + 1)]
         fy = [fya[:, d] for d in range(E.MASK_H + 1)]
         wmask, wcnt = E.stereo_warped_tile_masks(
-            word_list[0:3], word_list[4:7], rect_w, rect_h, fx, fy)
+            word_list[0:3], word_list[4:7], rect_w, rect_h, fx, fy,
+            w3=word_list[3], lod_min=foveated_lod,
+            tile_w=tile_w, tile_h=tile_h)
         eligible = visible & (rect_w <= E.MASK_W) & (rect_h <= E.MASK_H)
         mask_override = (wmask, wcnt, eligible)
     # dual-eye r^2 <= 9 test against the WARPED physical tile rects (the
@@ -465,7 +468,8 @@ def depth_first_stereo_foveated_frame(
         pr.depth_key, word_list, capacity=capacity, tiles_x=tiles_x,
         fused_depth16=False, use_pallas=not use_xla_blend, interpret=interpret,
         exact_test="stereo", tile_w=tile_w, tile_h=tile_h,
-        warped_bounds=warp_bounds, mask_override=mask_override)
+        warped_bounds=warp_bounds, mask_override=mask_override,
+        lod_min=foveated_lod)
     starts, counts = B.extract_tile_ranges(sorted_tile, num_tiles)
 
     if use_xla_blend:
@@ -533,6 +537,7 @@ def _stereo_foveated_render(self, gi, camera, target):
         near_plane=left.near_plane, far_plane=left.far_plane,
         input_is_srgb=(c.gaussian_color_space == cfg.GaussianColorSpace.SRGB),
         use_xla_blend=self.use_xla_blend,
+        foveated_lod=c.foveated_lod,
     )
     key = ("df_foveated", n, gi.sh_n_coeffs, str(gi.scales.dtype),
            tuple(sorted(statics.items())))

@@ -99,6 +99,64 @@ def test_true_foveated_renders_physical_target():
         assert d < max(1.3 * dc, 0.01), f"eye {e}: direct {d} vs compress {dc}"
 
 
+def test_foveated_periphery_lod():
+    """foveated_lod > 0 drops sub-sample periphery instances (fewer slots)
+    while keeping the fovea EXACT (rate 1.0 => the LOD threshold vanishes)
+    and the output finite and close to the exact render overall."""
+    import gsm_renderer_tpu as G
+
+    w, h = 128, 96
+    gi, stereo = _scene_and_stereo(w, h, n=300)
+    t = make_rate_maps(w, h, min_rate=0.35, radius=0.2)
+
+    r0 = G.DepthFirstRenderer(G.RendererConfig(sh_degree=1),
+                              use_xla_blend=True)
+    out0 = r0.render_stereo_foveated(gi, stereo, t)
+    r1 = G.DepthFirstRenderer(G.RendererConfig(sh_degree=1, foveated_lod=5.0),
+                              use_xla_blend=True)
+    out1 = r1.render_stereo_foveated(gi, stereo, t)
+
+    # LOD must actually prune instances
+    assert int(out1.header.slot_total) < int(out0.header.slot_total), (
+        int(out0.header.slot_total), int(out1.header.slot_total))
+    c0, c1 = np.asarray(out0.color), np.asarray(out1.color)
+    assert np.isfinite(c1).all()
+
+    # fovea exact: the gaze-center crop is bitwise identical (threshold is
+    # exactly 0 at rate 1.0)
+    cy = t.render_height // 2
+    # physical x of the display fovea center (cumulative rate up to w/2)
+    cx = int(np.floor(t.rate_x[: w // 2].sum()))
+    for e in range(2):
+        sl = (slice(cy - 4, cy + 4),
+              slice(e * t.render_width + cx - 4, e * t.render_width + cx + 4))
+        np.testing.assert_array_equal(c1[sl], c0[sl])
+
+    # periphery damage is bounded (LOD drops only low-ink splats)
+    assert np.abs(c1[..., :3] - c0[..., :3]).mean() < 0.02
+
+    # Pallas interpret path agrees with the XLA mask path under LOD
+    from gsm_renderer_tpu.pipelines.depth_first import \
+        depth_first_stereo_foveated_frame
+    from gsm_renderer_tpu.stereo import foveated_raster_tables
+    tabs = foveated_raster_tables(t)
+    views, projs, centers, st = stereo.astuple_jax()
+    kw = dict(display_width=w, display_height=h,
+              render_width=t.render_width, render_height=t.render_height,
+              capacity=8192, sh_degree=1, alpha_threshold=0.005,
+              total_ink_threshold=2.0, near_plane=stereo.left.near_plane,
+              far_plane=stereo.left.far_plane, input_is_srgb=False,
+              foveated_lod=5.0)
+    outs = [depth_first_stereo_foveated_frame(
+        gi, views, projs, centers, st, jnp.asarray(tabs["inv_fit"]),
+        jnp.asarray(tabs["coord_x"]), jnp.asarray(tabs["coord_y"]),
+        jnp.asarray(tabs["bounds"]), use_xla_blend=xla,
+        interpret=not xla, **kw) for xla in (True, False)]
+    assert int(outs[0].header.slot_total) == int(outs[1].header.slot_total)
+    np.testing.assert_allclose(np.asarray(outs[1].color),
+                               np.asarray(outs[0].color), atol=2e-3)
+
+
 def test_foveated_compress_path_still_available():
     """The legacy render-full-then-compress path is kept for comparison and
     must agree with the reference-structure output shape."""
