@@ -674,6 +674,40 @@ def _row_blend_kernel(starts_ref, counts_ref, oyoff_ref, *refs,
                                      gdepth], axis=1).astype(cdt)
 
                             om = cdt(1.0) - alpha
+                            if scan_mode == "reduce" and not first_hit:
+                                # Tree REDUCTION instead of a scan: the blend
+                                # only needs the block's COMPOSED state, not
+                                # per-instance transmittances.  Compositing
+                                # is associative — (om_a, d_a) then (om_b,
+                                # d_b) composes to (om_a*om_b, d_a +
+                                # om_a*d_b) — so 7 halving levels of 5 ops
+                                # each (~5 (G,P)-equivalents total) replace
+                                # the 12-op Hillis-Steele scan + w-multiply +
+                                # MXU contraction.  Adjacent pairing rides a
+                                # row-major (g, P) -> (g/2, 2P) reshape
+                                # (lane-merge of sublane pairs).
+                                states = [om] + [alpha * cols[:, k:k + 1]
+                                                 for k in range(4)]
+                                g_cur = sub_g
+                                while g_cur > 1:
+                                    half = g_cur // 2
+                                    m = [x.reshape(half, 2 * pix)
+                                         for x in states]
+                                    a0 = m[0][:, :pix]
+                                    states = ([a0 * m[0][:, pix:]]
+                                              + [m[k][:, :pix]
+                                                 + a0 * m[k][:, pix:]
+                                                 for k in range(1, 5)])
+                                    g_cur = half
+                                ttot = states[0].astype(jnp.float32)  # (1, P)
+                                contrib = jnp.transpose(
+                                    jnp.concatenate(states[1:], axis=0)
+                                    .astype(jnp.float32))             # (P, 4)
+                                contrib = contrib * jnp.transpose(transs3[e])
+                                out_a.append(accs3[e] + contrib)
+                                out_t.append(transs3[e] * ttot)
+                                out_f.append(fhs3[e])
+                                continue
                             if scan_mode == "mxu":
                                 texcl, ttot = _mxu_mult_scan_exclusive(
                                     om.astype(jnp.float32), ltri_b)

@@ -284,14 +284,18 @@ def _synth_blend_inputs(rng, tiles_x, tiles_y, cap, n_live):
     return table, attr_table, jnp.asarray(starts), jnp.asarray(counts), per
 
 
-@pytest.mark.parametrize("emode,r2,warp", [
-    ("mxu", 0.0, False), ("mxu", 9.0, False), ("mxu", 0.0, True),
-    ("vpu", 0.0, True),
+@pytest.mark.parametrize("emode,r2,warp,smode", [
+    ("mxu", 0.0, False, "split16"), ("mxu", 9.0, False, "split16"),
+    ("mxu", 0.0, True, "split16"), ("vpu", 0.0, True, "split16"),
+    ("mxu", 0.0, False, "reduce"), ("vpu", 0.0, False, "reduce"),
+    ("mxu", 0.0, True, "reduce"),
 ])
-def test_blend_exponent_modes_interpret_match_oracle(rng, emode, r2, warp):
-    """exponent_mode='mxu' (one-matmul exponent, bf16 hi/lo split) must match
-    the XLA oracle within the split's ~2^-18 precision — incl. the r2-cutoff
-    compare rewrite and the tile-centered warped row tables."""
+def test_blend_exponent_modes_interpret_match_oracle(rng, emode, r2, warp,
+                                                     smode):
+    """exponent_mode='mxu' (one-matmul exponent, bf16 hi/lo split) and
+    scan_mode='reduce' (tree reduction of the composed block state) must
+    match the XLA oracle within the split's ~2^-18 precision — incl. the
+    r2-cutoff compare rewrite and the tile-centered warped row tables."""
     from gsm_renderer_tpu.kernels import blend as K
     tiles_x, tiles_y = 6, 4
     table, attr_table, starts, counts, per = _synth_blend_inputs(
@@ -311,7 +315,7 @@ def test_blend_exponent_modes_interpret_match_oracle(rng, emode, r2, warp):
     tc, td = K.blend_tiles_pallas(table, starts, counts, tiles_x=tiles_x,
                                   tiles_y=tiles_y, interpret=True,
                                   r2_cutoff=r2, pixel_coords=pc,
-                                  exponent_mode=emode)
+                                  exponent_mode=emode, scan_mode=smode)
     # r2 boundary flips move alpha by up to op*exp(-r2/2); wider tolerance
     catol, datol = (8e-3, 0.4) if r2 > 0 else (2e-3, 5e-2)
     np.testing.assert_allclose(np.asarray(tc), np.asarray(oc), atol=catol)
