@@ -30,7 +30,7 @@ def main():
               near_plane=0.1, far_plane=50.0, alpha_threshold=0.005,
               total_ink_threshold=2.0, input_is_srgb=False)
 
-    def frame(emode, full=False):
+    def frame(emode, smode="split16", full=False):
         def f(gi, view, proj, center):
             pr = project_and_cull(gi, view, proj, center, **kw)
             words = pack_record_words(pr.record)
@@ -48,7 +48,8 @@ def main():
             table = K.build_words_table(sw, capacity)
             tc, td = K.blend_tiles_pallas(table, starts, counts_t,
                                           tiles_x=tiles_x, tiles_y=tiles_y,
-                                          exponent_mode=emode)
+                                          exponent_mode=emode,
+                                          scan_mode=smode)
             color, depth = K.assemble_image(tc, td, tiles_x=tiles_x,
                                             tiles_y=tiles_y, width=w, height=h)
             if full:
@@ -59,12 +60,13 @@ def main():
     args = (gi, view, proj, center)
 
     # on-chip parity first (bf16 truncation is real here)
-    cv, dv = jax.jit(frame("vpu", True))(*args)
-    cm, dm = jax.jit(frame("mxu", True))(*args)
-    print("on-chip parity: max|dcolor|=%.3e mean|dcolor|=%.3e max|ddepth|=%.3e"
-          % (float(jnp.max(jnp.abs(cv - cm))),
-             float(jnp.mean(jnp.abs(cv - cm))),
-             float(jnp.max(jnp.abs(dv - dm)))), flush=True)
+    cv, dv = jax.jit(frame("vpu", full=True))(*args)
+    for em, sm in (("mxu", "split16"), ("vpu", "reduce"), ("mxu", "reduce")):
+        cm, dm = jax.jit(frame(em, sm, full=True))(*args)
+        print("parity %s/%s: max|dc|=%.3e mean|dc|=%.3e max|dd|=%.3e"
+              % (em, sm, float(jnp.max(jnp.abs(cv - cm))),
+                 float(jnp.mean(jnp.abs(cv - cm))),
+                 float(jnp.max(jnp.abs(dv - dm)))), flush=True)
 
     def t(fn):
         f = jax.jit(fn)
@@ -81,8 +83,10 @@ def main():
         t3, t6 = chain(3), chain(6)
         return (t6 - t3) / 3 * 1000
 
-    variants = ("vpu", "mxu")
-    for emode in variants + variants:
-        print(f"exponent={emode}: {t(frame(emode)):.2f} ms/frame", flush=True)
+    variants = (("vpu", "split16"), ("mxu", "split16"),
+                ("vpu", "reduce"), ("mxu", "reduce"))
+    for em, sm in variants + variants:
+        print(f"exponent={em} scan={sm}: {t(frame(em, sm)):.2f} ms/frame",
+              flush=True)
 
 main()
