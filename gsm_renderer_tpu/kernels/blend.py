@@ -393,9 +393,15 @@ def _row_blend_kernel(starts_ref, counts_ref, oyoff_ref, *refs,
     if mxu_exp:
         n_k = 12 if not warped else 18
         if not warped:
+            # MID-TILE-centered integer coords: |x'| <= tile_w/2 keeps every
+            # row product <= 256, the largest bf16-exact integer (corner-
+            # anchored 32-wide tiles would produce x'^2 up to 961, which
+            # bf16 rounds by up to 2 — enough to corrupt the exponent)
+            xr = px_row - float(tile_w // 2)
+            yr = py_row - float(tile_h // 2)
             r6 = jnp.concatenate(
-                [px_row * px_row, px_row * py_row, py_row * py_row,
-                 px_row, py_row, jnp.ones_like(px_row)], axis=0)
+                [xr * xr, xr * yr, yr * yr, xr, yr, jnp.ones_like(xr)],
+                axis=0)
             rows_const = jnp.concatenate([r6, r6], axis=0)  # (12, P)
 
     # instance-id iota per composited sub-block (sub_g <= LANES instances at a
@@ -465,8 +471,12 @@ def _row_blend_kernel(starts_ref, counts_ref, oyoff_ref, *refs,
                 pxa = xtab_ref[tx]                    # (1, P) display-space x
                 pya = ytab_ref[0]
             else:
-                ox = (tx * tile_w).astype(jnp.float32)
-                oy = ((ty + oyoff_ref[0]) * tile_h).astype(jnp.float32)
+                # mxu mode's coefficient origin sits at the MID-TILE center
+                # the row matrix is built around (see rows_const)
+                ox = (tx * tile_w + (tile_w // 2 if mxu_exp else 0)
+                      ).astype(jnp.float32)
+                oy = ((ty + oyoff_ref[0]) * tile_h
+                      + (tile_h // 2 if mxu_exp else 0)).astype(jnp.float32)
                 pxa = px_row + ox                     # (1, P) absolute pixel x
                 pya = py_row + oy
 
@@ -529,8 +539,12 @@ def _row_blend_kernel(starts_ref, counts_ref, oyoff_ref, *refs,
                         logop = jnp.where(
                             jnp.logical_and(in_rng, op > 0),
                             jnp.log(jnp.maximum(op, 1e-12)), -30000.0)
+                        # NO clamp on p5: the -0.5*(u0^2+v0^2) constant term
+                        # balances the quadratic's cross terms — flooring it
+                        # flips dead-slot exponents positive.  All inputs are
+                        # finite (dxc <= screen extent, i1 <= 1e4 => u0^2 <=
+                        # ~5e17 f32-finite) and exp(very negative) is exact 0.
                         p5 = -0.5 * (u0 * u0 + v0 * v0) + logop
-                        p5 = jnp.maximum(p5, -30000.0)  # exp -> exact 0
                         # hi/lo split: both halves are bf16-exact f32 values;
                         # the default-precision matmul truncates to bf16 with
                         # f32 accumulation, so C @ R carries ~2^-18 relative

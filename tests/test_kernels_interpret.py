@@ -322,6 +322,28 @@ def test_blend_exponent_modes_interpret_match_oracle(rng, emode, r2, warp,
     np.testing.assert_allclose(np.asarray(td), np.asarray(od), atol=datol)
 
 
+def test_blend_mxu_exponent_32x16_tiles(rng):
+    """Global-renderer tile shape (32x16, P=512) through the MXU exponent:
+    regression for the bf16-exactness bug — corner-anchored rows produce
+    x'^2 up to 961, which bf16 rounds by up to 2 (mid-tile centering keeps
+    every row product <= 256, exact)."""
+    from gsm_renderer_tpu.kernels import blend as K
+    # the synth helper builds a (8*16)x(3*16) px field; reinterpret the same
+    # pixel space as 4x3 tiles of 32x16 (spans are arbitrary per-tile lists)
+    table, attr_table, starts, counts, per = _synth_blend_inputs(
+        rng, 8, 3, cap=1024, n_live=600)
+    oc, od = K.blend_tiles_xla(attr_table, starts[:12], counts[:12],
+                               tiles_x=4, tiles_y=3, max_per_tile=per,
+                               tile_w=32, tile_h=16)
+    for smode in ("split16", "reduce"):
+        tc, td = K.blend_tiles_pallas(table, starts[:12], counts[:12],
+                                      tiles_x=4, tiles_y=3, interpret=True,
+                                      tile_w=32, tile_h=16,
+                                      exponent_mode="mxu", scan_mode=smode)
+        np.testing.assert_allclose(np.asarray(tc), np.asarray(oc), atol=2e-3)
+        np.testing.assert_allclose(np.asarray(td), np.asarray(od), atol=5e-2)
+
+
 def test_stereo_frame_pallas_interpret_matches_xla():
     """Stereo frame (8 carried words + r^2 cutoff blend) interpret parity."""
     w, h = 64, 64
