@@ -13,11 +13,15 @@ Two implementations:
   instance span from the blend table in HBM and compositing 128 instances at a
   time:
 
-    - the Mahalanobis quadratic is evaluated on the MXU as two (128,3)x(3,P)
-      matmuls (q = u^2 + v^2 — a sum of squared linear forms, no cancellation),
-    - transmittance is a multiplicative Hillis-Steele scan over the instance
-      (sublane) axis,
-    - weighted color/depth accumulation is a (128,P)x(128,4) MXU contraction,
+    - the alpha exponent -q/2 + log(op) is either a broadcast FMA chain over
+      centered linear forms (``exponent_mode="vpu"``) or ONE bf16 MXU matmul
+      of per-instance quadratic coefficients (hi/lo split) against a per-tile
+      row matrix (x'^2, x'y', y'^2, x', y', 1) in mid-tile-centered integer
+      coordinates (``"mxu"``),
+    - transmittance + accumulation are either a multiplicative Hillis-Steele
+      scan over the instance (sublane) axis followed by a (128,P)x(128,4) MXU
+      color contraction (``scan_mode="split16"``), or an associative tree
+      REDUCTION of the composed (om, d) block state (``"reduce"``),
     - per-tile early exit once every pixel's transmittance < 1/255, mirroring
       the reference's saturation break (DepthFirstShaders.metal:1745-1747).
 
