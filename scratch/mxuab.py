@@ -20,7 +20,7 @@ def main():
 
     n = 1_000_000
     w, h = 1920, 1080
-    capacity = 3_000_320  # adaptive lock-in at this scene (margin 1.04)
+    capacity = 3_002_368  # adaptive lock-in at this scene (margin 1.04), 4096-aligned
     tiles_x, tiles_y = cfg.tiles_for(w, h, 16, 16)
     ds = generate_visible_gaussians(n, sh_degree=3, scale_range=(0.002, 0.012))
     cam = G.make_camera(w, h, far=50.0)
