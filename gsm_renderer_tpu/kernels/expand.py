@@ -401,7 +401,8 @@ def _stereo_tile_test(aux_vals, x0, x1, y0, y1):
 def _expand_kernel(r0_ref, total_ref, rowoff_ref, tab_hbm,
                    *out_args, tiles_x: int, n_aux: int, fused_depth16: bool,
                    exact_mode: str, warped: bool, tile_w: int, tile_h: int,
-                   alpha_threshold: float, has_mask: bool = False):
+                   alpha_threshold: float, has_mask: bool = False,
+                   key_plan=None):
     """One grid step expands BLK slots.
 
     The three per-gaussian tables (offsets / rect / aux words) are packed as
@@ -594,6 +595,25 @@ def _expand_kernel(r0_ref, total_ref, rowoff_ref, tab_hbm,
             # stereo 70.1 with the bypass).
             passes = jnp.logical_or(passes, is_masked)
         dead = jnp.logical_or(dead, jnp.logical_not(passes))
+
+    if key_plan is not None and not fused_depth16:
+        # Tie-free fused 64-bit key pair (ops/binning.KeyPlan): key1 =
+        # [tile | depth_hi], key2 = [depth_lo | gaussian_index].  aux 0 is
+        # the span-normalized depth word; the gaussian index (= offsets-table
+        # entry = window start row * 128 + window-local rank) is the
+        # reference's stable tie order, making the downstream sort safely
+        # UNSTABLE (measured ~7% of the headline frame; scratch/stabframe.py).
+        d_hi, d_lo, idx_bits = key_plan
+        dn = aux_vals[0]
+        g0 = (r0_ref[i] // LANES) * LANES
+        g = (g0 + lo).astype(jnp.uint32)
+        key = (tile << d_hi) | (dn >> d_lo)
+        key2 = ((dn & jnp.uint32((1 << d_lo) - 1)) << idx_bits) | g
+        out_refs[0][0] = jnp.where(dead, jnp.uint32(SENTINEL), key)
+        out_refs[1][0] = jnp.where(dead, jnp.uint32(SENTINEL), key2)
+        for a in range(1, n_aux):
+            out_refs[1 + a][0] = jnp.where(dead, jnp.uint32(0), aux_vals[a])
+        return
 
     if fused_depth16:
         # Global/Local: key = [tile:16 | depth16:16]; aux word 0 carries
@@ -797,7 +817,7 @@ def binning_prep_pallas(rect_word, rect_h, depth_word, word_list, *,
                                              "fused_depth16", "interpret",
                                              "exact_test", "tile_w", "tile_h",
                                              "alpha_threshold",
-                                             "n_gaussians"))
+                                             "n_gaussians", "key_plan"))
 def expand_slots_pallas(counts, rect_word, aux_words, *, capacity: int,
                         tiles_x: int, fused_depth16: bool = False,
                         interpret: bool = False, exact_test=False,
@@ -805,7 +825,7 @@ def expand_slots_pallas(counts, rect_word, aux_words, *, capacity: int,
                         alpha_threshold: float = 0.005,
                         tile_row_offset=None, warped_bounds=None,
                         tile_mask=None, prebuilt_tab=None,
-                        n_gaussians: int | None = None):
+                        n_gaussians: int | None = None, key_plan=None):
     """Expand per-gaussian tables into per-slot sort operands.
 
     counts:    (N,) int32 instance counts, every entry >= 1
@@ -824,7 +844,10 @@ def expand_slots_pallas(counts, rect_word, aux_words, *, capacity: int,
       counts == popcount(mask) (clamped to >= 1 with CULLED_BIT when 0)
 
     Returns (tile_key (C,) uint32, aux_0 ... aux_{K-1} (C,) uint32,
-    total () int32, overflow () int32).
+    total () int32, overflow () int32).  With ``key_plan`` (a
+    KeyPlan.kernel_tuple; aux 0 must be the plan-normalized depth word) the
+    first two outputs are instead the tie-free fused key pair
+    [tile|depth_hi], [depth_lo|gaussian_index] — see ops/binning.KeyPlan.
     """
     exact_mode = ("mono" if exact_test is True
                   else exact_test if isinstance(exact_test, str) else "none")
@@ -923,7 +946,7 @@ def expand_slots_pallas(counts, rect_word, aux_words, *, capacity: int,
                                exact_mode=exact_mode, warped=warped,
                                tile_w=tile_w,
                                tile_h=tile_h, alpha_threshold=alpha_threshold,
-                               has_mask=has_mask)
+                               has_mask=has_mask, key_plan=key_plan)
     outs = pl.pallas_call(
         kernel,
         out_shape=tuple(
@@ -941,7 +964,7 @@ def expand_slots_xla(counts, rect_word, aux_words, *, capacity: int,
                      exact_test=False, tile_w: int = 16,
                      tile_h: int = 16, alpha_threshold: float = 0.005,
                      tile_row_offset=None, warped_bounds=None,
-                     tile_mask=None):
+                     tile_mask=None, key_plan=None):
     """Pure-XLA mirror of :func:`expand_slots_pallas` (oracle + CPU fallback)."""
     from ..ops.binning import build_slot_map
 
@@ -1003,6 +1026,18 @@ def expand_slots_xla(counts, rect_word, aux_words, *, capacity: int,
             # and the boundary-table test must still prune
             passes = passes | is_masked
         dead = dead | ~passes
+    if key_plan is not None and not fused_depth16:
+        # tie-free fused key pair (see the Pallas kernel / ops/binning.KeyPlan)
+        d_hi, d_lo, idx_bits = key_plan
+        dn = aux[0]
+        g = rank.astype(jnp.uint32)
+        key = (tile << d_hi) | (dn >> d_lo)
+        key2 = ((dn & jnp.uint32((1 << d_lo) - 1)) << idx_bits) | g
+        outs = [jnp.where(dead, jnp.uint32(SENTINEL), key),
+                jnp.where(dead, jnp.uint32(SENTINEL), key2)]
+        for a in aux[1:]:
+            outs.append(jnp.where(dead, jnp.uint32(0), a))
+        return tuple(outs) + (sm.total, sm.overflow)
     if fused_depth16:
         key = (tile << 16) | (aux[0] & jnp.uint32(0xFFFF))
     else:

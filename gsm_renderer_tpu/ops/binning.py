@@ -48,6 +48,85 @@ Array = Any
 SENTINEL_KEY = 0xFFFFFFFF
 
 
+def _sortable_u32(x: float) -> int:
+    """Static-float version of mathlib.float_to_sortable_uint."""
+    import numpy as np
+
+    bits = int(np.float32(x).view(np.uint32))
+    return bits ^ (0xFFFFFFFF if bits & 0x80000000 else 0x80000000)
+
+
+@dataclasses.dataclass(frozen=True)
+class KeyPlan:
+    """Tie-free fused sort-key layout for the instance (tile, depth) sort.
+
+    The reference's stable tile radix sort orders equal (tile, depth) pairs by
+    gaussian input index (stable depth sort then stable tile sort,
+    DepthFirstShaders.metal:866-1256).  A stable ``lax.sort`` reproduces that
+    but XLA's stability machinery costs ~7% of the headline frame (measured:
+    25.1-26.5 vs 23.4-23.6 ms in-frame; scratch/stabframe.py).  Instead we
+    make ties IMPOSSIBLE and sort unstably with bit-identical order:
+
+      key1 = [tile : tile_bits | depth_hi : d_hi]
+      key2 = [depth_lo : d_lo  | gaussian_index : idx_bits]
+
+    with depth normalized to ``sortable(depth) - near_key`` (order-preserving;
+    live depths lie in [near, far] so the span needs only ~27 bits for
+    0.1..50, not 32).  Each gaussian emits at most one instance per tile, so
+    (tile, gaussian_index) is unique -> the key pair is unique -> an unstable
+    sort is deterministic AND reproduces the reference tie order exactly.
+    Fits whenever tile_bits + span_bits + idx_bits <= 64 (every shipped
+    config; ``make_key_plan`` returns None otherwise and callers fall back to
+    the stable sort).
+    """
+
+    d_hi: int       # depth bits carried in key1 (= 32 - tile_bits)
+    d_lo: int       # depth bits carried in key2's high field
+    idx_bits: int   # gaussian-index bits in key2's low field
+    near_key: int   # sortable-uint depth normalization offset
+    span: int       # max normalized depth value (clamp bound)
+
+    @property
+    def kernel_tuple(self):
+        return (self.d_hi, self.d_lo, self.idx_bits)
+
+    def normalize(self, depth_word):
+        """Order-preserving depth-word normalization (saturating at the
+        bounds; projection culls to [near, far] so live keys never clamp)."""
+        d = depth_word.astype(jnp.uint32)
+        nk = jnp.uint32(self.near_key)
+        return jnp.minimum(jnp.maximum(d, nk) - nk, jnp.uint32(self.span))
+
+
+def make_key_plan(num_tiles: int, n_gaussians: int, *,
+                  near_plane: float | None = None,
+                  far_plane: float | None = None,
+                  depth_span_bits: int | None = None) -> KeyPlan | None:
+    """Build a tie-free :class:`KeyPlan`, or None if the bit budget (64)
+    cannot hold tile + depth-span + gaussian-index bits.
+
+    Depth bounds are widened to [near/4, far*4]: the sortable-uint span is
+    log-like in the value, so the guard octaves cost well under one bit while
+    absorbing any boundary wobble of the cull predicates.
+    """
+    if depth_span_bits is not None:
+        near_key, span = 0, (1 << depth_span_bits) - 1
+    else:
+        near_key = _sortable_u32(max(near_plane, 1e-6) * 0.25)
+        far_key = _sortable_u32(far_plane * 4.0)
+        span = far_key - near_key
+        if span <= 0:
+            return None
+    tile_bits = max(int(num_tiles).bit_length(), 1)
+    idx_bits = max(int(n_gaussians - 1).bit_length(), 1)
+    d_hi = 32 - tile_bits
+    d_lo = max(int(span).bit_length() - d_hi, 0)
+    if d_hi <= 0 or d_lo + idx_bits > 32:
+        return None
+    return KeyPlan(d_hi=d_hi, d_lo=d_lo, idx_bits=idx_bits,
+                   near_key=near_key, span=span)
+
+
 def pack_rect_word(min_tx, min_ty, rect_w):
     """Pack (min_tx, min_ty, rect_w) into one uint32 (10 | 10 | 10 bits).
 

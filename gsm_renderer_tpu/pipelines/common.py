@@ -191,7 +191,8 @@ def fused_binning_words(visible, min_tx, min_ty, max_tx, rect_count,
                         alpha_threshold: float = 0.005,
                         tile_row_offset=None, warped_bounds=None,
                         precount: bool = True, mask_override=None,
-                        use_prep: bool | None = None, lod_min: float = 0.0):
+                        use_prep: bool | None = None, lod_min: float = 0.0,
+                        key_plan=None):
     """Core fused binning over arbitrary carried word lists (mono carries the
     4-word record; stereo carries 8 words = both eyes' records).
 
@@ -203,11 +204,21 @@ def fused_binning_words(visible, min_tx, min_ty, max_tx, rect_count,
     on; oversized rects fall back to full-rect counting with the in-kernel
     test.
 
+    ``key_plan``: optional ops/binning.KeyPlan — the expand kernel then emits
+    the tie-free fused key pair and the tile sort runs UNSTABLE with
+    bit-identical reference tie order (stable-sort machinery measured ~7% of
+    the headline frame; scratch/stabframe.py + BACKLOG receipts).
+
     Returns (sorted_tile (C,), sorted word tuple, total () i32, overflow).
     """
     import jax
     from ..kernels import expand as E
     from ..ops import binning as B
+
+    plan_tuple = None
+    if key_plan is not None and not fused_depth16:
+        depth_sort_word = key_plan.normalize(depth_sort_word)
+        plan_tuple = key_plan.kernel_tuple
 
     if use_prep is None:
         use_prep = (use_pallas and precount
@@ -237,7 +248,8 @@ def fused_binning_words(visible, min_tx, min_ty, max_tx, rect_count,
             fused_depth16=fused_depth16, exact_test=exact_test,
             tile_w=tile_w, tile_h=tile_h, alpha_threshold=alpha_threshold,
             prebuilt_tab=tab, n_gaussians=visible.shape[0],
-            warped_bounds=warped_bounds, interpret=interpret)
+            warped_bounds=warped_bounds, interpret=interpret,
+            key_plan=plan_tuple)
     else:
         counts, rect_word, tile_mask, aux = binning_inputs(
             visible, min_tx, min_ty, max_tx, rect_count, depth_sort_word,
@@ -257,7 +269,8 @@ def fused_binning_words(visible, min_tx, min_ty, max_tx, rect_count,
                       tile_w=tile_w, tile_h=tile_h,
                       alpha_threshold=alpha_threshold,
                       tile_row_offset=tile_row_offset,
-                      warped_bounds=warped_bounds, tile_mask=tile_mask, **kw)
+                      warped_bounds=warped_bounds, tile_mask=tile_mask,
+                      key_plan=plan_tuple, **kw)
     key, d_slot = outs[0], outs[1]
     slot_words = outs[2:-2]
     total, overflow = outs[-2], outs[-1]
@@ -267,6 +280,16 @@ def fused_binning_words(visible, min_tx, min_ty, max_tx, rect_count,
         sorted_key, sw = ops[0], ops[1:]
         sorted_tile = jnp.where(sorted_key == jnp.uint32(E.SENTINEL),
                                 jnp.uint32(E.SENTINEL), sorted_key >> 16)
+    elif plan_tuple is not None:
+        # tie-free fused keys: an UNSTABLE sort is deterministic and
+        # reproduces the reference's stable depth-then-tile tie order exactly
+        # (key2 low bits carry the gaussian input index — see KeyPlan)
+        ops = jax.lax.sort((key, d_slot, *slot_words), num_keys=2,
+                           is_stable=False)
+        sorted_key, sw = ops[0], ops[2:]
+        sorted_tile = jnp.where(sorted_key == jnp.uint32(E.SENTINEL),
+                                jnp.uint32(E.SENTINEL),
+                                sorted_key >> plan_tuple[0])
     else:
         ops = jax.lax.sort((key, d_slot, *slot_words), num_keys=2)
         sorted_key, sw = ops[0], ops[2:]
@@ -278,13 +301,14 @@ def fused_binning(pr, depth_sort_word, *, capacity: int, tiles_x: int,
                   fused_depth16: bool, use_pallas: bool,
                   interpret: bool = False, exact_test: bool = False,
                   tile_w: int = 16, tile_h: int = 16,
-                  alpha_threshold: float = 0.005):
+                  alpha_threshold: float = 0.005, key_plan=None):
     """Mono fused binning: one radix sort carrying the 4-word quantized record.
 
     ``fused_depth16``: True -> single fused key [tile:16 | depth_word:16]
-    (Global/Local); False -> two sort keys (tile, depth_word): stability then
-    orders ties by input index, matching the reference's stable
-    depth-then-tile sort output (DepthFirst).
+    (Global/Local); False -> two sort keys ordering ties by input index,
+    matching the reference's stable depth-then-tile sort output (DepthFirst):
+    via the tie-free ``key_plan`` keys + an unstable sort when given, else a
+    stable sort.
 
     Returns (sorted_tile (C,), sorted_words (C, 4), total_live, overflow, sw,
     slot_total).
@@ -296,7 +320,7 @@ def fused_binning(pr, depth_sort_word, *, capacity: int, tiles_x: int,
         depth_sort_word, word_list, capacity=capacity, tiles_x=tiles_x,
         fused_depth16=fused_depth16, use_pallas=use_pallas,
         interpret=interpret, exact_test=exact_test, tile_w=tile_w,
-        tile_h=tile_h, alpha_threshold=alpha_threshold)
+        tile_h=tile_h, alpha_threshold=alpha_threshold, key_plan=key_plan)
     sorted_words = jnp.stack(sw, axis=-1)  # (C, 4)
     total_live = jnp.sum(jnp.where(pr.visible, pr.rect_count, 0)).astype(jnp.int32)
     return sorted_tile, sorted_words, total_live, overflow, sw, slot_total

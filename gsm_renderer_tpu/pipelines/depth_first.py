@@ -95,13 +95,26 @@ def depth_first_frame(
     # preserves input order of ties and its stable tile sort preserves that.
     fuse_key = (tile_id_bits == 16 and depth_key_bits == 16)
 
+    # Tie-free fused keys -> unstable instance sort with exact reference tie
+    # order (ops/binning.KeyPlan; None falls back to the stable sort).
+    key_plan = None
+    if not fuse_key:
+        n_static = pr.depth_key.shape[0]
+        if depth_key_bits == 16:
+            key_plan = B.make_key_plan(num_tiles, n_static,
+                                       depth_span_bits=16)
+        else:
+            key_plan = B.make_key_plan(num_tiles, n_static,
+                                       near_plane=near_plane,
+                                       far_plane=far_plane)
+
     with jax.named_scope("fused_binning"):
         sorted_tile, sorted_words, total_live, overflow, sw, slot_total = fused_binning(
             pr, depth_key, capacity=capacity, tiles_x=tiles_x,
             fused_depth16=fuse_key,
             use_pallas=not use_xla_blend, interpret=interpret,
             exact_test=exact_tile_test, tile_w=tile_w, tile_h=tile_h,
-            alpha_threshold=alpha_threshold)
+            alpha_threshold=alpha_threshold, key_plan=key_plan)
 
     with jax.named_scope("tile_ranges"):
         starts, counts = B.extract_tile_ranges(sorted_tile, num_tiles)
@@ -267,11 +280,13 @@ def depth_first_stereo_frame(
     # union-rect instances whose ellipses miss the tile entirely (the blend
     # zeroes alpha past r^2 = 9; the reference skips those instances per
     # pixel instead — DepthFirstShaders.metal:1915-1935)
+    key_plan = B.make_key_plan(num_tiles, pr.depth_key.shape[0],
+                               near_plane=near_plane, far_plane=far_plane)
     sorted_tile, sw, slot_total, overflow = fused_binning_words(
         pr.visible, pr.min_tx, pr.min_ty, pr.max_tx, pr.rect_count,
         pr.depth_key, word_list, capacity=capacity, tiles_x=tiles_x,
         fused_depth16=False, use_pallas=not use_xla_blend, interpret=interpret,
-        exact_test="stereo", tile_w=tile_w, tile_h=tile_h)
+        exact_test="stereo", tile_w=tile_w, tile_h=tile_h, key_plan=key_plan)
     starts, counts = B.extract_tile_ranges(sorted_tile, num_tiles)
 
     if use_xla_blend:
@@ -463,13 +478,15 @@ def depth_first_stereo_foveated_frame(
     # boundary tables) — this kills the tile-granular inflation of the
     # conservative display->physical rect mapping, which otherwise makes the
     # foveated frame carry MORE instances than full-res stereo
+    key_plan = B.make_key_plan(num_tiles, pr.depth_key.shape[0],
+                               near_plane=near_plane, far_plane=far_plane)
     sorted_tile, sw, slot_total, overflow = fused_binning_words(
         visible, min_tx, min_ty, max_tx, rect_count,
         pr.depth_key, word_list, capacity=capacity, tiles_x=tiles_x,
         fused_depth16=False, use_pallas=not use_xla_blend, interpret=interpret,
         exact_test="stereo", tile_w=tile_w, tile_h=tile_h,
         warped_bounds=warp_bounds, mask_override=mask_override,
-        lod_min=foveated_lod)
+        lod_min=foveated_lod, key_plan=key_plan)
     starts, counts = B.extract_tile_ranges(sorted_tile, num_tiles)
 
     if use_xla_blend:

@@ -76,9 +76,12 @@ def hardware_frame(
     # front-to-back transmittance compositing, so both flags map to one program.
     del back_to_front
 
+    key_plan = B.make_key_plan(num_tiles, pr.depth_key.shape[0],
+                               near_plane=near_plane, far_plane=far_plane)
     sorted_tile, sorted_words, total_live, overflow, sw, slot_total = fused_binning(
         pr, pr.depth_key, capacity=capacity, tiles_x=tiles_x,
-        fused_depth16=False, use_pallas=not use_xla_blend, interpret=interpret)
+        fused_depth16=False, use_pallas=not use_xla_blend, interpret=interpret,
+        key_plan=key_plan)
 
     starts, counts = B.extract_tile_ranges(sorted_tile, num_tiles)
 

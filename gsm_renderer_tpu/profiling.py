@@ -67,6 +67,10 @@ def profile_depth_first_stages(gi, camera, width: int, height: int, *,
               far_plane=camera.far_plane, alpha_threshold=alpha_threshold,
               total_ink_threshold=total_ink_threshold, input_is_srgb=False)
 
+    key_plan = B.make_key_plan(tiles_x * tiles_y, n,
+                               near_plane=camera.near_plane,
+                               far_plane=camera.far_plane)
+
     def upto(stage):
         def f(gi, view, proj, center):
             pr = project_and_cull(gi, view, proj, center, **kw)
@@ -76,23 +80,31 @@ def profile_depth_first_stages(gi, camera, width: int, height: int, *,
                                            sorted_instance_attrs)
             words = pack_record_words(pr.record)
             word_list = [words[:, k] for k in range(4)]
+            depth_word = (key_plan.normalize(pr.depth_key)
+                          if key_plan is not None else pr.depth_key)
             counts, rect_word, tile_mask, aux = binning_inputs(
                 pr.visible, pr.min_tx, pr.min_ty, pr.max_tx, pr.rect_count,
-                pr.depth_key, word_list,
+                depth_word, word_list,
                 exact_test=True, alpha_threshold=alpha_threshold)
             if stage == 2:
                 return jnp.uint32(jnp.cumsum(counts)[-1])
             expand = E.expand_slots_pallas if use_pallas else E.expand_slots_xla
             key, d_slot, w0, w1, w2, w3, total, _ovf = expand(
                 counts, rect_word, aux, capacity=capacity, tiles_x=tiles_x,
-                fused_depth16=False, exact_test=True, tile_mask=tile_mask)
+                fused_depth16=False, exact_test=True, tile_mask=tile_mask,
+                key_plan=None if key_plan is None else key_plan.kernel_tuple)
             if stage == 3:
                 return key[0] + w0[-1]
-            ops = jax.lax.sort((key, d_slot, w0, w1, w2, w3), num_keys=2)
+            ops = jax.lax.sort((key, d_slot, w0, w1, w2, w3), num_keys=2,
+                               is_stable=key_plan is None)
             sorted_key, sw = ops[0], ops[2:]
             if stage == 4:
                 return sorted_key[-1] + sw[0][0]
             sorted_words = jnp.stack(sw, axis=-1)
+            if key_plan is not None:
+                sorted_key = jnp.where(
+                    sorted_key == jnp.uint32(0xFFFFFFFF),
+                    jnp.uint32(0xFFFFFFFF), sorted_key >> key_plan.d_hi)
             starts, counts_t = B.extract_tile_ranges(sorted_key,
                                                      tiles_x * tiles_y)
             if use_pallas:

@@ -21,7 +21,7 @@ from reference_impl import render_reference
 
 
 def _pipeline_tile_lists(ds, cam, w, h, capacity=8192, use_pallas=False,
-                         precount=True):
+                         precount=True, key_plan=False):
     tiles_x, tiles_y = -(-w // 16), -(-h // 16)
     gi = ds.to_input()
     view, proj, center = cam.astuple_jax()
@@ -34,6 +34,11 @@ def _pipeline_tile_lists(ds, cam, w, h, capacity=8192, use_pallas=False,
     idx_word = jnp.arange(gi.count, dtype=jnp.uint32)
     word_list = [words[:, k] for k in range(4)] + [idx_word]
     kw = dict(interpret=True) if use_pallas else {}
+    if key_plan:
+        plan = B.make_key_plan(tiles_x * tiles_y, gi.count,
+                               near_plane=0.1, far_plane=10.0)
+        assert plan is not None
+        kw["key_plan"] = plan
     sorted_tile, sw, _total, overflow = fused_binning_words(
         pr.visible, pr.min_tx, pr.min_ty, pr.max_tx, pr.rect_count,
         pr.depth_key, word_list, capacity=capacity, tiles_x=tiles_x,
@@ -50,13 +55,15 @@ def _pipeline_tile_lists(ds, cam, w, h, capacity=8192, use_pallas=False,
     return lists
 
 
-@pytest.mark.parametrize("use_pallas,precount", [
-    (False, True),   # XLA mirror path with exact pre-count masks
-    (False, False),  # XLA mirror, full-rect counting + post-test
-    (True, True),    # PRODUCTION Pallas expand (interpret), pre-count masks
-    (True, False),   # production Pallas expand, in-kernel exact test
+@pytest.mark.parametrize("use_pallas,precount,key_plan", [
+    (False, True, False),   # XLA mirror path with exact pre-count masks
+    (False, False, False),  # XLA mirror, full-rect counting + post-test
+    (True, True, False),    # PRODUCTION Pallas expand (interpret), pre-count masks
+    (True, False, False),   # production Pallas expand, in-kernel exact test
+    (True, True, True),     # production path + tie-free KeyPlan unstable sort
+    (False, True, True),    # XLA mirror + KeyPlan
 ])
-def test_depth_first_exact_per_tile_ordering(use_pallas, precount):
+def test_depth_first_exact_per_tile_ordering(use_pallas, precount, key_plan):
     w, h = 128, 96
     ds = generate_visible_gaussians(400, sh_degree=0, scale_range=(0.01, 0.08))
     cam = G.make_camera(w, h)
@@ -68,7 +75,7 @@ def test_depth_first_exact_per_tile_ordering(use_pallas, precount):
         for t, ranks in aux["tile_lists"].items()
     }
     got = _pipeline_tile_lists(ds, cam, w, h, use_pallas=use_pallas,
-                               precount=precount)
+                               precount=precount, key_plan=key_plan)
 
     assert set(got) == set(oracle), (
         f"tile membership differs: only-pipeline={set(got) - set(oracle)}, "
@@ -77,3 +84,31 @@ def test_depth_first_exact_per_tile_ordering(use_pallas, precount):
         assert got[t] == oracle[t], (
             f"tile {t}: pipeline order {got[t]} != oracle order {oracle[t]}")
     assert sum(len(v) for v in oracle.values()) > 400  # non-trivial scene
+
+
+@pytest.mark.parametrize("use_pallas", [False, True])
+def test_key_plan_tie_order_constant_depth(use_pallas):
+    """Adversarial tie scene: EVERY gaussian at the same view depth.  The
+    reference's stable sorts order equal (tile, depth) pairs by gaussian
+    input index; the tie-free KeyPlan keys must reproduce that exactly
+    through an UNSTABLE sort (the index rides in key2's low bits)."""
+    w, h = 128, 96
+    ds = generate_visible_gaussians(300, sh_degree=0, scale_range=(0.01, 0.08))
+    ds.positions[:, 2] = 2.0  # constant camera-space depth -> all keys tie
+    cam = G.make_camera(w, h)
+    _c, _d, aux = render_reference(
+        ds, cam.view_matrix, cam.projection_matrix, cam.position, w, h,
+        sh_degree=0)
+    oracle = {
+        t: [aux["records"][r]["index"] for r in ranks]
+        for t, ranks in aux["tile_lists"].items()
+    }
+    got = _pipeline_tile_lists(ds, cam, w, h, use_pallas=use_pallas,
+                               key_plan=True)
+    assert set(got) == set(oracle)
+    heavy = 0
+    for t in sorted(oracle):
+        heavy = max(heavy, len(oracle[t]))
+        assert got[t] == oracle[t], (
+            f"tile {t}: tie order {got[t]} != oracle {oracle[t]}")
+    assert heavy >= 3  # ties actually share tiles
