@@ -330,8 +330,16 @@ def _row_blend_kernel(starts_ref, counts_ref, oyoff_ref, *refs,
                       skip_period: int = 0, compute_dtype: str = "f32",
                       n_eyes: int = 1, scan_mode: str = "split16",
                       sub_g: int = LANES, chunk_prefetch: bool = True,
-                      exponent_mode: str = "vpu"):
+                      exponent_mode: str = "vpu", sub_cond: bool = False,
+                      probe: str = ""):
     """One grid step = one tile row.
+
+    ``probe``: DIAGNOSTIC knockouts for localizing the kernel's bound
+    (scratch/blendprobe.py); output is wrong under any non-empty value.
+    "floor"  = skip all compute, keep the DMA/chunk-walk skeleton;
+    "nocond" = drop the per-sub-block alive cond (masked execution);
+    "noexp"  = rational alpha surrogate instead of exp/log;
+    "noscan" = transmittance ones + product reduce instead of the scan.
 
     DMA latency is hidden with tile-level double buffering: while tile t's first
     chunk is being composited, tile t+1's first chunk is already in flight
@@ -490,6 +498,13 @@ def _row_blend_kernel(starts_ref, counts_ref, oyoff_ref, *refs,
                 # VPU and dominated the kernel.  Transposed to (128, r_dma) so
                 # sub-blocks slice (128, 1) columns.
                 wblk = pltpu.bitcast(scr[buf2], jnp.uint32)
+                if probe == "floor":
+                    # DMA/chunk-walk floor: consume the buffer with one tiny
+                    # reduce so the copies stay live, no (128, P) compute
+                    # (scr is i32; u32->f32 casts are unsupported in Mosaic)
+                    s = jnp.sum(scr[buf2].astype(jnp.float32)) * 1e-30
+                    accs0, transs0, fhs0 = carry
+                    return ((accs0[0] + s,) + accs0[1:], transs0, fhs0)
                 if mxu_exp:
                     # in-range mask at decode shape (r_dma, 128): folded into
                     # the p5 coefficient so dead/out-of-span slots cost no
@@ -676,12 +691,23 @@ def _row_blend_kernel(starts_ref, counts_ref, oyoff_ref, *refs,
                                 # exp(-q/2 + log(op)) — one fused fma + exp
                                 # instead of exp + multiply; masked/zero
                                 # opacity maps to exp(-inf) = 0
-                                log_op = jnp.log(jnp.where(in_range,
-                                                           sl(ey, 6),
-                                                           0.0)).astype(cdt)
-                                alpha = jnp.minimum(jnp.exp(q * cdt(-0.5)
-                                                            + log_op),
-                                                    cdt(ALPHA_CLAMP))
+                                if probe == "noexp":
+                                    # alpha-like rational surrogate (decays
+                                    # with q, bounded by opacity, keeps the
+                                    # early-exit dynamics comparable) with no
+                                    # transcendental
+                                    opm = jnp.where(in_range, sl(ey, 6),
+                                                    0.0).astype(cdt)
+                                    alpha = jnp.minimum(
+                                        opm / (cdt(1.0) + q),
+                                        cdt(ALPHA_CLAMP))
+                                else:
+                                    log_op = jnp.log(jnp.where(
+                                        in_range, sl(ey, 6),
+                                        0.0)).astype(cdt)
+                                    alpha = jnp.minimum(
+                                        jnp.exp(q * cdt(-0.5) + log_op),
+                                        cdt(ALPHA_CLAMP))
                                 if r2_cutoff > 0.0:
                                     # fragment discard at r^2 > cutoff
                                     # (HardwareGaussianShaders.metal:771-780)
@@ -726,7 +752,20 @@ def _row_blend_kernel(starts_ref, counts_ref, oyoff_ref, *refs,
                                 out_t.append(transs3[e] * ttot)
                                 out_f.append(fhs3[e])
                                 continue
-                            if scan_mode == "mxu":
+                            if probe == "noscan":
+                                # ones in place of the exclusive prefix; keep
+                                # the block total (log-tree product reduce) so
+                                # saturation exits fire comparably
+                                texcl = jnp.ones_like(om)
+                                # static-slice halving tree (reduce_prod has
+                                # no Mosaic lowering)
+                                tt = om
+                                g_cur = sub_g
+                                while g_cur > 1:
+                                    g_cur //= 2
+                                    tt = tt[:g_cur] * tt[g_cur:2 * g_cur]
+                                ttot = tt
+                            elif scan_mode == "mxu":
                                 texcl, ttot = _mxu_mult_scan_exclusive(
                                     om.astype(jnp.float32), ltri_b)
                                 texcl = texcl.astype(cdt)
@@ -770,6 +809,16 @@ def _row_blend_kernel(starts_ref, counts_ref, oyoff_ref, *refs,
                             out_f.append(fh3)
                         return (tuple(out_a), tuple(out_t), tuple(out_f))
 
+                    if probe == "nocond" or (not sub_cond
+                                             and skip_period == 0):
+                        # masked execution: out-of-span sub-blocks blend
+                        # exactly zero (the in_range opacity mask maps them
+                        # to alpha = exp(-inf) = 0, om = 1), so the cond is
+                        # purely a skip — and the knockout probe measured the
+                        # two conds per chunk COSTLIER than the ~1.3 dead
+                        # sub-blocks per tile they skip (6.4-6.7 baseline vs
+                        # 5.9 ms isolated; scratch/blendprobe.py)
+                        return live((accs2, transs2, fhs2))
                     return jax.lax.cond(alive, live, lambda c3: c3,
                                         (accs2, transs2, fhs2))
 
@@ -920,7 +969,8 @@ def _row_blend_kernel(starts_ref, counts_ref, oyoff_ref, *refs,
                                              "compute_dtype", "n_eyes",
                                              "scan_mode", "sub_g",
                                              "chunk_prefetch",
-                                             "exponent_mode"))
+                                             "exponent_mode", "sub_cond",
+                                             "probe"))
 def blend_tiles_pallas(table, starts, counts, *, tiles_x: int, tiles_y: int,
                        tile_w: int = 16, tile_h: int = 16,
                        blocks_per_dma: int = 2, interpret: bool = False,
@@ -929,7 +979,8 @@ def blend_tiles_pallas(table, starts, counts, *, tiles_x: int, tiles_y: int,
                        skip_period: int = 0, compute_dtype: str = "f32",
                        n_eyes: int = 1, scan_mode: str = "split16",
                        sub_g: int = LANES, chunk_prefetch: bool = True,
-                       exponent_mode: str = "vpu"):
+                       exponent_mode: str = "vpu", sub_cond: bool = False,
+                       probe: str = ""):
     """Production blend.  Returns (tile_color (T, P, 4), tile_depth (T, P)).
 
     ``table``: record-word table from :func:`build_words_table` — plane-major
@@ -948,6 +999,14 @@ def blend_tiles_pallas(table, starts, counts, *, tiles_x: int, tiles_y: int,
     table carries both eyes' records (8 words/instance,
     depthFirstStereoRender — DepthFirstShaders.metal:1825-1982); returns a
     list of per-eye (tile_color, tile_depth) pairs.
+    ``sub_cond``: True restores the per-sub-block alive lax.cond; the default
+    (False) executes every sub-block masked — out-of-span instances blend
+    exactly zero through the in_range opacity mask, and the knockout probe
+    measured the two scalar-gated conds per chunk COSTLIER than the ~1.3
+    dead sub-blocks per tile they skip (isolated blend stage 6.4-6.7 vs
+    5.9 ms, bitwise-identical frames; scratch/blendprobe.py,
+    scratch/subcondab.py).  A ``skip_period`` > 0 saturation check still
+    uses the cond.
     """
     pix = tile_w * tile_h
     n_t = tiles_x * tiles_y
@@ -999,7 +1058,8 @@ def blend_tiles_pallas(table, starts, counts, *, tiles_x: int, tiles_y: int,
                                compute_dtype=compute_dtype, n_eyes=n_eyes,
                                scan_mode=scan_mode, sub_g=sub_g,
                                chunk_prefetch=chunk_prefetch,
-                               exponent_mode=exponent_mode)
+                               exponent_mode=exponent_mode,
+                               sub_cond=sub_cond, probe=probe)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((tiles_y, chans, txp, pix),
