@@ -183,18 +183,19 @@ def binning_inputs(visible, min_tx, min_ty, max_tx, rect_count,
     return counts, rect_word, tile_mask, aux
 
 
-def fused_binning_words(visible, min_tx, min_ty, max_tx, rect_count,
-                        depth_sort_word, word_list, *, capacity: int,
-                        tiles_x: int, fused_depth16: bool, use_pallas: bool,
-                        interpret: bool = False, exact_test=False,
-                        tile_w: int = 16, tile_h: int = 16,
-                        alpha_threshold: float = 0.005,
-                        tile_row_offset=None, warped_bounds=None,
-                        precount: bool = True, mask_override=None,
-                        use_prep: bool | None = None, lod_min: float = 0.0,
-                        key_plan=None):
-    """Core fused binning over arbitrary carried word lists (mono carries the
-    4-word record; stereo carries 8 words = both eyes' records).
+def binning_sort_operands(visible, min_tx, min_ty, max_tx, rect_count,
+                          depth_sort_word, word_list, *, capacity: int,
+                          tiles_x: int, fused_depth16: bool, use_pallas: bool,
+                          interpret: bool = False, exact_test=False,
+                          tile_w: int = 16, tile_h: int = 16,
+                          alpha_threshold: float = 0.005,
+                          tile_row_offset=None, warped_bounds=None,
+                          precount: bool = True, mask_override=None,
+                          use_prep: bool | None = None, lod_min: float = 0.0,
+                          key_plan=None):
+    """Core fused binning UP TO the instance sort, over arbitrary carried
+    word lists (mono carries the 4-word record; stereo carries 8 words =
+    both eyes' records).
 
     ``precount``: exact-count touched tiles BEFORE slot assignment for
     gaussians whose rect fits the 8x4 mask window (the reference's
@@ -209,7 +210,11 @@ def fused_binning_words(visible, min_tx, min_ty, max_tx, rect_count,
     bit-identical reference tie order (stable-sort machinery measured ~7% of
     the headline frame; scratch/stabframe.py + BACKLOG receipts).
 
-    Returns (sorted_tile (C,), sorted word tuple, total () i32, overflow).
+    Returns (sort_ops, (num_keys, is_stable, drop), plan_tuple, total,
+    overflow): pass ``sort_ops`` through ``jax.lax.sort(num_keys=...,
+    is_stable=...)`` — in the production renderers as its OWN dispatched
+    program (see :func:`fused_binning_words`) — then skip ``drop`` payload
+    leaders and derive tiles with :func:`binning_sorted_tile`.
     """
     import jax
     from ..kernels import expand as E
@@ -276,24 +281,56 @@ def fused_binning_words(visible, min_tx, min_ty, max_tx, rect_count,
     total, overflow = outs[-2], outs[-1]
 
     if fused_depth16:
-        ops = jax.lax.sort((key, *slot_words), num_keys=1)
-        sorted_key, sw = ops[0], ops[1:]
-        sorted_tile = jnp.where(sorted_key == jnp.uint32(E.SENTINEL),
-                                jnp.uint32(E.SENTINEL), sorted_key >> 16)
+        sort_ops = (key, *slot_words)
+        num_keys, is_stable, drop = 1, True, 0
     elif plan_tuple is not None:
         # tie-free fused keys: an UNSTABLE sort is deterministic and
         # reproduces the reference's stable depth-then-tile tie order exactly
         # (key2 low bits carry the gaussian input index — see KeyPlan)
-        ops = jax.lax.sort((key, d_slot, *slot_words), num_keys=2,
-                           is_stable=False)
-        sorted_key, sw = ops[0], ops[2:]
-        sorted_tile = jnp.where(sorted_key == jnp.uint32(E.SENTINEL),
-                                jnp.uint32(E.SENTINEL),
-                                sorted_key >> plan_tuple[0])
+        sort_ops = (key, d_slot, *slot_words)
+        num_keys, is_stable, drop = 2, False, 1
     else:
-        ops = jax.lax.sort((key, d_slot, *slot_words), num_keys=2)
-        sorted_key, sw = ops[0], ops[2:]
-        sorted_tile = sorted_key
+        sort_ops = (key, d_slot, *slot_words)
+        num_keys, is_stable, drop = 2, True, 1
+    return sort_ops, (num_keys, is_stable, drop), plan_tuple, total, overflow
+
+
+def binning_sorted_tile(sorted_key, *, fused_depth16: bool, plan_tuple):
+    """Sorted tile ids from the sorted fused key (the post-sort half of
+    :func:`fused_binning_words`)."""
+    from ..kernels import expand as E
+
+    if fused_depth16:
+        return jnp.where(sorted_key == jnp.uint32(E.SENTINEL),
+                         jnp.uint32(E.SENTINEL), sorted_key >> 16)
+    if plan_tuple is not None:
+        return jnp.where(sorted_key == jnp.uint32(E.SENTINEL),
+                         jnp.uint32(E.SENTINEL),
+                         sorted_key >> plan_tuple[0])
+    return sorted_key
+
+
+def fused_binning_words(*args, **kwargs):
+    """Single-program fused binning (operands + sort + tile derivation).
+
+    NOTE the production DepthFirst render path splits these three steps into
+    SEPARATE dispatched programs: when the instance sort shares an XLA
+    program with anything else, the memory-space-assignment pass pins other
+    stages' buffers into alternate memory (VMEM) and the sort emitter's
+    scratch collapses — the 3.0M 2-key unstable sort measures ~10.3 ms
+    composed vs ~4.5 ms as its own program (scratch/sortreal.py,
+    scratch/sortchain.py; killing MSA program-wide via
+    xla_tpu_scoped_vmem_limit_kib=131072 makes the sort 3.9 ms but costs the
+    REST of the frame ~16 ms, scratch/vmemflag.py — so the split, not the
+    flag).  Returns (sorted_tile (C,), sorted word tuple, total, overflow).
+    """
+    sort_ops, (num_keys, is_stable, drop), plan_tuple, total, overflow = \
+        binning_sort_operands(*args, **kwargs)
+    ops = jax.lax.sort(sort_ops, num_keys=num_keys, is_stable=is_stable)
+    sorted_key, sw = ops[0], ops[1 + drop:]
+    sorted_tile = binning_sorted_tile(
+        sorted_key, fused_depth16=kwargs.get("fused_depth16", False),
+        plan_tuple=plan_tuple)
     return sorted_tile, sw, total, overflow
 
 

@@ -34,7 +34,8 @@ from ..ops import binning as B
 from ..ops.project import project_and_cull
 from ..types import FrameHeader, GaussianInput, RenderOutput
 from .base import AotProgram, GaussianRenderer, instance_capacity
-from .common import (fused_binning, pack_record_words,
+from .common import (binning_sort_operands, binning_sorted_tile,
+                     fused_binning, pack_record_words,
                      sorted_instance_attrs)
 
 Array = Any
@@ -160,6 +161,140 @@ def depth_first_frame(
     return RenderOutput(color=color, depth=depth, header=header)
 
 
+def _mono_key_statics(n_gaussians: int, *, width, height, tile_w, tile_h,
+                      depth_key_bits, tile_id_bits, near_plane, far_plane):
+    """(fuse_key, key_plan) for the mono frame — shared by the fused and the
+    split (three-program) paths so both derive identical sort semantics."""
+    tiles_x, tiles_y = cfg.tiles_for(width, height, tile_w, tile_h)
+    num_tiles = tiles_x * tiles_y
+    fuse_key = (tile_id_bits == 16 and depth_key_bits == 16)
+    key_plan = None
+    if not fuse_key:
+        if depth_key_bits == 16:
+            key_plan = B.make_key_plan(num_tiles, n_gaussians,
+                                       depth_span_bits=16)
+        else:
+            key_plan = B.make_key_plan(num_tiles, n_gaussians,
+                                       near_plane=near_plane,
+                                       far_plane=far_plane)
+    return fuse_key, key_plan
+
+
+def depth_first_pre_frame(
+    gi: GaussianInput,
+    view: Array, proj: Array, center: Array,
+    *,
+    width: int, height: int, capacity: int,
+    sh_degree: int, alpha_threshold: float, total_ink_threshold: float,
+    near_plane: float, far_plane: float, input_is_srgb: bool,
+    tile_w: int = 16, tile_h: int = 16,
+    exact_tile_test: bool = True,
+    back_to_front: bool = False,
+    depth_key_bits: int = 32,
+    tile_id_bits: int = 16,
+):
+    """Program 1 of the production 3-program frame: project + fused Pallas
+    binning prep + expand, STOPPING at the instance-sort operands.
+
+    The split exists because XLA's memory-space-assignment, given any
+    co-resident stages, pins their buffers into alternate memory (VMEM) and
+    the sort emitter's scratch collapses: the 3.0M 2-key unstable sort is
+    ~10.3 ms composed vs ~4.5 ms as its own program (BACKLOG receipts;
+    scratch/sortreal.py, sortchain.py, vmemflag.py).  Returns
+    (*sort_ops, slot_total, overflow, visible_count).
+    """
+    tiles_x, tiles_y = cfg.tiles_for(width, height, tile_w, tile_h)
+    del back_to_front
+    with jax.named_scope("project_cull"):
+        pr = project_and_cull(
+            gi, view, proj, center,
+            width=width, height=height, tile_w=tile_w, tile_h=tile_h,
+            sh_degree=sh_degree, near_plane=near_plane, far_plane=far_plane,
+            alpha_threshold=alpha_threshold,
+            total_ink_threshold=total_ink_threshold,
+            input_is_srgb=input_is_srgb,
+        )
+    depth_key = pr.depth_key
+    if depth_key_bits == 16:
+        from .. import mathlib as M
+        dk16 = M.half_depth_key16(M.sortable_uint_to_float(depth_key))
+        depth_key = jnp.where(pr.visible, dk16, jnp.uint32(0xFFFFFFFF))
+    fuse_key, key_plan = _mono_key_statics(
+        pr.depth_key.shape[0], width=width, height=height, tile_w=tile_w,
+        tile_h=tile_h, depth_key_bits=depth_key_bits,
+        tile_id_bits=tile_id_bits, near_plane=near_plane,
+        far_plane=far_plane)
+
+    words = pack_record_words(pr.record)
+    word_list = [words[:, k] for k in range(4)]
+    with jax.named_scope("binning_prep"):
+        sort_ops, _spec, _plan, slot_total, overflow = binning_sort_operands(
+            pr.visible, pr.min_tx, pr.min_ty, pr.max_tx, pr.rect_count,
+            depth_key, word_list, capacity=capacity, tiles_x=tiles_x,
+            fused_depth16=fuse_key, use_pallas=True,
+            exact_test=exact_tile_test, tile_w=tile_w, tile_h=tile_h,
+            alpha_threshold=alpha_threshold, key_plan=key_plan)
+    visible_count = jnp.sum(pr.visible).astype(jnp.int32)
+    return (*sort_ops, slot_total, overflow, visible_count)
+
+
+def sort_frame(*ops, num_keys: int, is_stable: bool):
+    """Program 2: the bare instance sort — nothing else may share this
+    program (see depth_first_pre_frame's docstring)."""
+    return jax.lax.sort(ops, num_keys=num_keys, is_stable=is_stable)
+
+
+def depth_first_post_frame(
+    sorted_key: Array, w0: Array, w1: Array, w2: Array, w3: Array,
+    slot_total: Array, overflow: Array, visible_count: Array,
+    *,
+    width: int, height: int, capacity: int, n_gaussians: int,
+    alpha_threshold: float,
+    near_plane: float, far_plane: float,
+    tile_w: int = 16, tile_h: int = 16,
+    depth_key_bits: int = 32,
+    tile_id_bits: int = 16,
+):
+    """Program 3 of the production frame: sorted keys -> tile ranges ->
+    blend table -> Pallas blend -> image + header.
+
+    ``n_gaussians`` must match program 1's input count: the KeyPlan (and
+    with it the key1 shift and the plan-vs-fallback choice) depends on it.
+    """
+    tiles_x, tiles_y = cfg.tiles_for(width, height, tile_w, tile_h)
+    num_tiles = tiles_x * tiles_y
+    fuse_key, key_plan = _mono_key_statics(
+        n_gaussians, width=width, height=height, tile_w=tile_w,
+        tile_h=tile_h,
+        depth_key_bits=depth_key_bits, tile_id_bits=tile_id_bits,
+        near_plane=near_plane, far_plane=far_plane)
+    plan_tuple = None
+    if key_plan is not None:
+        plan_tuple = key_plan.kernel_tuple
+    sorted_tile = binning_sorted_tile(sorted_key, fused_depth16=fuse_key,
+                                      plan_tuple=plan_tuple)
+    with jax.named_scope("tile_ranges"):
+        starts, counts = B.extract_tile_ranges(sorted_tile, num_tiles)
+    sw = (w0, w1, w2, w3)
+    with jax.named_scope("blend"):
+        wtable = K.build_words_table(sw, capacity)
+        tc, td = K.blend_tiles_pallas(wtable, starts, counts,
+                                      tiles_x=tiles_x, tiles_y=tiles_y,
+                                      tile_w=tile_w, tile_h=tile_h)
+    with jax.named_scope("assemble"):
+        color, depth = K.assemble_image(tc, td, tiles_x=tiles_x,
+                                        tiles_y=tiles_y,
+                                        width=width, height=height,
+                                        tile_w=tile_w, tile_h=tile_h)
+    header = FrameHeader(
+        visible_count=visible_count,
+        total_instances=jnp.sum(counts).astype(jnp.int32),
+        overflow=overflow,
+        slot_total=slot_total,
+    )
+    return RenderOutput(color=color, depth=depth, header=header)
+
+
 class DepthFirstRenderer(GaussianRenderer):
     """Flagship renderer: global depth sort + stable tile sort.
 
@@ -168,6 +303,16 @@ class DepthFirstRenderer(GaussianRenderer):
     """
 
     _stereo_key = "df_stereo"
+
+    #: production mono frames can run as THREE dispatched programs (pre |
+    #: bare sort | post) so the instance sort gets a program of its own —
+    #: see _render_split.  Device-side this wins ~6 ms at the headline
+    #: (composed-sort pathology receipts in BACKLOG.md), but each dependent
+    #: dispatch through the tunneled axon backend costs a ~3 ms host round
+    #: trip, so the 3-dispatch frame measures 25.4-26.5 vs 21.6-24.7 wall
+    #: (scratch/splitab.py, bitwise-identical output).  Default: split on a
+    #: real local TPU backend, fused single program through the tunnel.
+    split_frame = None  # None = auto by backend
 
     def _stereo_statics(self):
         """Per-renderer stereo frame statics (HardwareRenderer overrides with
@@ -223,11 +368,70 @@ class DepthFirstRenderer(GaussianRenderer):
             back_to_front=c.back_to_front,
             use_xla_blend=self.use_xla_blend,
         )
-        key = ("df", n, gi.sh_n_coeffs, str(gi.scales.dtype), tuple(sorted(statics.items())))
-        prog = self._program(key, lambda: AotProgram(depth_first_frame, key, statics))
-        out = prog(gi, view, proj, center)
+        split = self.split_frame
+        if split is None:
+            split = jax.default_backend() == "tpu"
+        if not self.use_xla_blend and split:
+            out = self._render_split(gi, view, proj, center, statics, n)
+        else:
+            key = ("df", n, gi.sh_n_coeffs, str(gi.scales.dtype),
+                   tuple(sorted(statics.items())))
+            prog = self._program(
+                key, lambda: AotProgram(depth_first_frame, key, statics))
+            out = prog(gi, view, proj, center)
         self.note_frame(n, out.header)
         return out
+
+    def _render_split(self, gi, view, proj, center, statics, n):
+        """Production 3-program frame: pre (project+prep+expand) | bare sort |
+        post (ranges+blend+assemble).  The instance sort must NOT share an
+        XLA program with other stages — memory-space-assignment pins
+        co-resident buffers into VMEM and the sort emitter's scratch
+        collapses (~10.3 ms composed vs ~4.5 standalone at the 3.0M
+        headline; see depth_first_pre_frame and BACKLOG receipts)."""
+        pre_statics = {k: v for k, v in statics.items()
+                       if k not in ("use_xla_blend",)}
+        post_keys = ("width", "height", "capacity", "alpha_threshold",
+                     "near_plane", "far_plane", "tile_w", "tile_h",
+                     "depth_key_bits", "tile_id_bits")
+        post_statics = {k: statics[k] for k in post_keys}
+        post_statics["n_gaussians"] = n
+
+        fuse_key, key_plan = _mono_key_statics(
+            n, width=statics["width"], height=statics["height"],
+            tile_w=statics["tile_w"], tile_h=statics["tile_h"],
+            depth_key_bits=statics["depth_key_bits"],
+            tile_id_bits=statics["tile_id_bits"],
+            near_plane=statics["near_plane"],
+            far_plane=statics["far_plane"])
+        if fuse_key:
+            num_keys, is_stable, drop = 1, True, 0
+        elif key_plan is not None:
+            num_keys, is_stable, drop = 2, False, 1
+        else:
+            num_keys, is_stable, drop = 2, True, 1
+
+        sig = (n, gi.sh_n_coeffs, str(gi.scales.dtype),
+               tuple(sorted(pre_statics.items())))
+        pre = self._program(("df_pre", sig), lambda: AotProgram(
+            depth_first_pre_frame, ("df_pre", sig), pre_statics))
+        outs = pre(gi, view, proj, center)
+        sort_ops = outs[:-3]
+        slot_total, overflow, visible_count = outs[-3:]
+
+        sort_statics = dict(num_keys=num_keys, is_stable=is_stable)
+        sort_sig = ("df_sort", statics["capacity"], len(sort_ops), num_keys,
+                    is_stable)
+        sortp = self._program(sort_sig, lambda: AotProgram(
+            sort_frame, sort_sig, sort_statics))
+        sorted_ops = sortp(*sort_ops)
+        sorted_key = sorted_ops[0]
+        sw = sorted_ops[1 + drop:]
+
+        post_sig = ("df_post", tuple(sorted(post_statics.items())))
+        post = self._program(post_sig, lambda: AotProgram(
+            depth_first_post_frame, post_sig, post_statics))
+        return post(sorted_key, *sw, slot_total, overflow, visible_count)
 
 
 def depth_first_stereo_frame(

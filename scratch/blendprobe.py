@@ -104,6 +104,106 @@ def main():
             print(f"rep{rep} probe={p or 'baseline':8s}: {ms:6.2f} ms",
                   flush=True)
 
+    # --- replicate the IN-FRAME table conditions (keyplan unstable sort,
+    # adaptive 3.0M capacity) to chase the isolated-6.5 vs marginal-13 gap
+    from gsm_renderer_tpu.pipelines.common import fused_binning_words
+    cap2 = 3_002_368
+    plan = B.make_key_plan(tiles_x * tiles_y, n, near_plane=0.1,
+                           far_plane=50.0)
+
+    @jax.jit
+    def prep2(gi, view, proj, center):
+        pr = project_and_cull(gi, view, proj, center, **kw)
+        words = pack_record_words(pr.record)
+        word_list = [words[:, k] for k in range(4)]
+        sorted_tile, sw, total, _ovf = fused_binning_words(
+            pr.visible, pr.min_tx, pr.min_ty, pr.max_tx, pr.rect_count,
+            pr.depth_key, word_list, capacity=cap2, tiles_x=tiles_x,
+            fused_depth16=False, use_pallas=True, exact_test=True,
+            key_plan=plan)
+        starts, counts_t = B.extract_tile_ranges(sorted_tile,
+                                                 tiles_x * tiles_y)
+        table = K.build_words_table(sw, cap2)
+        return table, starts, counts_t
+
+    table2, starts2, counts2 = jax.block_until_ready(
+        prep2(gi, view, proj, center))
+    np.asarray(starts2)[:1]
+
+    def mk2(probe):
+        def f(table, starts, counts_t):
+            tc, td = K.blend_tiles_pallas(table, starts, counts_t,
+                                          tiles_x=tiles_x, tiles_y=tiles_y,
+                                          probe=probe)
+            return tc[0, 0, 0] + td[-1, 0]
+        return jax.jit(f)
+
+    def t2(f):
+        np.asarray(f(table2, starts2, counts2)).ravel()[:1]
+
+        def chain(k):
+            best = 1e9
+            for _ in range(3):
+                t0 = time.perf_counter()
+                for _ in range(k):
+                    r = f(table2, starts2, counts2)
+                np.asarray(r).ravel()[:1]
+                best = min(best, time.perf_counter() - t0)
+            return best
+        a, b = chain(2), chain(6)
+        return (b - a) / 4 * 1000
+
+    f2 = mk2("")
+    for rep in range(2):
+        print(f"rep{rep} keyplan/3.0M table baseline: {t2(f2):6.2f} ms "
+              f"(old-table baseline again: {t(fns['']):6.2f})", flush=True)
+
+    # --- hypothesis: the in-frame marginal (13 ms vs 6 isolated) is the
+    # table MATERIALIZATION boundary: build the table in-program from
+    # committed sorted planes, then blend
+    @jax.jit
+    def prep3(gi, view, proj, center):
+        pr = project_and_cull(gi, view, proj, center, **kw)
+        words = pack_record_words(pr.record)
+        word_list = [words[:, k] for k in range(4)]
+        sorted_tile, sw, total, _ovf = fused_binning_words(
+            pr.visible, pr.min_tx, pr.min_ty, pr.max_tx, pr.rect_count,
+            pr.depth_key, word_list, capacity=cap2, tiles_x=tiles_x,
+            fused_depth16=False, use_pallas=True, exact_test=True,
+            key_plan=plan)
+        starts, counts_t = B.extract_tile_ranges(sorted_tile,
+                                                 tiles_x * tiles_y)
+        return sw, starts, counts_t
+
+    sw3, starts3, counts3 = jax.block_until_ready(
+        prep3(gi, view, proj, center))
+    np.asarray(starts3)[:1]
+
+    def f3(sw, starts, counts_t):
+        table = K.build_words_table(sw, cap2)
+        tc, td = K.blend_tiles_pallas(table, starts, counts_t,
+                                      tiles_x=tiles_x, tiles_y=tiles_y)
+        return tc[0, 0, 0] + td[-1, 0]
+    f3 = jax.jit(f3)
+
+    def t3():
+        np.asarray(f3(sw3, starts3, counts3)).ravel()[:1]
+
+        def chain(k):
+            best = 1e9
+            for _ in range(3):
+                t0 = time.perf_counter()
+                for _ in range(k):
+                    r = f3(sw3, starts3, counts3)
+                np.asarray(r).ravel()[:1]
+                best = min(best, time.perf_counter() - t0)
+            return best
+        a, b = chain(2), chain(6)
+        return (b - a) / 4 * 1000
+
+    for rep in range(2):
+        print(f"rep{rep} table-in-program blend: {t3():6.2f} ms", flush=True)
+
 
 if __name__ == "__main__":
     main()
