@@ -192,6 +192,7 @@ def depth_first_pre_frame(
     back_to_front: bool = False,
     depth_key_bits: int = 32,
     tile_id_bits: int = 16,
+    interpret: bool = False,
 ):
     """Program 1 of the production 3-program frame: project + fused Pallas
     binning prep + expand, STOPPING at the instance-sort operands.
@@ -231,7 +232,7 @@ def depth_first_pre_frame(
         sort_ops, _spec, _plan, slot_total, overflow = binning_sort_operands(
             pr.visible, pr.min_tx, pr.min_ty, pr.max_tx, pr.rect_count,
             depth_key, word_list, capacity=capacity, tiles_x=tiles_x,
-            fused_depth16=fuse_key, use_pallas=True,
+            fused_depth16=fuse_key, use_pallas=True, interpret=interpret,
             exact_test=exact_tile_test, tile_w=tile_w, tile_h=tile_h,
             alpha_threshold=alpha_threshold, key_plan=key_plan)
     visible_count = jnp.sum(pr.visible).astype(jnp.int32)
@@ -254,6 +255,7 @@ def depth_first_post_frame(
     tile_w: int = 16, tile_h: int = 16,
     depth_key_bits: int = 32,
     tile_id_bits: int = 16,
+    interpret: bool = False,
 ):
     """Program 3 of the production frame: sorted keys -> tile ranges ->
     blend table -> Pallas blend -> image + header.
@@ -280,7 +282,8 @@ def depth_first_post_frame(
         wtable = K.build_words_table(sw, capacity)
         tc, td = K.blend_tiles_pallas(wtable, starts, counts,
                                       tiles_x=tiles_x, tiles_y=tiles_y,
-                                      tile_w=tile_w, tile_h=tile_h)
+                                      tile_w=tile_w, tile_h=tile_h,
+                                      interpret=interpret)
     with jax.named_scope("assemble"):
         color, depth = K.assemble_image(tc, td, tiles_x=tiles_x,
                                         tiles_y=tiles_y,

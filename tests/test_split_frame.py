@@ -1,0 +1,76 @@
+"""The production 3-program frame split (pre | bare sort | post) must equal
+the fused single-program frame exactly.
+
+The split exists because the instance sort is ~2.3x slower when any other
+op shares its XLA program (memory-space-assignment pins co-resident
+buffers into VMEM and the sort emitter's scratch collapses — BACKLOG.md
+composed-sort receipts); DepthFirstRenderer._render_split dispatches the
+sort as its own program on local TPU backends.  CPU coverage runs the
+Pallas stages in interpret mode.
+"""
+import numpy as np
+import pytest
+
+import gsm_renderer_tpu as G
+from gsm_renderer_tpu.io.scene import generate_visible_gaussians
+from gsm_renderer_tpu.pipelines import depth_first as DF
+
+
+@pytest.mark.parametrize("depth_key_bits,tile_id_bits", [
+    (32, 16),   # production: tie-free KeyPlan, 2-key unstable sort
+    (16, 16),   # fused [tile16|depth16] single-key sort
+])
+def test_split_frame_matches_fused(depth_key_bits, tile_id_bits):
+    import jax
+
+    n = 4000
+    w, h = 256, 192
+    ds = generate_visible_gaussians(n, sh_degree=1,
+                                    scale_range=(0.01, 0.05), seed=11)
+    cam = G.make_camera(w, h, far=20.0)
+    gi = ds.to_input()
+    view, proj, center = cam.astuple_jax()
+
+    capacity = 4096 * 4
+    statics = dict(width=w, height=h, capacity=capacity, sh_degree=1,
+                   alpha_threshold=0.005, total_ink_threshold=2.0,
+                   near_plane=0.1, far_plane=20.0, input_is_srgb=False,
+                   depth_key_bits=depth_key_bits, tile_id_bits=tile_id_bits)
+
+    fused = DF.depth_first_frame(gi, view, proj, center, interpret=True,
+                                 **statics)
+
+    fuse_key, key_plan = DF._mono_key_statics(
+        n, width=w, height=h, tile_w=16, tile_h=16,
+        depth_key_bits=depth_key_bits, tile_id_bits=tile_id_bits,
+        near_plane=0.1, far_plane=20.0)
+    if fuse_key:
+        num_keys, is_stable, drop = 1, True, 0
+    elif key_plan is not None:
+        num_keys, is_stable, drop = 2, False, 1
+    else:
+        num_keys, is_stable, drop = 2, True, 1
+
+    outs = DF.depth_first_pre_frame(gi, view, proj, center, interpret=True,
+                                    **statics)
+    sort_ops = outs[:-3]
+    slot_total, overflow, visible_count = outs[-3:]
+    sorted_ops = DF.sort_frame(*sort_ops, num_keys=num_keys,
+                               is_stable=is_stable)
+    sorted_key = sorted_ops[0]
+    sw = sorted_ops[1 + drop:]
+    post_statics = dict(width=w, height=h, capacity=capacity,
+                        n_gaussians=n, alpha_threshold=0.005,
+                        near_plane=0.1, far_plane=20.0,
+                        depth_key_bits=depth_key_bits,
+                        tile_id_bits=tile_id_bits)
+    split = DF.depth_first_post_frame(sorted_key, *sw, slot_total, overflow,
+                                      visible_count, interpret=True,
+                                      **post_statics)
+
+    assert np.array_equal(np.asarray(fused.color), np.asarray(split.color))
+    assert np.array_equal(np.asarray(fused.depth), np.asarray(split.depth))
+    for field in ("visible_count", "total_instances", "overflow",
+                  "slot_total"):
+        assert int(getattr(fused.header, field)) == \
+            int(getattr(split.header, field)), field
