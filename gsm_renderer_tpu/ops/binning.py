@@ -253,10 +253,13 @@ def extract_tile_ranges(sorted_tile_key, num_tiles: int):
     """
     # integer keys: end(t) == start(t+1) (nothing sorts strictly between t and
     # t+1; keys >= num_tiles are sentinels), so ONE search over num_tiles+1
-    # query points yields both bounds
+    # query points yields both bounds.  method="scan_unrolled": the default
+    # 22-iteration while loop pays per-step dispatch (~3.1 ms at 3.0M keys /
+    # 8161 queries on-chip); unrolling the static binary search is 1.0-1.3 ms
+    # for identical results.
     tiles = jnp.arange(num_tiles + 1, dtype=jnp.uint32)
-    bounds = jnp.searchsorted(sorted_tile_key, tiles,
-                              side="left").astype(jnp.int32)
+    bounds = jnp.searchsorted(sorted_tile_key, tiles, side="left",
+                              method="scan_unrolled").astype(jnp.int32)
     return bounds[:-1], bounds[1:] - bounds[:-1]
 
 
