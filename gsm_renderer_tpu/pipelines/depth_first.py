@@ -538,6 +538,95 @@ def depth_first_stereo_frame(
     return RenderOutput(color=color, depth=depth, header=header)
 
 
+def depth_first_stereo_pre_frame(
+    gi: GaussianInput,
+    views: Array, projs: Array, centers: Array, scene_transform: Array,
+    *,
+    width: int, height: int, capacity: int,
+    sh_degree: int, alpha_threshold: float, total_ink_threshold: float,
+    near_plane: float, far_plane: float, input_is_srgb: bool,
+    tile_w: int = 16, tile_h: int = 16,
+    interpret: bool = False,
+):
+    """Program 1 of the stereo 3-program frame (see depth_first_pre_frame:
+    the instance sort must own its program; stereo's 10-operand sort pays
+    the composed-sort volume law hardest).  Returns (*sort_ops(10),
+    slot_total, overflow, visible_count, total_live)."""
+    from ..ops.project import stereo_project_and_cull
+
+    tiles_x, tiles_y = cfg.tiles_for(width, height, tile_w, tile_h)
+    num_tiles = tiles_x * tiles_y
+    pr = stereo_project_and_cull(
+        gi, views, projs, centers,
+        width=width, height=height, tile_w=tile_w, tile_h=tile_h,
+        sh_degree=sh_degree, near_plane=near_plane, far_plane=far_plane,
+        alpha_threshold=alpha_threshold,
+        total_ink_threshold=total_ink_threshold,
+        input_is_srgb=input_is_srgb, scene_transform=scene_transform,
+    )
+    words_l = pack_record_words(pr.record_left)
+    words_r = pack_record_words(pr.record_right)
+    word_list = ([words_l[:, k] for k in range(4)]
+                 + [words_r[:, k] for k in range(4)])
+    key_plan = B.make_key_plan(num_tiles, pr.depth_key.shape[0],
+                               near_plane=near_plane, far_plane=far_plane)
+    sort_ops, _spec, _plan, slot_total, overflow = binning_sort_operands(
+        pr.visible, pr.min_tx, pr.min_ty, pr.max_tx, pr.rect_count,
+        pr.depth_key, word_list, capacity=capacity, tiles_x=tiles_x,
+        fused_depth16=False, use_pallas=True, interpret=interpret,
+        exact_test="stereo", tile_w=tile_w, tile_h=tile_h,
+        key_plan=key_plan)
+    visible_count = jnp.sum(pr.visible).astype(jnp.int32)
+    total_live = jnp.sum(
+        jnp.where(pr.visible, pr.rect_count, 0)).astype(jnp.int32)
+    return (*sort_ops, slot_total, overflow, visible_count, total_live)
+
+
+def depth_first_stereo_post_frame(
+    sorted_key: Array,
+    w0: Array, w1: Array, w2: Array, w3: Array,
+    w4: Array, w5: Array, w6: Array, w7: Array,
+    slot_total: Array, overflow: Array, visible_count: Array,
+    total_live: Array,
+    *,
+    width: int, height: int, capacity: int, n_gaussians: int,
+    near_plane: float, far_plane: float,
+    tile_w: int = 16, tile_h: int = 16,
+    depth_mode: str = "weighted",
+    blocks_per_dma: int = 2,
+    interpret: bool = False,
+):
+    """Program 3 of the stereo frame: ranges -> dual-eye blend -> (H, 2W)."""
+    tiles_x, tiles_y = cfg.tiles_for(width, height, tile_w, tile_h)
+    num_tiles = tiles_x * tiles_y
+    key_plan = B.make_key_plan(num_tiles, n_gaussians,
+                               near_plane=near_plane, far_plane=far_plane)
+    plan_tuple = key_plan.kernel_tuple if key_plan is not None else None
+    sorted_tile = binning_sorted_tile(sorted_key, fused_depth16=False,
+                                      plan_tuple=plan_tuple)
+    starts, counts = B.extract_tile_ranges(sorted_tile, num_tiles)
+    sw = (w0, w1, w2, w3, w4, w5, w6, w7)
+    wtable = K.build_words_table(list(sw), capacity)
+    eye_raster = K.blend_tiles_pallas(
+        wtable, starts, counts, tiles_x=tiles_x, tiles_y=tiles_y,
+        tile_w=tile_w, tile_h=tile_h, depth_mode=depth_mode,
+        blocks_per_dma=blocks_per_dma, r2_cutoff=9.0,
+        interpret=interpret, n_eyes=2)
+    eyes = [K.assemble_image(tc, td, tiles_x=tiles_x, tiles_y=tiles_y,
+                             width=width, height=height,
+                             tile_w=tile_w, tile_h=tile_h)
+            for tc, td in eye_raster]
+    color = jnp.concatenate([eyes[0][0], eyes[1][0]], axis=1)
+    depth = jnp.concatenate([eyes[0][1], eyes[1][1]], axis=1)
+    header = FrameHeader(
+        visible_count=visible_count,
+        total_instances=total_live,
+        overflow=overflow,
+        slot_total=slot_total,
+    )
+    return RenderOutput(color=color, depth=depth, header=header)
+
+
 def _stereo_render(self, gi, camera, width, height):
     """render_stereo implementation shared by DepthFirstRenderer and
     HardwareRenderer (the latter overrides ``_stereo_statics`` /
@@ -561,12 +650,68 @@ def _stereo_render(self, gi, camera, width, height):
         use_xla_blend=self.use_xla_blend,
     )
     statics.update(self._stereo_statics())
-    key = (self._stereo_key, n, gi.sh_n_coeffs, str(gi.scales.dtype),
-           tuple(sorted(statics.items())))
-    prog = self._program(key, lambda: AotProgram(depth_first_stereo_frame, key, statics))
-    out = prog(gi, views, projs, centers, st)
+    split = getattr(self, "split_frame", None)
+    if split is None:
+        split = jax.default_backend() == "tpu"
+    if not self.use_xla_blend and split:
+        out = _stereo_render_split(self, gi, views, projs, centers, st,
+                                   statics, n)
+    else:
+        key = (self._stereo_key, n, gi.sh_n_coeffs, str(gi.scales.dtype),
+               tuple(sorted(statics.items())))
+        prog = self._program(
+            key, lambda: AotProgram(depth_first_stereo_frame, key, statics))
+        out = prog(gi, views, projs, centers, st)
     self.note_frame(n, out.header, kind=self._stereo_key)
     return out
+
+
+def _stereo_render_split(self, gi, views, projs, centers, st, statics, n):
+    """Stereo 3-program dispatch (pre | bare 10-operand sort | post) — the
+    stereo analogue of DepthFirstRenderer._render_split."""
+    pre_keys = ("width", "height", "capacity", "sh_degree",
+                "alpha_threshold", "total_ink_threshold", "near_plane",
+                "far_plane", "input_is_srgb")
+    pre_statics = {k: statics[k] for k in pre_keys if k in statics}
+    post_statics = dict(
+        width=statics["width"], height=statics["height"],
+        capacity=statics["capacity"], n_gaussians=n,
+        near_plane=statics["near_plane"], far_plane=statics["far_plane"],
+        depth_mode=statics.get("depth_mode", "weighted"),
+        blocks_per_dma=statics.get("blocks_per_dma", 2))
+
+    tiles_x, tiles_y = cfg.tiles_for(statics["width"], statics["height"],
+                                     16, 16)
+    key_plan = B.make_key_plan(tiles_x * tiles_y, n,
+                               near_plane=statics["near_plane"],
+                               far_plane=statics["far_plane"])
+    if key_plan is not None:
+        num_keys, is_stable, drop = 2, False, 1
+    else:
+        num_keys, is_stable, drop = 2, True, 1
+
+    sig = (self._stereo_key, n, gi.sh_n_coeffs, str(gi.scales.dtype),
+           tuple(sorted(pre_statics.items())))
+    pre = self._program(("dfs_pre", sig), lambda: AotProgram(
+        depth_first_stereo_pre_frame, ("dfs_pre", sig), pre_statics))
+    outs = pre(gi, views, projs, centers, st)
+    sort_ops = outs[:-4]
+    slot_total, overflow, visible_count, total_live = outs[-4:]
+
+    sort_sig = ("dfs_sort", statics["capacity"], len(sort_ops), num_keys,
+                is_stable)
+    sortp = self._program(sort_sig, lambda: AotProgram(
+        sort_frame, sort_sig, dict(num_keys=num_keys, is_stable=is_stable)))
+    sorted_ops = sortp(*sort_ops)
+    sorted_key = sorted_ops[0]
+    sw = sorted_ops[1 + drop:]
+
+    post_sig = (self._stereo_key, "dfs_post",
+                tuple(sorted(post_statics.items())))
+    post = self._program(post_sig, lambda: AotProgram(
+        depth_first_stereo_post_frame, post_sig, post_statics))
+    return post(sorted_key, *sw, slot_total, overflow, visible_count,
+                total_live)
 
 
 def depth_first_stereo_foveated_frame(

@@ -74,3 +74,40 @@ def test_split_frame_matches_fused(depth_key_bits, tile_id_bits):
                   "slot_total"):
         assert int(getattr(fused.header, field)) == \
             int(getattr(split.header, field)), field
+
+
+def test_stereo_split_frame_matches_fused():
+    n = 2500
+    w, h = 192, 128
+    ds = generate_visible_gaussians(n, sh_degree=1,
+                                    scale_range=(0.01, 0.05), seed=5)
+    cam = G.make_camera(w, h, far=20.0)
+    stereo = G.make_side_by_side_stereo(cam, ipd=0.15)
+    gi = ds.to_input()
+    views, projs, centers, st = stereo.astuple_jax()
+
+    capacity = 4096 * 8
+    statics = dict(width=w, height=h, capacity=capacity, sh_degree=1,
+                   alpha_threshold=0.005, total_ink_threshold=2.0,
+                   near_plane=0.1, far_plane=20.0, input_is_srgb=False)
+
+    fused = DF.depth_first_stereo_frame(gi, views, projs, centers, st,
+                                        interpret=True, **statics)
+
+    outs = DF.depth_first_stereo_pre_frame(gi, views, projs, centers, st,
+                                           interpret=True, **statics)
+    sort_ops = outs[:-4]
+    slot_total, overflow, visible_count, total_live = outs[-4:]
+    assert len(sort_ops) == 10
+    sorted_ops = DF.sort_frame(*sort_ops, num_keys=2, is_stable=False)
+    split = DF.depth_first_stereo_post_frame(
+        sorted_ops[0], *sorted_ops[2:], slot_total, overflow, visible_count,
+        total_live, interpret=True, width=w, height=h, capacity=capacity,
+        n_gaussians=n, near_plane=0.1, far_plane=20.0)
+
+    assert np.array_equal(np.asarray(fused.color), np.asarray(split.color))
+    assert np.array_equal(np.asarray(fused.depth), np.asarray(split.depth))
+    for field in ("visible_count", "total_instances", "overflow",
+                  "slot_total"):
+        assert int(getattr(fused.header, field)) == \
+            int(getattr(split.header, field)), field
