@@ -361,3 +361,123 @@ def fused_binning(pr, depth_sort_word, *, capacity: int, tiles_x: int,
     sorted_words = jnp.stack(sw, axis=-1)  # (C, 4)
     total_live = jnp.sum(jnp.where(pr.visible, pr.rect_count, 0)).astype(jnp.int32)
     return sorted_tile, sorted_words, total_live, overflow, sw, slot_total
+
+
+# ---------------------------------------------------------------------------
+# Shared 3-program frame split for the fused-depth16 pipelines (Global /
+# Local).  Rationale: the composed-sort pathology (see fused_binning_words) —
+# the single-key instance sort must own its dispatched program to keep the
+# emitter's VMEM scratch.  DepthFirst has its own pre/post (extra key-plan
+# machinery); Global and Local share this one.
+# ---------------------------------------------------------------------------
+
+def d16_pre_frame(gi, view, proj, center, *,
+                  width: int, height: int, capacity: int,
+                  sh_degree: int, alpha_threshold: float,
+                  total_ink_threshold: float,
+                  near_plane: float, far_plane: float, input_is_srgb: bool,
+                  tile_w: int, tile_h: int, interpret: bool = False):
+    """Program 1: project + fused Pallas prep + expand, stopping at the
+    single-key [tile:16|depth16:16] sort operands.  Returns
+    (key, w0..w3, slot_total, overflow, visible_count)."""
+    from ..config import tiles_for
+    from ..ops.project import project_and_cull
+
+    tiles_x, tiles_y = tiles_for(width, height, tile_w, tile_h)
+    if tiles_x * tiles_y > 0xFFFF:
+        raise ValueError("fused depth16 tile id must fit 16 bits "
+                         f"({tiles_x * tiles_y} tiles)")
+    pr = project_and_cull(
+        gi, view, proj, center,
+        width=width, height=height, tile_w=tile_w, tile_h=tile_h,
+        sh_degree=sh_degree, near_plane=near_plane, far_plane=far_plane,
+        alpha_threshold=alpha_threshold,
+        total_ink_threshold=total_ink_threshold,
+        input_is_srgb=input_is_srgb,
+    )
+    depth16 = M.half_depth_key16(pr.record.depth.astype(jnp.float32))
+    words = pack_record_words(pr.record)
+    word_list = [words[:, k] for k in range(4)]
+    sort_ops, _spec, _plan, slot_total, overflow = binning_sort_operands(
+        pr.visible, pr.min_tx, pr.min_ty, pr.max_tx, pr.rect_count,
+        depth16, word_list, capacity=capacity, tiles_x=tiles_x,
+        fused_depth16=True, use_pallas=True, interpret=interpret,
+        exact_test=True, tile_w=tile_w, tile_h=tile_h,
+        alpha_threshold=alpha_threshold)
+    visible_count = jnp.sum(pr.visible).astype(jnp.int32)
+    return (*sort_ops, slot_total, overflow, visible_count)
+
+
+def d16_post_frame(sorted_key, w0, w1, w2, w3,
+                   slot_total, overflow, visible_count, *,
+                   width: int, height: int, capacity: int,
+                   tile_w: int, tile_h: int,
+                   depth_mode: str = "weighted", max_per_tile: int = 0,
+                   interpret: bool = False):
+    """Program 3: sorted single keys -> ranges -> Pallas blend -> image."""
+    from ..config import tiles_for
+    from ..kernels import blend as K
+    from ..ops import binning as B
+    from ..types import FrameHeader, RenderOutput
+
+    tiles_x, tiles_y = tiles_for(width, height, tile_w, tile_h)
+    sorted_tile = binning_sorted_tile(sorted_key, fused_depth16=True,
+                                      plan_tuple=None)
+    starts, counts = B.extract_tile_ranges(sorted_tile, tiles_x * tiles_y)
+    if max_per_tile > 0:
+        # Local parity: silent per-tile drop past the fixed capacity
+        counts = jnp.minimum(counts, max_per_tile)
+    wtable = K.build_words_table((w0, w1, w2, w3), capacity)
+    tc, td = K.blend_tiles_pallas(wtable, starts, counts, tiles_x=tiles_x,
+                                  tiles_y=tiles_y, tile_w=tile_w,
+                                  tile_h=tile_h, depth_mode=depth_mode,
+                                  interpret=interpret)
+    color, depth = K.assemble_image(tc, td, tiles_x=tiles_x, tiles_y=tiles_y,
+                                    width=width, height=height,
+                                    tile_w=tile_w, tile_h=tile_h)
+    header = FrameHeader(
+        visible_count=visible_count,
+        total_instances=jnp.sum(counts).astype(jnp.int32),
+        overflow=overflow,
+        slot_total=slot_total,
+    )
+    return RenderOutput(color=color, depth=depth, header=header)
+
+
+def d16_sort_frame(*ops, num_keys: int = 1, is_stable: bool = True):
+    """Program 2: the bare single-key sort (nothing else may share it)."""
+    return jax.lax.sort(ops, num_keys=num_keys, is_stable=is_stable)
+
+
+def render_split16(renderer, tag, gi, view, proj, center, statics, n, *,
+                   depth_mode: str = "weighted", max_per_tile: int = 0):
+    """Three-program dispatch for Global/Local (see d16_pre_frame)."""
+    from .base import AotProgram
+
+    pre_keys = ("width", "height", "capacity", "sh_degree",
+                "alpha_threshold", "total_ink_threshold", "near_plane",
+                "far_plane", "input_is_srgb", "tile_w", "tile_h")
+    pre_statics = {k: statics[k] for k in pre_keys}
+    post_statics = dict(width=statics["width"], height=statics["height"],
+                        capacity=statics["capacity"],
+                        tile_w=statics["tile_w"], tile_h=statics["tile_h"],
+                        depth_mode=depth_mode, max_per_tile=max_per_tile)
+
+    sig = (tag, n, gi.sh_n_coeffs, str(gi.scales.dtype),
+           tuple(sorted(pre_statics.items())))
+    pre = renderer._program((tag + "_pre", sig), lambda: AotProgram(
+        d16_pre_frame, (tag + "_pre", sig), pre_statics))
+    outs = pre(gi, view, proj, center)
+    sort_ops = outs[:-3]
+    slot_total, overflow, visible_count = outs[-3:]
+
+    sort_sig = (tag + "_sort", statics["capacity"], len(sort_ops))
+    sortp = renderer._program(sort_sig, lambda: AotProgram(
+        d16_sort_frame, sort_sig, {}))
+    sorted_ops = sortp(*sort_ops)
+
+    post_sig = (tag + "_post", tuple(sorted(post_statics.items())))
+    post = renderer._program(post_sig, lambda: AotProgram(
+        d16_post_frame, post_sig, post_statics))
+    return post(sorted_ops[0], *sorted_ops[1:], slot_total, overflow,
+                visible_count)

@@ -25,7 +25,7 @@ from ..ops import binning as B
 from ..ops.project import project_and_cull
 from ..types import FrameHeader, GaussianInput, RenderOutput
 from .base import AotProgram, GaussianRenderer, instance_capacity
-from .common import fused_binning, sorted_instance_attrs
+from .common import fused_binning, render_split16, sorted_instance_attrs
 
 Array = Any
 
@@ -119,8 +119,19 @@ class GlobalRenderer(GaussianRenderer):
             back_to_front=c.back_to_front,
             use_xla_blend=self.use_xla_blend,
         )
-        key = ('global', n, gi.sh_n_coeffs, str(gi.scales.dtype), tuple(sorted(statics.items())))
-        prog = self._program(key, lambda: AotProgram(global_frame, key, statics))
-        out = prog(gi, view, proj, center)
+        split = getattr(self, "split_frame", None)
+        if split is None:
+            split = jax.default_backend() == "tpu"
+        if not self.use_xla_blend and split:
+            # 3-program split: the instance sort must own its program
+            # (composed-sort pathology — pipelines/common.py)
+            out = render_split16(self, "global", gi, view, proj, center,
+                                 statics, n)
+        else:
+            key = ('global', n, gi.sh_n_coeffs, str(gi.scales.dtype),
+                   tuple(sorted(statics.items())))
+            prog = self._program(
+                key, lambda: AotProgram(global_frame, key, statics))
+            out = prog(gi, view, proj, center)
         self.note_frame(n, out.header)
         return out

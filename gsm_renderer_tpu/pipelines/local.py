@@ -30,7 +30,7 @@ from ..ops import binning as B
 from ..ops.project import project_and_cull
 from ..types import FrameHeader, GaussianInput, RenderOutput
 from .base import AotProgram, GaussianRenderer, instance_capacity
-from .common import fused_binning, sorted_instance_attrs
+from .common import fused_binning, render_split16, sorted_instance_attrs
 
 Array = Any
 
@@ -121,8 +121,19 @@ class LocalRenderer(GaussianRenderer):
             tile_w=cfg.LOCAL_TILE[0], tile_h=cfg.LOCAL_TILE[1],
             use_xla_blend=self.use_xla_blend,
         )
-        key = ('local', n, gi.sh_n_coeffs, str(gi.scales.dtype), tuple(sorted(statics.items())))
-        prog = self._program(key, lambda: AotProgram(local_frame, key, statics))
-        out = prog(gi, view, proj, center)
+        split = getattr(self, "split_frame", None)
+        if split is None:
+            split = jax.default_backend() == "tpu"
+        if not self.use_xla_blend and split:
+            # 3-program split with the Local first-hit depth + per-tile cap
+            out = render_split16(self, "local", gi, view, proj, center,
+                                 statics, n, depth_mode="first_hit",
+                                 max_per_tile=cfg.LOCAL_MAX_PER_TILE)
+        else:
+            key = ('local', n, gi.sh_n_coeffs, str(gi.scales.dtype),
+                   tuple(sorted(statics.items())))
+            prog = self._program(
+                key, lambda: AotProgram(local_frame, key, statics))
+            out = prog(gi, view, proj, center)
         self.note_frame(n, out.header)
         return out

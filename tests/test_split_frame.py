@@ -76,6 +76,54 @@ def test_split_frame_matches_fused(depth_key_bits, tile_id_bits):
             int(getattr(split.header, field)), field
 
 
+@pytest.mark.parametrize("pipeline", ["global", "local"])
+def test_d16_split_frame_matches_fused(pipeline):
+    from gsm_renderer_tpu.pipelines import common as C
+    from gsm_renderer_tpu.pipelines import global_ as GP
+    from gsm_renderer_tpu.pipelines import local as LP
+
+    n = 3000
+    w, h = 256, 128
+    tile_w, tile_h = (32, 16) if pipeline == "global" else (16, 16)
+    ds = generate_visible_gaussians(n, sh_degree=1,
+                                    scale_range=(0.01, 0.05), seed=3)
+    cam = G.make_camera(w, h, far=20.0)
+    gi = ds.to_input()
+    view, proj, center = cam.astuple_jax()
+    capacity = 4096 * 4
+    statics = dict(width=w, height=h, capacity=capacity, sh_degree=1,
+                   alpha_threshold=0.005, total_ink_threshold=2.0,
+                   near_plane=0.1, far_plane=20.0, input_is_srgb=False,
+                   tile_w=tile_w, tile_h=tile_h)
+
+    if pipeline == "global":
+        fused = GP.global_frame(gi, view, proj, center, interpret=True,
+                                **statics)
+        depth_mode, mpt = "weighted", 0
+    else:
+        fused = LP.local_frame(gi, view, proj, center, interpret=True,
+                               **statics)
+        depth_mode, mpt = "first_hit", 2048
+
+    outs = C.d16_pre_frame(gi, view, proj, center, interpret=True, **statics)
+    sort_ops = outs[:-3]
+    slot_total, overflow, visible_count = outs[-3:]
+    assert len(sort_ops) == 5
+    sorted_ops = C.d16_sort_frame(*sort_ops)
+    split = C.d16_post_frame(sorted_ops[0], *sorted_ops[1:], slot_total,
+                             overflow, visible_count, interpret=True,
+                             width=w, height=h, capacity=capacity,
+                             tile_w=tile_w, tile_h=tile_h,
+                             depth_mode=depth_mode, max_per_tile=mpt)
+
+    assert np.array_equal(np.asarray(fused.color), np.asarray(split.color))
+    assert np.array_equal(np.asarray(fused.depth), np.asarray(split.depth))
+    for field in ("visible_count", "total_instances", "overflow",
+                  "slot_total"):
+        assert int(getattr(fused.header, field)) == \
+            int(getattr(split.header, field)), field
+
+
 def test_stereo_split_frame_matches_fused():
     n = 2500
     w, h = 192, 128
