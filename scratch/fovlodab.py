@@ -27,7 +27,8 @@ def main():
     cam = G.make_camera(w, h, far=50.0)
     stereo = G.make_side_by_side_stereo(cam)
     gi = ds.to_input()
-    tgt = G.make_rate_maps(w, h, min_rate=0.4, radius=0.3)
+    from gsm_renderer_tpu.stereo import make_rate_maps
+    tgt = make_rate_maps(w, h, min_rate=0.4, radius=0.3)
 
     lods = [0.0, 0.5, 1.0] if len(sys.argv) < 2 else \
         [float(x) for x in sys.argv[1].split(",")]
