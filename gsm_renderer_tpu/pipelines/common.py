@@ -192,7 +192,7 @@ def binning_sort_operands(visible, min_tx, min_ty, max_tx, rect_count,
                           tile_row_offset=None, warped_bounds=None,
                           precount: bool = True, mask_override=None,
                           use_prep: bool | None = None, lod_min: float = 0.0,
-                          key_plan=None):
+                          key_plan=None, packed=None):
     """Core fused binning UP TO the instance sort, over arbitrary carried
     word lists (mono carries the 4-word record; stereo carries 8 words =
     both eyes' records).
@@ -222,8 +222,34 @@ def binning_sort_operands(visible, min_tx, min_ty, max_tx, rect_count,
 
     plan_tuple = None
     if key_plan is not None and not fused_depth16:
-        depth_sort_word = key_plan.normalize(depth_sort_word)
+        if packed is None:
+            depth_sort_word = key_plan.normalize(depth_sort_word)
         plan_tuple = key_plan.kernel_tuple
+
+    if packed is not None:
+        # Pallas-projected inputs (kernels/project.project_and_cull_packed):
+        # rect word / rect_h / normalized depth word / record words arrive
+        # prep-ready straight from the fused projection kernel.
+        mode = "mono" if exact_test is True else "stereo"
+        tab = E.binning_prep_pallas(
+            packed.rect_word, packed.rect_h, packed.dsw,
+            packed.words, tile_w=tile_w, tile_h=tile_h,
+            alpha_threshold=alpha_threshold, interpret=interpret, mode=mode,
+            warped_bounds=warped_bounds, lod_min=lod_min)
+        outs = E.expand_slots_pallas(
+            None, None, None, capacity=capacity, tiles_x=tiles_x,
+            fused_depth16=fused_depth16, exact_test=exact_test,
+            tile_w=tile_w, tile_h=tile_h, alpha_threshold=alpha_threshold,
+            prebuilt_tab=tab, n_gaussians=packed.visible.shape[0],
+            warped_bounds=warped_bounds, interpret=interpret,
+            key_plan=plan_tuple)
+        key, d_slot = outs[0], outs[1]
+        slot_words = outs[2:-2]
+        total, overflow = outs[-2], outs[-1]
+        sort_ops = (key, d_slot, *slot_words)
+        num_keys, is_stable, drop = 2, (plan_tuple is None), 1
+        return (sort_ops, (num_keys, is_stable, drop), plan_tuple, total,
+                overflow)
 
     if use_prep is None:
         use_prep = (use_pallas and precount

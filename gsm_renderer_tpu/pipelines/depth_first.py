@@ -44,6 +44,7 @@ Array = Any
 def depth_first_frame(
     gi: GaussianInput,
     view: Array, proj: Array, center: Array,
+    comp: Array | None = None, harm: Array | None = None,
     *,
     width: int, height: int, capacity: int,
     sh_degree: int, alpha_threshold: float, total_ink_threshold: float,
@@ -54,10 +55,19 @@ def depth_first_frame(
     depth_key_bits: int = 32,
     tile_id_bits: int = 16,
     max_per_tile: int = 0,
+    depth_mode: str = "weighted",
+    blocks_per_dma: int = 2,
+    r2_cutoff: float = 0.0,
     use_xla_blend: bool = False,
     interpret: bool = False,
+    pallas_project: bool = True,
 ):
-    """The complete DepthFirst frame program (jit-compatible; all kwargs static)."""
+    """The complete DepthFirst frame program (jit-compatible; all kwargs static).
+
+    ``exact_tile_test=False`` + ``depth_mode="normalized"`` + ``r2_cutoff=9``
+    is the HardwareRenderer configuration (quads cover their OBB rect with a
+    per-pixel r^2 cutoff and alpha-normalized depth — see pipelines/hardware.py).
+    """
     tiles_x, tiles_y = cfg.tiles_for(width, height, tile_w, tile_h)
     num_tiles = tiles_x * tiles_y
     # tileIdPrecision (DepthFirstRenderer.swift:45-50): 16-bit instance tile
@@ -66,27 +76,6 @@ def depth_first_frame(
         raise ValueError(
             f"tile_id_precision BITS16 cannot address {num_tiles} tiles; use "
             "TileIdPrecision.BITS32")
-
-    with jax.named_scope("project_cull"):
-        pr = project_and_cull(
-            gi, view, proj, center,
-            width=width, height=height, tile_w=tile_w, tile_h=tile_h,
-            sh_degree=sh_degree, near_plane=near_plane, far_plane=far_plane,
-            alpha_threshold=alpha_threshold,
-            total_ink_threshold=total_ink_threshold,
-            input_is_srgb=input_is_srgb,
-        )
-
-    depth_key = pr.depth_key
-    if depth_key_bits == 16:
-        # 16-bit key re-quantization (DF_DEPTH_KEY_16 function constant,
-        # VisibilityCompactionEncoder.swift:29-34): half bits ^ 0x8000.
-        from .. import mathlib as M
-        dk16 = M.half_depth_key16(M.sortable_uint_to_float(depth_key))
-        depth_key = jnp.where(pr.visible, dk16, jnp.uint32(0xFFFFFFFF))
-    # back_to_front maps to the same front-to-back transmittance program (the
-    # two blend orders produce identical radiance; see pipelines/hardware.py).
-    del back_to_front
 
     # With 16-bit tile ids AND 16-bit depth keys both orderings fit one fused
     # 32-bit key [tile:16 | depth16:16] — a single-key sort, exactly the
@@ -100,22 +89,82 @@ def depth_first_frame(
     # order (ops/binning.KeyPlan; None falls back to the stable sort).
     key_plan = None
     if not fuse_key:
-        n_static = pr.depth_key.shape[0]
         if depth_key_bits == 16:
-            key_plan = B.make_key_plan(num_tiles, n_static,
+            key_plan = B.make_key_plan(num_tiles, gi.count,
                                        depth_span_bits=16)
         else:
-            key_plan = B.make_key_plan(num_tiles, n_static,
+            key_plan = B.make_key_plan(num_tiles, gi.count,
                                        near_plane=near_plane,
                                        far_plane=far_plane)
 
-    with jax.named_scope("fused_binning"):
-        sorted_tile, sorted_words, total_live, overflow, sw, slot_total = fused_binning(
-            pr, depth_key, capacity=capacity, tiles_x=tiles_x,
-            fused_depth16=fuse_key,
-            use_pallas=not use_xla_blend, interpret=interpret,
-            exact_test=exact_tile_test, tile_w=tile_w, tile_h=tile_h,
-            alpha_threshold=alpha_threshold, key_plan=key_plan)
+    # back_to_front maps to the same front-to-back transmittance program (the
+    # two blend orders produce identical radiance; see pipelines/hardware.py).
+    del back_to_front
+
+    # Fused Pallas projection (kernels/project.py): project + cull +
+    # quantize + pack in one HBM pass — the XLA chain costs ~3.5 ms at the
+    # headline vs ~1 ms fused (scratch/projab.py, visible-row bitexact).
+    use_pallas_project = (pallas_project
+                          and not use_xla_blend and exact_tile_test is True
+                          and depth_key_bits == 32 and key_plan is not None
+                          and max_per_tile <= 0)
+    if use_pallas_project:
+        from ..kernels.project import project_and_cull_packed
+        with jax.named_scope("project_cull"):
+            packed = project_and_cull_packed(
+                gi, view, proj, center,
+                width=width, height=height, tile_w=tile_w, tile_h=tile_h,
+                sh_degree=sh_degree, near_plane=near_plane,
+                far_plane=far_plane, alpha_threshold=alpha_threshold,
+                total_ink_threshold=total_ink_threshold,
+                input_is_srgb=input_is_srgb, key_plan=key_plan,
+                interpret=interpret,
+                prepared=None if comp is None else (comp, harm))
+        with jax.named_scope("fused_binning"):
+            sort_ops, (num_keys, is_stable, drop), plan_tuple, slot_total, \
+                overflow = binning_sort_operands(
+                    None, None, None, None, None, None, None,
+                    capacity=capacity, tiles_x=tiles_x, fused_depth16=False,
+                    use_pallas=True, interpret=interpret, exact_test=True,
+                    tile_w=tile_w, tile_h=tile_h,
+                    alpha_threshold=alpha_threshold, key_plan=key_plan,
+                    packed=packed)
+            ops = jax.lax.sort(sort_ops, num_keys=num_keys,
+                               is_stable=is_stable)
+            sorted_key, sw = ops[0], ops[1 + drop:]
+            sorted_tile = binning_sorted_tile(sorted_key, fused_depth16=False,
+                                              plan_tuple=plan_tuple)
+        visible = packed.visible
+        total_live = None
+    else:
+        with jax.named_scope("project_cull"):
+            pr = project_and_cull(
+                gi, view, proj, center,
+                width=width, height=height, tile_w=tile_w, tile_h=tile_h,
+                sh_degree=sh_degree, near_plane=near_plane,
+                far_plane=far_plane,
+                alpha_threshold=alpha_threshold,
+                total_ink_threshold=total_ink_threshold,
+                input_is_srgb=input_is_srgb,
+            )
+
+        depth_key = pr.depth_key
+        if depth_key_bits == 16:
+            # 16-bit key re-quantization (DF_DEPTH_KEY_16 function constant,
+            # VisibilityCompactionEncoder.swift:29-34): half bits ^ 0x8000.
+            from .. import mathlib as M
+            dk16 = M.half_depth_key16(M.sortable_uint_to_float(depth_key))
+            depth_key = jnp.where(pr.visible, dk16, jnp.uint32(0xFFFFFFFF))
+
+        with jax.named_scope("fused_binning"):
+            sorted_tile, sorted_words, total_live, overflow, sw, slot_total = \
+                fused_binning(
+                    pr, depth_key, capacity=capacity, tiles_x=tiles_x,
+                    fused_depth16=fuse_key,
+                    use_pallas=not use_xla_blend, interpret=interpret,
+                    exact_test=exact_tile_test, tile_w=tile_w, tile_h=tile_h,
+                    alpha_threshold=alpha_threshold, key_plan=key_plan)
+        visible = pr.visible
 
     with jax.named_scope("tile_ranges"):
         starts, counts = B.extract_tile_ranges(sorted_tile, num_tiles)
@@ -137,13 +186,19 @@ def depth_first_frame(
             mpt = max_per_tile if max_per_tile > 0 else min(capacity, 4096)
             tc, td = K.blend_tiles_xla(table, starts, counts, tiles_x=tiles_x,
                                        tiles_y=tiles_y, max_per_tile=mpt,
-                                       tile_w=tile_w, tile_h=tile_h)
+                                       tile_w=tile_w, tile_h=tile_h,
+                                       depth_mode=depth_mode,
+                                       r2_cutoff=r2_cutoff)
         else:
             wtable = K.build_words_table(sw, capacity)
             tc, td = K.blend_tiles_pallas(wtable, starts, counts,
                                           tiles_x=tiles_x,
                                           tiles_y=tiles_y, tile_w=tile_w,
-                                          tile_h=tile_h, interpret=interpret)
+                                          tile_h=tile_h,
+                                          depth_mode=depth_mode,
+                                          blocks_per_dma=blocks_per_dma,
+                                          r2_cutoff=r2_cutoff,
+                                          interpret=interpret)
     with jax.named_scope("assemble"):
         color, depth = K.assemble_image(tc, td, tiles_x=tiles_x,
                                         tiles_y=tiles_y,
@@ -151,7 +206,7 @@ def depth_first_frame(
                                         tile_w=tile_w, tile_h=tile_h)
 
     header = FrameHeader(
-        visible_count=jnp.sum(pr.visible).astype(jnp.int32),
+        visible_count=jnp.sum(visible).astype(jnp.int32),
         # post-exact-test instance count (reference totalInstances semantics)
         total_instances=jnp.sum(counts).astype(jnp.int32)
         if max_per_tile <= 0 else total_live,
@@ -183,6 +238,7 @@ def _mono_key_statics(n_gaussians: int, *, width, height, tile_w, tile_h,
 def depth_first_pre_frame(
     gi: GaussianInput,
     view: Array, proj: Array, center: Array,
+    comp: Array | None = None, harm: Array | None = None,
     *,
     width: int, height: int, capacity: int,
     sh_degree: int, alpha_threshold: float, total_ink_threshold: float,
@@ -206,6 +262,38 @@ def depth_first_pre_frame(
     """
     tiles_x, tiles_y = cfg.tiles_for(width, height, tile_w, tile_h)
     del back_to_front
+    fuse_key, key_plan = _mono_key_statics(
+        gi.count, width=width, height=height, tile_w=tile_w,
+        tile_h=tile_h, depth_key_bits=depth_key_bits,
+        tile_id_bits=tile_id_bits, near_plane=near_plane,
+        far_plane=far_plane)
+
+    # fused Pallas projection (see depth_first_frame)
+    if (exact_tile_test is True and depth_key_bits == 32
+            and key_plan is not None):
+        from ..kernels.project import project_and_cull_packed
+        with jax.named_scope("project_cull"):
+            packed = project_and_cull_packed(
+                gi, view, proj, center,
+                width=width, height=height, tile_w=tile_w, tile_h=tile_h,
+                sh_degree=sh_degree, near_plane=near_plane,
+                far_plane=far_plane, alpha_threshold=alpha_threshold,
+                total_ink_threshold=total_ink_threshold,
+                input_is_srgb=input_is_srgb, key_plan=key_plan,
+                interpret=interpret,
+                prepared=None if comp is None else (comp, harm))
+        with jax.named_scope("binning_prep"):
+            sort_ops, _spec, _plan, slot_total, overflow = \
+                binning_sort_operands(
+                    None, None, None, None, None, None, None,
+                    capacity=capacity, tiles_x=tiles_x, fused_depth16=False,
+                    use_pallas=True, interpret=interpret, exact_test=True,
+                    tile_w=tile_w, tile_h=tile_h,
+                    alpha_threshold=alpha_threshold, key_plan=key_plan,
+                    packed=packed)
+        visible_count = jnp.sum(packed.visible).astype(jnp.int32)
+        return (*sort_ops, slot_total, overflow, visible_count)
+
     with jax.named_scope("project_cull"):
         pr = project_and_cull(
             gi, view, proj, center,
@@ -220,11 +308,6 @@ def depth_first_pre_frame(
         from .. import mathlib as M
         dk16 = M.half_depth_key16(M.sortable_uint_to_float(depth_key))
         depth_key = jnp.where(pr.visible, dk16, jnp.uint32(0xFFFFFFFF))
-    fuse_key, key_plan = _mono_key_statics(
-        pr.depth_key.shape[0], width=width, height=height, tile_w=tile_w,
-        tile_h=tile_h, depth_key_bits=depth_key_bits,
-        tile_id_bits=tile_id_bits, near_plane=near_plane,
-        far_plane=far_plane)
 
     words = pack_record_words(pr.record)
     word_list = [words[:, k] for k in range(4)]
@@ -255,6 +338,9 @@ def depth_first_post_frame(
     tile_w: int = 16, tile_h: int = 16,
     depth_key_bits: int = 32,
     tile_id_bits: int = 16,
+    depth_mode: str = "weighted",
+    blocks_per_dma: int = 2,
+    r2_cutoff: float = 0.0,
     interpret: bool = False,
 ):
     """Program 3 of the production frame: sorted keys -> tile ranges ->
@@ -283,6 +369,9 @@ def depth_first_post_frame(
         tc, td = K.blend_tiles_pallas(wtable, starts, counts,
                                       tiles_x=tiles_x, tiles_y=tiles_y,
                                       tile_w=tile_w, tile_h=tile_h,
+                                      depth_mode=depth_mode,
+                                      blocks_per_dma=blocks_per_dma,
+                                      r2_cutoff=r2_cutoff,
                                       interpret=interpret)
     with jax.named_scope("assemble"):
         color, depth = K.assemble_image(tc, td, tiles_x=tiles_x,
@@ -352,40 +441,23 @@ class DepthFirstRenderer(GaussianRenderer):
                                   stereo=True)[..., 0]
         return RenderOutput(color=color, depth=depth, header=out.header)
 
+    #: mono program-cache tag + capacity factor (HardwareRenderer overrides:
+    #: full-rect expansion, no exact test — its quads cover their OBB rect)
+    _mono_key = "df"
+    _mono_capacity_factor: int | None = None
+
+    def _mono_statics(self):
+        """Per-renderer mono frame statics (HardwareRenderer overrides with
+        exact_tile_test=False + normalized depth + r^2 cutoff + its
+        submission granularity)."""
+        return {}
+
     def render(self, gi: GaussianInput, camera: CameraParams,
                width: int, height: int) -> RenderOutput:
-        self.validate_inputs(gi, width, height)
-        n = gi.count
-        c = self.config
-        view, proj, center = camera.astuple_jax()
-        statics = dict(
-            width=width, height=height, capacity=self.pick_capacity(n),
-            sh_degree=min(c.sh_degree, {1: 0, 4: 1, 9: 2, 16: 3}[gi.sh_n_coeffs]),
-            alpha_threshold=c.alpha_threshold,
-            total_ink_threshold=c.total_ink_threshold,
-            near_plane=camera.near_plane, far_plane=camera.far_plane,
-            input_is_srgb=(c.gaussian_color_space == cfg.GaussianColorSpace.SRGB),
-            tile_w=cfg.DEPTH_FIRST_TILE[0], tile_h=cfg.DEPTH_FIRST_TILE[1],
-            depth_key_bits=c.depth_sort_key_precision.value,
-            tile_id_bits=c.tile_id_precision.value,
-            back_to_front=c.back_to_front,
-            use_xla_blend=self.use_xla_blend,
-        )
-        split = self.split_frame
-        if split is None:
-            split = jax.default_backend() == "tpu"
-        if not self.use_xla_blend and split:
-            out = self._render_split(gi, view, proj, center, statics, n)
-        else:
-            key = ("df", n, gi.sh_n_coeffs, str(gi.scales.dtype),
-                   tuple(sorted(statics.items())))
-            prog = self._program(
-                key, lambda: AotProgram(depth_first_frame, key, statics))
-            out = prog(gi, view, proj, center)
-        self.note_frame(n, out.header)
-        return out
+        return _mono_render(self, gi, camera, width, height)
 
-    def _render_split(self, gi, view, proj, center, statics, n):
+    def _render_split(self, gi, view, proj, center, statics, n,
+                      prep_args=()):
         """Production 3-program frame: pre (project+prep+expand) | bare sort |
         post (ranges+blend+assemble).  The instance sort must NOT share an
         XLA program with other stages — memory-space-assignment pins
@@ -393,11 +465,16 @@ class DepthFirstRenderer(GaussianRenderer):
         collapses (~10.3 ms composed vs ~4.5 standalone at the 3.0M
         headline; see depth_first_pre_frame and BACKLOG receipts)."""
         pre_statics = {k: v for k, v in statics.items()
-                       if k not in ("use_xla_blend",)}
+                       if k not in ("use_xla_blend", "depth_mode",
+                                    "blocks_per_dma", "r2_cutoff",
+                                    "max_per_tile")}
         post_keys = ("width", "height", "capacity", "alpha_threshold",
                      "near_plane", "far_plane", "tile_w", "tile_h",
                      "depth_key_bits", "tile_id_bits")
         post_statics = {k: statics[k] for k in post_keys}
+        for k in ("depth_mode", "blocks_per_dma", "r2_cutoff"):
+            if k in statics:
+                post_statics[k] = statics[k]
         post_statics["n_gaussians"] = n
 
         fuse_key, key_plan = _mono_key_statics(
@@ -414,11 +491,11 @@ class DepthFirstRenderer(GaussianRenderer):
         else:
             num_keys, is_stable, drop = 2, True, 1
 
-        sig = (n, gi.sh_n_coeffs, str(gi.scales.dtype),
+        sig = (n, gi.sh_n_coeffs, str(gi.scales.dtype), len(prep_args),
                tuple(sorted(pre_statics.items())))
         pre = self._program(("df_pre", sig), lambda: AotProgram(
             depth_first_pre_frame, ("df_pre", sig), pre_statics))
-        outs = pre(gi, view, proj, center)
+        outs = pre(gi, view, proj, center, *prep_args)
         sort_ops = outs[:-3]
         slot_total, overflow, visible_count = outs[-3:]
 
@@ -435,6 +512,64 @@ class DepthFirstRenderer(GaussianRenderer):
         post = self._program(post_sig, lambda: AotProgram(
             depth_first_post_frame, post_sig, post_statics))
         return post(sorted_key, *sw, slot_total, overflow, visible_count)
+
+
+def _mono_render(self, gi, camera, width, height):
+    """render() implementation shared by DepthFirstRenderer and
+    HardwareRenderer (the latter overrides ``_mono_statics`` /
+    ``_mono_key`` / ``_mono_capacity_factor`` — see pipelines/hardware.py).
+    Auto-selects the 3-program split on real local TPU backends."""
+    self.validate_inputs(gi, width, height)
+    n = gi.count
+    c = self.config
+    view, proj, center = camera.astuple_jax()
+    statics = dict(
+        width=width, height=height,
+        capacity=self.pick_capacity(n, self._mono_capacity_factor,
+                                    kind=self._mono_key),
+        sh_degree=min(c.sh_degree, {1: 0, 4: 1, 9: 2, 16: 3}[gi.sh_n_coeffs]),
+        alpha_threshold=c.alpha_threshold,
+        total_ink_threshold=c.total_ink_threshold,
+        near_plane=camera.near_plane, far_plane=camera.far_plane,
+        input_is_srgb=(c.gaussian_color_space == cfg.GaussianColorSpace.SRGB),
+        tile_w=cfg.DEPTH_FIRST_TILE[0], tile_h=cfg.DEPTH_FIRST_TILE[1],
+        depth_key_bits=c.depth_sort_key_precision.value,
+        tile_id_bits=c.tile_id_precision.value,
+        back_to_front=c.back_to_front,
+        use_xla_blend=self.use_xla_blend,
+    )
+    statics.update(self._mono_statics())
+    # per-input cached projection layout when the fused Pallas projection
+    # kernel applies (kernels/project.prepare_projection_inputs: keeps the
+    # ~0.7 ms pad/slice prologue out of the frame program)
+    prep_args = ()
+    if (not self.use_xla_blend
+            and statics.get("exact_tile_test", True) is True
+            and statics["depth_key_bits"] == 32):
+        _fk, kp = _mono_key_statics(
+            n, width=width, height=height,
+            tile_w=statics["tile_w"], tile_h=statics["tile_h"],
+            depth_key_bits=statics["depth_key_bits"],
+            tile_id_bits=statics["tile_id_bits"],
+            near_plane=statics["near_plane"],
+            far_plane=statics["far_plane"])
+        if kp is not None:
+            from ..kernels.project import cached_projection_inputs
+            prep_args = cached_projection_inputs(gi, statics["sh_degree"])
+    split = self.split_frame
+    if split is None:
+        split = jax.default_backend() == "tpu"
+    if not self.use_xla_blend and split:
+        out = self._render_split(gi, view, proj, center, statics, n,
+                                 prep_args)
+    else:
+        key = (self._mono_key, n, gi.sh_n_coeffs, str(gi.scales.dtype),
+               len(prep_args), tuple(sorted(statics.items())))
+        prog = self._program(
+            key, lambda: AotProgram(depth_first_frame, key, statics))
+        out = prog(gi, view, proj, center, *prep_args)
+    self.note_frame(n, out.header, kind=self._mono_key)
+    return out
 
 
 def depth_first_stereo_frame(
@@ -725,6 +860,8 @@ def depth_first_stereo_foveated_frame(
     sh_degree: int, alpha_threshold: float, total_ink_threshold: float,
     near_plane: float, far_plane: float, input_is_srgb: bool,
     tile_w: int = 16, tile_h: int = 16,
+    depth_mode: str = "weighted",
+    blocks_per_dma: int = 2,
     use_xla_blend: bool = False,
     interpret: bool = False,
     foveated_lod: float = 0.0,
@@ -853,13 +990,15 @@ def depth_first_stereo_foveated_frame(
             eye_raster.append(K.blend_tiles_xla(
                 table, starts, counts, tiles_x=tiles_x, tiles_y=tiles_y,
                 max_per_tile=min(capacity, 4096), tile_w=tile_w, tile_h=tile_h,
+                depth_mode=depth_mode,
                 r2_cutoff=9.0, pixel_coords=(coord_x, coord_y)))
     else:
         # single-pass dual-eye blend (see depth_first_stereo_frame)
         wtable = K.build_words_table(list(sw), capacity)
         eye_raster = K.blend_tiles_pallas(
             wtable, starts, counts, tiles_x=tiles_x, tiles_y=tiles_y,
-            tile_w=tile_w, tile_h=tile_h, r2_cutoff=9.0,
+            tile_w=tile_w, tile_h=tile_h, depth_mode=depth_mode,
+            blocks_per_dma=blocks_per_dma, r2_cutoff=9.0,
             interpret=interpret, pixel_coords=(coord_x, coord_y), n_eyes=2)
     eyes = [K.assemble_image(tc, td, tiles_x=tiles_x, tiles_y=tiles_y,
                              width=render_width, height=render_height,
@@ -877,8 +1016,192 @@ def depth_first_stereo_foveated_frame(
     return RenderOutput(color=color, depth=depth, header=header)
 
 
+def depth_first_stereo_foveated_pre_frame(
+    gi: GaussianInput,
+    views: Array, projs: Array, centers: Array, scene_transform: Array,
+    inv_fit: Array, warp_bounds: Array,
+    *,
+    display_width: int, display_height: int,
+    render_width: int, render_height: int, capacity: int,
+    sh_degree: int, alpha_threshold: float, total_ink_threshold: float,
+    near_plane: float, far_plane: float, input_is_srgb: bool,
+    tile_w: int = 16, tile_h: int = 16,
+    interpret: bool = False,
+    foveated_lod: float = 0.0,
+):
+    """Program 1 of the foveated-stereo 3-program frame (see
+    depth_first_pre_frame: the instance sort must own its program): stereo
+    project + warped re-binning + fused warped prep/expand, stopping at the
+    10 sort operands.  Returns (*sort_ops, slot_total, overflow,
+    visible_count, total_live)."""
+    from ..ops.project import stereo_project_and_cull
+    from .common import binning_sort_operands
+
+    tiles_x, tiles_y = cfg.tiles_for(render_width, render_height,
+                                     tile_w, tile_h)
+    num_tiles = tiles_x * tiles_y
+    pr = stereo_project_and_cull(
+        gi, views, projs, centers,
+        width=display_width, height=display_height, tile_w=tile_w,
+        tile_h=tile_h, sh_degree=sh_degree, near_plane=near_plane,
+        far_plane=far_plane, alpha_threshold=alpha_threshold,
+        total_ink_threshold=total_ink_threshold,
+        input_is_srgb=input_is_srgb, scene_transform=scene_transform,
+    )
+
+    def inv_map(v, axis):
+        row = inv_fit[axis]
+        lo, hi, margin = row[10], row[11], row[12]
+        t = (v - lo) / (hi - lo) * 2.0 - 1.0
+        acc = row[0]
+        for k in range(1, 10):
+            acc = acc * t + row[k]
+        return acc, margin
+
+    sx0, mx = inv_map(pr.px_min, 0)
+    sx1, _ = inv_map(pr.px_max, 0)
+    sy0, my = inv_map(pr.py_min, 1)
+    sy1, _ = inv_map(pr.py_max, 1)
+    inv_tw = 1.0 / float(tile_w)
+    inv_th = 1.0 / float(tile_h)
+    min_tx = jnp.clip(jnp.floor((sx0 - mx) * inv_tw).astype(jnp.int32),
+                      0, tiles_x - 1)
+    max_tx = jnp.clip(jnp.floor((sx1 + mx) * inv_tw).astype(jnp.int32),
+                      0, tiles_x - 1)
+    min_ty = jnp.clip(jnp.floor((sy0 - my) * inv_th).astype(jnp.int32),
+                      0, tiles_y - 1)
+    max_ty = jnp.clip(jnp.floor((sy1 + my) * inv_th).astype(jnp.int32),
+                      0, tiles_y - 1)
+    visible = pr.visible & (min_tx <= max_tx) & (min_ty <= max_ty)
+    rect_count = jnp.where(
+        visible, (max_tx - min_tx + 1) * (max_ty - min_ty + 1), 0
+    ).astype(jnp.int32)
+
+    words_l = pack_record_words(pr.record_left)
+    words_r = pack_record_words(pr.record_right)
+    word_list = ([words_l[:, k] for k in range(4)]
+                 + [words_r[:, k] for k in range(4)])
+    key_plan = B.make_key_plan(num_tiles, pr.depth_key.shape[0],
+                               near_plane=near_plane, far_plane=far_plane)
+    sort_ops, _spec, _plan, slot_total, overflow = binning_sort_operands(
+        visible, min_tx, min_ty, max_tx, rect_count,
+        pr.depth_key, word_list, capacity=capacity, tiles_x=tiles_x,
+        fused_depth16=False, use_pallas=True, interpret=interpret,
+        exact_test="stereo", tile_w=tile_w, tile_h=tile_h,
+        warped_bounds=warp_bounds, lod_min=foveated_lod, key_plan=key_plan)
+    visible_count = jnp.sum(pr.visible).astype(jnp.int32)
+    total_live = jnp.sum(
+        jnp.where(visible, rect_count, 0)).astype(jnp.int32)
+    return (*sort_ops, slot_total, overflow, visible_count, total_live)
+
+
+def depth_first_stereo_foveated_post_frame(
+    sorted_key: Array,
+    w0: Array, w1: Array, w2: Array, w3: Array,
+    w4: Array, w5: Array, w6: Array, w7: Array,
+    coord_x: Array, coord_y: Array,
+    slot_total: Array, overflow: Array, visible_count: Array,
+    total_live: Array,
+    *,
+    render_width: int, render_height: int, capacity: int, n_gaussians: int,
+    near_plane: float, far_plane: float,
+    tile_w: int = 16, tile_h: int = 16,
+    depth_mode: str = "weighted",
+    blocks_per_dma: int = 2,
+    interpret: bool = False,
+):
+    """Program 3 of the foveated frame: ranges -> warped dual-eye blend ->
+    (H_phys, 2W_phys)."""
+    tiles_x, tiles_y = cfg.tiles_for(render_width, render_height,
+                                     tile_w, tile_h)
+    num_tiles = tiles_x * tiles_y
+    key_plan = B.make_key_plan(num_tiles, n_gaussians,
+                               near_plane=near_plane, far_plane=far_plane)
+    plan_tuple = key_plan.kernel_tuple if key_plan is not None else None
+    sorted_tile = binning_sorted_tile(sorted_key, fused_depth16=False,
+                                      plan_tuple=plan_tuple)
+    starts, counts = B.extract_tile_ranges(sorted_tile, num_tiles)
+    sw = (w0, w1, w2, w3, w4, w5, w6, w7)
+    wtable = K.build_words_table(list(sw), capacity)
+    eye_raster = K.blend_tiles_pallas(
+        wtable, starts, counts, tiles_x=tiles_x, tiles_y=tiles_y,
+        tile_w=tile_w, tile_h=tile_h, depth_mode=depth_mode,
+        blocks_per_dma=blocks_per_dma, r2_cutoff=9.0,
+        interpret=interpret, pixel_coords=(coord_x, coord_y), n_eyes=2)
+    eyes = [K.assemble_image(tc, td, tiles_x=tiles_x, tiles_y=tiles_y,
+                             width=render_width, height=render_height,
+                             tile_w=tile_w, tile_h=tile_h)
+            for tc, td in eye_raster]
+    color = jnp.concatenate([eyes[0][0], eyes[1][0]], axis=1)
+    depth = jnp.concatenate([eyes[0][1], eyes[1][1]], axis=1)
+    header = FrameHeader(
+        visible_count=visible_count,
+        total_instances=total_live,
+        overflow=overflow,
+        slot_total=slot_total,
+    )
+    return RenderOutput(color=color, depth=depth, header=header)
+
+
+def _stereo_foveated_render_split(self, gi, views, projs, centers, st,
+                                  tabs_dev, statics, n):
+    """Foveated-stereo 3-program dispatch (pre | bare 10-operand sort |
+    post): the warp tables thread through pre (inv_fit + boundary tables)
+    AND post (per-pixel display coordinates)."""
+    inv_fit, coord_x, coord_y, warp_bounds = tabs_dev
+    pre_keys = ("display_width", "display_height", "render_width",
+                "render_height", "capacity", "sh_degree", "alpha_threshold",
+                "total_ink_threshold", "near_plane", "far_plane",
+                "input_is_srgb", "foveated_lod")
+    pre_statics = {k: statics[k] for k in pre_keys if k in statics}
+    post_statics = dict(
+        render_width=statics["render_width"],
+        render_height=statics["render_height"],
+        capacity=statics["capacity"], n_gaussians=n,
+        near_plane=statics["near_plane"], far_plane=statics["far_plane"],
+        depth_mode=statics.get("depth_mode", "weighted"),
+        blocks_per_dma=statics.get("blocks_per_dma", 2))
+
+    tiles_x, tiles_y = cfg.tiles_for(statics["render_width"],
+                                     statics["render_height"], 16, 16)
+    key_plan = B.make_key_plan(tiles_x * tiles_y, n,
+                               near_plane=statics["near_plane"],
+                               far_plane=statics["far_plane"])
+    if key_plan is not None:
+        num_keys, is_stable, drop = 2, False, 1
+    else:
+        num_keys, is_stable, drop = 2, True, 1
+
+    sig = (self._stereo_key, "fov", n, gi.sh_n_coeffs, str(gi.scales.dtype),
+           tuple(sorted(pre_statics.items())))
+    pre = self._program(("dff_pre", sig), lambda: AotProgram(
+        depth_first_stereo_foveated_pre_frame, ("dff_pre", sig),
+        pre_statics))
+    outs = pre(gi, views, projs, centers, st, inv_fit, warp_bounds)
+    sort_ops = outs[:-4]
+    slot_total, overflow, visible_count, total_live = outs[-4:]
+
+    sort_sig = ("dff_sort", statics["capacity"], len(sort_ops), num_keys,
+                is_stable)
+    sortp = self._program(sort_sig, lambda: AotProgram(
+        sort_frame, sort_sig, dict(num_keys=num_keys, is_stable=is_stable)))
+    sorted_ops = sortp(*sort_ops)
+    sorted_key = sorted_ops[0]
+    sw = sorted_ops[1 + drop:]
+
+    post_sig = (self._stereo_key, "dff_post",
+                tuple(sorted(post_statics.items())))
+    post = self._program(post_sig, lambda: AotProgram(
+        depth_first_stereo_foveated_post_frame, post_sig, post_statics))
+    return post(sorted_key, *sw, coord_x, coord_y, slot_total, overflow,
+                visible_count, total_live)
+
+
 def _stereo_foveated_render(self, gi, camera, target):
-    """render_stereo_foveated implementation (see the method docstring)."""
+    """render_stereo_foveated implementation (see the method docstring) —
+    shared by DepthFirstRenderer and HardwareRenderer (hardware statics via
+    ``_stereo_statics``), with the 3-program split auto-selected on real
+    local TPU backends (the warp tables thread through pre AND post)."""
     from ..stereo import foveated_raster_tables
 
     self.validate_inputs(gi, target.display_width, target.display_height)
@@ -894,12 +1217,13 @@ def _stereo_foveated_render(self, gi, camera, target):
         tabs_dev = tuple(jnp.asarray(tabs[k])
                          for k in ("inv_fit", "coord_x", "coord_y", "bounds"))
         target.__dict__["_jax_tabs"] = tabs_dev
+    fov_kind = self._stereo_key + "_fov"
     statics = dict(
         display_width=target.display_width,
         display_height=target.display_height,
         render_width=target.render_width, render_height=target.render_height,
         capacity=self.pick_capacity(n, cfg.FULL_RECT_CAPACITY_FACTOR,
-                                    kind="df_foveated"),
+                                    kind=fov_kind),
         sh_degree=min(c.sh_degree, {1: 0, 4: 1, 9: 2, 16: 3}[gi.sh_n_coeffs]),
         alpha_threshold=c.alpha_threshold,
         total_ink_threshold=c.total_ink_threshold,
@@ -908,10 +1232,20 @@ def _stereo_foveated_render(self, gi, camera, target):
         use_xla_blend=self.use_xla_blend,
         foveated_lod=c.foveated_lod,
     )
-    key = ("df_foveated", n, gi.sh_n_coeffs, str(gi.scales.dtype),
-           tuple(sorted(statics.items())))
-    prog = self._program(
-        key, lambda: AotProgram(depth_first_stereo_foveated_frame, key, statics))
-    out = prog(gi, views, projs, centers, st, *tabs_dev)
-    self.note_frame(n, out.header, kind="df_foveated")
+    statics.update(self._stereo_statics())
+    split = getattr(self, "split_frame", None)
+    if split is None:
+        split = jax.default_backend() == "tpu"
+    if not self.use_xla_blend and split:
+        out = _stereo_foveated_render_split(self, gi, views, projs, centers,
+                                            st, tabs_dev, statics, n)
+    else:
+        key = (fov_kind, n, gi.sh_n_coeffs, str(gi.scales.dtype),
+               tuple(sorted(statics.items())))
+        prog = self._program(
+            key,
+            lambda: AotProgram(depth_first_stereo_foveated_frame, key,
+                               statics))
+        out = prog(gi, views, projs, centers, st, *tabs_dev)
+    self.note_frame(n, out.header, kind=fov_kind)
     return out

@@ -4,9 +4,14 @@ The reference's tracing story is encoder labels + Xcode GPU capture and an
 unimplemented ``lastGPUTime`` stub (SURVEY.md section 5).  Here:
 
 * every renderer exposes a real ``last_gpu_time`` via ``render_timed``,
-* :func:`profile_depth_first_stages` measures a per-stage time split
-  (project / binning / sort / blend) by timing cumulative prefix programs on
-  the device — the measurement BASELINE.md requires alongside ms/frame,
+* :func:`profile_depth_first_stages` measures a per-stage time split using
+  OPERAND-PRESERVING cut-point programs: each cut is its own XLA program that
+  touches one element of EVERY live operand at the cut, so XLA cannot
+  dead-code-eliminate sort payloads or table planes near the cut.  The old
+  cumulative ``upto(k)`` method (kept as :func:`profile_depth_first_stages_upto`
+  for comparison, DEPRECATED) let XLA drop unused operands, misattributing
+  ~6 ms of composed-sort cost to the blend at the 1M/SH3/1080p headline
+  (see CLAUDE.md gotchas; scratch/stage3.py vs scratch/framesplit2.py),
 * the DepthFirst frame program annotates its stages with ``jax.named_scope``
   (pipelines/depth_first.py: project_cull / fused_binning / tile_ranges /
   blend / assemble) so device traces (``jax.profiler.trace``) group by stage.
@@ -15,27 +20,34 @@ unimplemented ``lastGPUTime`` stub (SURVEY.md section 5).  Here:
 from __future__ import annotations
 
 import time
+import warnings
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 
-def _time_program(fn, args, iters: int = 3, reps: int = 3) -> float:
-    """Best-of device time per call, amortizing dispatch with chained iters and
-    forcing sync with a host fetch (block_until_ready is unreliable on tunneled
-    backends)."""
+def _time_program(fn, args, short: int = 2, long_: int = 8,
+                  reps: int = 3) -> float:
+    """Slope-based device time per call: chains of two lengths with one host
+    fetch each; the fixed dispatch+fetch overhead cancels in the difference
+    (block_until_ready is unreliable on tunneled backends)."""
     f = jax.jit(fn)
     r = f(*args)
-    np.asarray(r).ravel()[:1]
-    best = 1e9
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            r = f(*args)
-        np.asarray(r).ravel()[:1]
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best * 1000.0
+    np.asarray(jax.tree_util.tree_leaves(r)[0]).ravel()[:1]
+
+    def chain(k):
+        best = 1e9
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            for _ in range(k):
+                r = f(*args)
+            np.asarray(jax.tree_util.tree_leaves(r)[0]).ravel()[:1]
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    a, b = chain(short), chain(long_)
+    return (b - a) / (long_ - short) * 1000.0
 
 
 def profile_depth_first_stages(gi, camera, width: int, height: int, *,
@@ -45,10 +57,157 @@ def profile_depth_first_stages(gi, camera, width: int, height: int, *,
                                use_pallas: bool = True):
     """Per-stage ms for the DepthFirst pipeline on the current backend.
 
-    Returns a dict with cumulative-prefix deltas: project, precount_pack,
-    expand, sort, attrs_table, blend, assemble (the "sort vs blend split" of
-    BASELINE.md).
+    Cut-point method (unbiased): builds one program per cut —
+    project | +prep | +expand | +sort | +ranges | full frame — where every
+    cut returns a scalar touching a single element of EVERY operand that is
+    live at the cut (Pallas calls are opaque, so one element retains the full
+    kernel; all sort operands are touched so the composed sort keeps its true
+    cost).  Stage cost = delta between consecutive cut programs, each timed
+    by chained-iteration slope.
+
+    Returns a dict: project, prep, expand, sort, ranges, blend (includes the
+    words-table build + assemble on the Pallas path), total.
     """
+    from . import config as cfg
+    from .kernels import blend as K
+    from .kernels import expand as E
+    from .ops import binning as B
+    from .ops.project import project_and_cull
+    from .pipelines.common import pack_record_words
+
+    n = gi.count
+    if capacity <= 0:
+        capacity = max(cfg.INSTANCE_CAPACITY_FACTOR * n, n + 1)
+    capacity = -(-capacity // 4096) * 4096
+    tiles_x, tiles_y = cfg.tiles_for(width, height, 16, 16)
+    view, proj, center = camera.astuple_jax()
+
+    kw = dict(width=width, height=height, tile_w=16, tile_h=16,
+              sh_degree=sh_degree, near_plane=camera.near_plane,
+              far_plane=camera.far_plane, alpha_threshold=alpha_threshold,
+              total_ink_threshold=total_ink_threshold, input_is_srgb=False)
+
+    plan = B.make_key_plan(tiles_x * tiles_y, n,
+                           near_plane=camera.near_plane,
+                           far_plane=camera.far_plane)
+
+    def build(stage):
+        def f(gi, view, proj, center):
+            pr = project_and_cull(gi, view, proj, center, **kw)
+            words = pack_record_words(pr.record)
+            word_list = [words[:, k] for k in range(4)]
+            if stage == "project":
+                s = pr.depth_key[0].astype(jnp.float32) \
+                    + pr.min_tx[1].astype(jnp.float32) \
+                    + pr.min_ty[2].astype(jnp.float32) \
+                    + pr.max_tx[3].astype(jnp.float32) \
+                    + pr.rect_count[4].astype(jnp.float32) \
+                    + pr.visible[5].astype(jnp.float32)
+                for k in range(4):
+                    s = s + word_list[k][k].astype(jnp.float32)
+                return s
+            dsw = (plan.normalize(pr.depth_key) if plan is not None
+                   else pr.depth_key)
+            rect_w = pr.max_tx - pr.min_tx + 1
+            rect_word0 = B.pack_rect_word(pr.min_tx, pr.min_ty, rect_w)
+            rect_word0 = jnp.where(pr.visible, rect_word0,
+                                   rect_word0 | jnp.uint32(E.CULLED_BIT))
+            rect_h = pr.rect_count // jnp.maximum(rect_w, 1)
+            tab = E.binning_prep_pallas(
+                rect_word0, rect_h, dsw.astype(jnp.uint32),
+                [x.astype(jnp.uint32) for x in word_list],
+                tile_w=16, tile_h=16, alpha_threshold=alpha_threshold,
+                mode="mono")
+            if stage == "prep":
+                if isinstance(tab, (tuple, list)):
+                    return sum(jnp.ravel(x)[0].astype(jnp.float32)
+                               for x in tab)
+                return tab.ravel()[0].astype(jnp.float32)
+            outs = E.expand_slots_pallas(
+                None, None, None, capacity=capacity, tiles_x=tiles_x,
+                fused_depth16=False, exact_test=True, tile_w=16, tile_h=16,
+                alpha_threshold=alpha_threshold, prebuilt_tab=tab,
+                n_gaussians=n,
+                key_plan=None if plan is None else plan.kernel_tuple)
+            key, d_slot = outs[0], outs[1]
+            slot_words = outs[2:-2]
+            if stage == "expand":
+                s = key[0].astype(jnp.float32) + d_slot[1].astype(jnp.float32)
+                for k, x in enumerate(slot_words):
+                    s = s + x[k].astype(jnp.float32)
+                return s
+            ops = jax.lax.sort((key, d_slot, *slot_words), num_keys=2,
+                               is_stable=plan is None)
+            sorted_key, sw = ops[0], ops[2:]
+            if stage == "sort":
+                s = sorted_key[0].astype(jnp.float32) \
+                    + ops[1][1].astype(jnp.float32)
+                for k, x in enumerate(sw):
+                    s = s + x[k].astype(jnp.float32)
+                return s
+            sorted_tile = jnp.where(sorted_key == jnp.uint32(E.SENTINEL),
+                                    jnp.uint32(E.SENTINEL),
+                                    sorted_key >> plan.kernel_tuple[0])
+            starts, counts_t = B.extract_tile_ranges(sorted_tile,
+                                                     tiles_x * tiles_y)
+            if stage == "ranges":
+                s = starts[0].astype(jnp.float32) \
+                    + counts_t[-1].astype(jnp.float32)
+                for k, x in enumerate(sw):
+                    s = s + x[k].astype(jnp.float32)
+                return s
+            if use_pallas:
+                table = K.build_words_table(sw, capacity)
+                tc, td = K.blend_tiles_pallas(table, starts, counts_t,
+                                              tiles_x=tiles_x,
+                                              tiles_y=tiles_y)
+            else:
+                from .pipelines.common import sorted_instance_attrs
+                sorted_words = jnp.stack(sw, axis=-1)
+                attrs = sorted_instance_attrs(
+                    sorted_words, sorted_tile, tiles_x=tiles_x, tile_w=16,
+                    tile_h=16, alpha_threshold=alpha_threshold,
+                    exact_tile_test=False)
+                table = K.build_blend_table(attrs, capacity)
+                tc, td = K.blend_tiles_xla(table, starts, counts_t,
+                                           tiles_x=tiles_x, tiles_y=tiles_y,
+                                           max_per_tile=2048)
+            color, depth = K.assemble_image(tc, td, tiles_x=tiles_x,
+                                            tiles_y=tiles_y, width=width,
+                                            height=height)
+            return color[0, 0, 0] + depth[-1, -1]
+        return f
+
+    stages = ["project", "prep", "expand", "sort", "ranges", "full"]
+    names = {"full": "blend"}  # the last delta = table build + blend + assemble
+    args = (gi, view, proj, center)
+    out = {}
+    prev = 0.0
+    for stage in stages:
+        cum = _time_program(build(stage), args)
+        out[names.get(stage, stage)] = max(cum - prev, 0.0)
+        prev = cum
+    out["total"] = prev
+    return out
+
+
+def profile_depth_first_stages_upto(gi, camera, width: int, height: int, *,
+                                    sh_degree: int = 3, capacity: int = 0,
+                                    alpha_threshold: float = 0.005,
+                                    total_ink_threshold: float = 2.0,
+                                    use_pallas: bool = True):
+    """DEPRECATED cumulative upto(k) stage split.
+
+    Kept only for comparison: its cumulative prefix programs let XLA
+    dead-code-eliminate sort payload operands / table planes near the cut,
+    misattributing composed-sort cost to the next stage (measured ~6 ms of
+    sort cost booked against the blend at the 1M headline).  Use
+    :func:`profile_depth_first_stages` (cut-point method) instead.
+    """
+    warnings.warn(
+        "profile_depth_first_stages_upto is DCE-biased (sort cost leaks into "
+        "the next stage); use profile_depth_first_stages",
+        DeprecationWarning, stacklevel=2)
     from . import config as cfg
     from .kernels import blend as K
     from .kernels import expand as E

@@ -48,15 +48,18 @@ def main():
 
     base = outs[lods[0]]
     rw = base.shape[1] // 2
-    # fovea = central square of each eye's physical target (the rate map is
-    # radial around the eye center; radius 0.3 of min dim is full-rate)
+    # fovea = central square of EACH eye's physical target (the rate map is
+    # radial around the eye center; radius 0.3 of min dim is full-rate);
+    # exactness is checked on both eyes' fovea regions (max over the two).
     rh = base.shape[0]
-    cx, cy = rw // 2, rh // 2
+    cy = rh // 2
     rad = int(0.25 * min(rw, rh))
     for lod in lods[1:]:
         d = np.abs(outs[lod] - base)
-        fov = d[cy - rad:cy + rad, cx - rad:cx + rad]
-        print(f"lod {lod}: max|d| full={d.max():.4f} fovea={fov.max():.4f} "
+        fov = max(
+            d[cy - rad:cy + rad, cx - rad:cx + rad].max()
+            for cx in (rw // 2, rw + rw // 2))
+        print(f"lod {lod}: max|d| full={d.max():.4f} fovea={fov:.4f} "
               f"mean|d|={d.mean():.6f}", flush=True)
 
     def t(r):

@@ -148,6 +148,41 @@ def test_stereo_dual_eye_pallas_matches_xla():
     assert int(o_p.header.overflow) == 0
 
 
+def test_hardware_foveated_parity_with_depth_first():
+    """HardwareRenderer foveated stereo (the reference attaches the
+    rasterization rate map to its stereo path too — HardwareRenderer.swift:
+    592-727, README feature table): same warped binning and dual-eye blend
+    as DepthFirst foveated, alpha-normalized depth."""
+    from gsm_renderer_tpu.stereo import make_rate_maps
+
+    w, h = 128, 96
+    ds = generate_visible_gaussians(300, sh_degree=1, scale_range=(0.01, 0.06))
+    cam = G.make_camera(w, h)
+    stereo = G.make_side_by_side_stereo(cam, ipd=0.15)
+    gi = ds.to_input()
+    tgt = make_rate_maps(w, h, min_rate=0.5, radius=0.3)
+    cfg = G.RendererConfig(sh_degree=1)
+    out_hw = G.HardwareRenderer(cfg, use_xla_blend=True).render_stereo_foveated(
+        gi, stereo, tgt)
+    out_df = G.DepthFirstRenderer(cfg, use_xla_blend=True).render_stereo_foveated(
+        gi, stereo, tgt)
+
+    c_hw = np.asarray(out_hw.color)
+    c_df = np.asarray(out_df.color)
+    assert c_hw.shape == (tgt.render_height, 2 * tgt.render_width, 4)
+    np.testing.assert_allclose(c_hw, c_df, atol=1e-5)
+    assert c_hw[..., :3].max() > 0.05
+
+    # depth: hardware normalizes by alpha; where alpha is solid they agree
+    d_hw = np.asarray(out_hw.depth)
+    d_df = np.asarray(out_df.depth)
+    a = c_df[..., 3]
+    solid = a > 0.5
+    assert solid.any()
+    np.testing.assert_allclose(d_hw[solid], d_df[solid] / a[solid], rtol=1e-3,
+                               atol=1e-3)
+
+
 def test_hardware_stereo_parity_with_depth_first():
     """HardwareRenderer stereo (HardwareRenderer.swift:604-727): same binning,
     projection and r^2 <= 9 dual-eye blend as the DepthFirst stereo path, so
