@@ -245,42 +245,28 @@ def stable_sort_by_tile(tile_key, payload):
     return jax.lax.sort((tile_key, payload), num_keys=1)
 
 
-def extract_tile_ranges(sorted_tile_key, num_tiles: int, fanout: int = 16):
-    """Per-tile (offset, count) headers via vectorized k-ary search.
+def extract_tile_ranges(sorted_tile_key, num_tiles: int):
+    """Per-tile (offset, count) headers via vectorized binary search.
 
     Equivalent of ``extractTileRangesKernel`` (DepthFirstShaders.metal:1258-1369),
-    which binary-searches the sorted keys per tile.
-
-    Integer keys: end(t) == start(t+1) (nothing sorts strictly between t and
-    t+1; keys >= num_tiles are sentinels), so ONE search over num_tiles+1
-    query points yields both bounds.  The search is ``fanout``-ary rather
-    than binary: each level is latency-bound (one dependent gather into the
-    sorted array), so widening the fanout cuts the dependent chain from 22
-    levels (binary, jnp.searchsorted scan_unrolled — measured 1.0-1.65 ms at
-    3.0M/8161 on-chip) to 6 + a fix-up (measured 0.42-0.61 ms,
-    scratch/rangesab.py; bitwise-equal bounds).
+    which also binary-searches the sorted keys per tile.
     """
-    n = sorted_tile_key.shape[0]
-    q = num_tiles + 1
-    t = jnp.arange(q, dtype=jnp.uint32)
-    lo = jnp.zeros((q,), jnp.int32)
-    offs = jnp.arange(1, fanout, dtype=jnp.int32)
-    size = n
-    big = jnp.uint32(0xFFFFFFFF)
-    while size > 1:
-        step = -(-size // fanout)
-        pos = lo[:, None] + offs[None, :] * step
-        safe = jnp.minimum(pos, n - 1)
-        vals = sorted_tile_key[safe]
-        # probes past the array act as +inf; sentinels (0xFFFFFFFF) already
-        # compare >= every query (t <= num_tiles < 2^32 - 1)
-        vals = jnp.where(pos >= n, big, vals)
-        lt = jnp.sum((vals < t[:, None]).astype(jnp.int32), axis=1)
-        lo = lo + lt * step
-        size = step
-    last = sorted_tile_key[jnp.minimum(lo, n - 1)]
-    last = jnp.where(lo >= n, big, last)
-    bounds = lo + (last < t).astype(jnp.int32)
+    # integer keys: end(t) == start(t+1) (nothing sorts strictly between t and
+    # t+1; keys >= num_tiles are sentinels), so ONE search over num_tiles+1
+    # query points yields both bounds.  method="scan_unrolled": the default
+    # 22-iteration while loop pays per-step dispatch (~3.1 ms at 3.0M keys /
+    # 8161 queries on-chip); unrolling the static binary search is 1.0-1.3 ms
+    # for identical results.
+    #
+    # MEASURED AND REJECTED (scratch/rangesab.py, round 4): a k-ary search
+    # (fanout 8/16/32 — fewer dependent levels, wider per-level (8161, F-1)
+    # gathers) is bitexact but 2-6x SLOWER standalone (old 1.3-1.7 ms vs k8
+    # 2.8-3.7, k16 4.9-5.0, k32 8.5): XLA:TPU gathers price per gathered
+    # ELEMENT (~40 ns), so widening the probes costs far more than the
+    # shortened chain saves.  The binary search's 22 x 8161 1-D gathers stay.
+    tiles = jnp.arange(num_tiles + 1, dtype=jnp.uint32)
+    bounds = jnp.searchsorted(sorted_tile_key, tiles, side="left",
+                              method="scan_unrolled").astype(jnp.int32)
     return bounds[:-1], bounds[1:] - bounds[:-1]
 
 

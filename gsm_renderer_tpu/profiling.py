@@ -72,8 +72,6 @@ def profile_depth_first_stages(gi, camera, width: int, height: int, *,
     from .kernels import blend as K
     from .kernels import expand as E
     from .ops import binning as B
-    from .ops.project import project_and_cull
-    from .pipelines.common import pack_record_words
 
     n = gi.count
     if capacity <= 0:
@@ -91,31 +89,26 @@ def profile_depth_first_stages(gi, camera, width: int, height: int, *,
                            near_plane=camera.near_plane,
                            far_plane=camera.far_plane)
 
+    from .kernels.project import (cached_projection_inputs,
+                                  project_and_cull_packed)
+    prepared = cached_projection_inputs(gi, sh_degree)
+
     def build(stage):
-        def f(gi, view, proj, center):
-            pr = project_and_cull(gi, view, proj, center, **kw)
-            words = pack_record_words(pr.record)
-            word_list = [words[:, k] for k in range(4)]
+        def f(gi, view, proj, center, comp, harm):
+            packed = project_and_cull_packed(
+                gi, view, proj, center, key_plan=plan,
+                prepared=(comp, harm), **kw)
             if stage == "project":
-                s = pr.depth_key[0].astype(jnp.float32) \
-                    + pr.min_tx[1].astype(jnp.float32) \
-                    + pr.min_ty[2].astype(jnp.float32) \
-                    + pr.max_tx[3].astype(jnp.float32) \
-                    + pr.rect_count[4].astype(jnp.float32) \
-                    + pr.visible[5].astype(jnp.float32)
+                s = packed.dsw[0].astype(jnp.float32) \
+                    + packed.rect_word[1].astype(jnp.float32) \
+                    + packed.rect_h[2].astype(jnp.float32) \
+                    + packed.visible[5].astype(jnp.float32)
                 for k in range(4):
-                    s = s + word_list[k][k].astype(jnp.float32)
+                    s = s + packed.words[k][k].astype(jnp.float32)
                 return s
-            dsw = (plan.normalize(pr.depth_key) if plan is not None
-                   else pr.depth_key)
-            rect_w = pr.max_tx - pr.min_tx + 1
-            rect_word0 = B.pack_rect_word(pr.min_tx, pr.min_ty, rect_w)
-            rect_word0 = jnp.where(pr.visible, rect_word0,
-                                   rect_word0 | jnp.uint32(E.CULLED_BIT))
-            rect_h = pr.rect_count // jnp.maximum(rect_w, 1)
             tab = E.binning_prep_pallas(
-                rect_word0, rect_h, dsw.astype(jnp.uint32),
-                [x.astype(jnp.uint32) for x in word_list],
+                packed.rect_word, packed.rect_h, packed.dsw,
+                packed.words,
                 tile_w=16, tile_h=16, alpha_threshold=alpha_threshold,
                 mode="mono")
             if stage == "prep":
@@ -180,7 +173,7 @@ def profile_depth_first_stages(gi, camera, width: int, height: int, *,
 
     stages = ["project", "prep", "expand", "sort", "ranges", "full"]
     names = {"full": "blend"}  # the last delta = table build + blend + assemble
-    args = (gi, view, proj, center)
+    args = (gi, view, proj, center, *prepared)
     out = {}
     prev = 0.0
     for stage in stages:

@@ -23,6 +23,27 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: heavy interpret-mode / subprocess test — skipped in the "
+        "default run; set GSM_SLOW_TESTS=1 for the full tier")
+
+
+def pytest_collection_modifyitems(config, items):
+    """Two-tier suite: the default run stays within the documented wall-time
+    budget (CLAUDE.md); the slow tier (large interpret-mode scenes, extra
+    parameter combinations, multichip subprocess stress tests) runs with
+    GSM_SLOW_TESTS=1.  Every subsystem keeps at least one representative
+    test in the default tier."""
+    if os.environ.get("GSM_SLOW_TESTS"):
+        return
+    skip = pytest.mark.skip(reason="slow tier: set GSM_SLOW_TESTS=1")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(1234)

@@ -25,14 +25,14 @@ def test_capacity_locks_below_full_model_and_output_is_identical():
     o1 = r.render(ds.to_input(), cam, w, h)     # full model
     assert int(o1.header.slot_total) < full
     o2 = r.render(ds.to_input(), cam, w, h)     # locked-in capacity
-    cap = r._cap_state[("mono", n)]["cap"]
+    cap = r._cap_state[(r._mono_key, n)]["cap"]
     assert int(o1.header.slot_total) < cap < full
     assert int(o2.header.overflow) == 0
     np.testing.assert_array_equal(np.asarray(o1.color), np.asarray(o2.color))
 
     # steady state: the locked capacity is reused without re-reading the device
     o3 = r.render(ds.to_input(), cam, w, h)
-    assert r._cap_state[("mono", n)]["cap"] == cap
+    assert r._cap_state[(r._mono_key, n)]["cap"] == cap
     np.testing.assert_array_equal(np.asarray(o1.color), np.asarray(o3.color))
 
 
@@ -62,8 +62,8 @@ def test_adaptive_capacity_grows_past_model_on_overflow():
                                overflow=np.int32(1),
                                total_instances=np.int32(0),
                                visible_count=np.int32(0))
-    r._cap_feedback = {("mono", n): fb}
-    cap = r.pick_capacity(n)
+    r._cap_feedback = {(r._mono_key, n): fb}
+    cap = r.pick_capacity(n, kind=r._mono_key)
     assert 3 * full <= cap <= 4 * full
 
 

@@ -86,6 +86,40 @@ def test_depth_first_exact_per_tile_ordering(use_pallas, precount, key_plan):
     assert sum(len(v) for v in oracle.values()) > 400  # non-trivial scene
 
 
+@pytest.mark.slow
+def test_exact_ordering_mid_scale_production_path():
+    """Mid-scale (60k gaussians, 640x480) exact per-tile ORDER on the full
+    production path (Pallas prep + expand + tie-free KeyPlan unstable sort,
+    interpret mode) vs the NumPy oracle — closes the gap between 'sort
+    primitive stable at 1M' (test_scale) and 'pipeline exact at 400'
+    (above): the windowed-DMA expand and the KeyPlan bit packing only
+    exercise their interesting regimes (multi-row windows, dense tiles,
+    depth keys spanning many high bits) at scale."""
+    w, h = 640, 480
+    n = 60_000
+    ds = generate_visible_gaussians(n, sh_degree=0,
+                                    scale_range=(0.002, 0.015), seed=21)
+    cam = G.make_camera(w, h)
+    _c, _d, aux = render_reference(
+        ds, cam.view_matrix, cam.projection_matrix, cam.position, w, h,
+        sh_degree=0)
+    oracle = {
+        t: [aux["records"][r]["index"] for r in ranks]
+        for t, ranks in aux["tile_lists"].items()
+    }
+    got = _pipeline_tile_lists(ds, cam, w, h, capacity=4096 * 64,
+                               use_pallas=True, precount=True, key_plan=True)
+    assert set(got) == set(oracle), (
+        f"tile membership differs: {len(set(got) - set(oracle))} extra, "
+        f"{len(set(oracle) - set(got))} missing")
+    mismatches = [t for t in sorted(oracle) if got[t] != oracle[t]]
+    assert not mismatches, (
+        f"{len(mismatches)} tiles out of order; first: tile {mismatches[0]}: "
+        f"{got[mismatches[0]][:8]} != {oracle[mismatches[0]][:8]}")
+    total = sum(len(v) for v in oracle.values())
+    assert total > 90_000, total  # the scene is genuinely mid-scale
+
+
 @pytest.mark.parametrize("use_pallas", [False, True])
 def test_key_plan_tie_order_constant_depth(use_pallas):
     """Adversarial tie scene: EVERY gaussian at the same view depth.  The

@@ -1,6 +1,7 @@
 """Foveated-rendering utility tests (rate maps, warp tables, expansion)."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from gsm_renderer_tpu.stereo import (FoveatedStereoTarget, expand_foveated,
@@ -57,6 +58,7 @@ def _scene_and_stereo(w, h, n=220, seed=2):
     return ds.to_input(), stereo
 
 
+@pytest.mark.slow
 def test_true_foveated_renders_physical_target():
     """render_stereo_foveated rasterizes DIRECTLY into the reduced-rate
     physical target: output is physical-sized, finite, non-black, and its
@@ -99,6 +101,7 @@ def test_true_foveated_renders_physical_target():
         assert d < max(1.3 * dc, 0.01), f"eye {e}: direct {d} vs compress {dc}"
 
 
+@pytest.mark.slow
 def test_foveated_periphery_lod():
     """foveated_lod > 0 drops sub-sample periphery instances (fewer slots)
     while keeping the fovea EXACT (rate 1.0 => the LOD threshold vanishes)
@@ -157,6 +160,7 @@ def test_foveated_periphery_lod():
                                np.asarray(outs[0].color), atol=2e-3)
 
 
+@pytest.mark.slow
 def test_foveated_compress_path_still_available():
     """The legacy render-full-then-compress path is kept for comparison and
     must agree with the reference-structure output shape."""
@@ -374,6 +378,7 @@ def test_foveated_warped_prep_path_matches_mask_override():
     assert int(outs_prep[3]) == int(outs_base[3])
 
 
+@pytest.mark.slow
 def test_foveated_pallas_interpret_parity():
     """The warped-coordinate Pallas blend must match the XLA oracle."""
     import gsm_renderer_tpu as G

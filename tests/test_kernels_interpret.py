@@ -127,7 +127,9 @@ def test_binning_prep_interpret_matches_xla_table(rng):
 
 
 @pytest.mark.parametrize("fused_depth16,stereo", [
-    (False, False), (True, False), (False, True)])
+    pytest.param(False, False, marks=pytest.mark.slow),
+    (True, False),
+    (False, True)])
 def test_fused_binning_prep_path_matches_nonprep(rng, fused_depth16, stereo):
     """fused_binning_words' use_prep fast path (binning_prep_pallas +
     prebuilt-table expand) must reproduce the non-prep path exactly — for
@@ -344,6 +346,7 @@ def test_blend_mxu_exponent_32x16_tiles(rng):
         np.testing.assert_allclose(np.asarray(td), np.asarray(od), atol=5e-2)
 
 
+@pytest.mark.slow
 def test_stereo_frame_pallas_interpret_matches_xla():
     """Stereo frame (8 carried words + r^2 cutoff blend) interpret parity."""
     w, h = 64, 64

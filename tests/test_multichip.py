@@ -5,6 +5,7 @@ before the backend initializes, and the main test process stays single-device â€
 see conftest.py)."""
 
 import os
+import pytest
 import subprocess
 import sys
 
@@ -183,6 +184,7 @@ print("BALANCE_OK diff=%%.2e loads eq=%%s bal=%%s" %% (diff, eq, bal))
 """
 
 
+@pytest.mark.slow
 def test_multichip_balanced_bands_match_mono_and_fit():
     """Content-adaptive band boundaries: histogram balancing shrinks the max
     band load, fits a capacity the equal split overflows, and the stitched
@@ -196,6 +198,7 @@ def test_multichip_balanced_bands_match_mono_and_fit():
     assert "BALANCE_OK" in proc.stdout, proc.stdout
 
 
+@pytest.mark.slow
 def test_multichip_adversarial_one_band_and_ragged_count():
     """n %% D != 0 (auto-padded), all instances in one device's band (matches
     the mono oracle), and per-band overflow propagates to the caller."""

@@ -76,6 +76,7 @@ def test_hardware_back_to_front_equivalent():
                                np.asarray(o2.color)[..., :3], atol=0.02)
 
 
+@pytest.mark.slow
 def test_all_four_renderers_agree_roughly():
     """The four strategies render the same scene with small strategy-specific
     differences (reference PLYBenchmarkTests compares all five variants

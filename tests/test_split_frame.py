@@ -168,6 +168,7 @@ def test_hardware_split_frame_matches_fused():
             int(getattr(split.header, field)), field
 
 
+@pytest.mark.slow
 def test_foveated_split_frame_matches_fused():
     """The foveated-stereo 3-program split (warp tables thread through pre
     AND post) must reproduce the fused foveated frame exactly."""
@@ -223,6 +224,7 @@ def test_foveated_split_frame_matches_fused():
             int(getattr(split.header, field)), field
 
 
+@pytest.mark.slow
 def test_stereo_split_frame_matches_fused():
     n = 2500
     w, h = 192, 128

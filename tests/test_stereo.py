@@ -2,6 +2,7 @@
 equivalent)."""
 
 import numpy as np
+import pytest
 
 import gsm_renderer_tpu as G
 from gsm_renderer_tpu.io.scene import generate_visible_gaussians
@@ -47,6 +48,7 @@ def test_stereo_matches_mono_at_zero_ipd():
     np.testing.assert_allclose(left[..., :3], mono[..., :3], atol=0.03)
 
 
+@pytest.mark.slow
 def test_stereo_foveated():
     """Foveated stereo: reduced-res render + warp expansion
     (rasterization-rate-map equivalent)."""
