@@ -230,7 +230,8 @@ def binning_sort_operands(visible, min_tx, min_ty, max_tx, rect_count,
         # Pallas-projected inputs (kernels/project.project_and_cull_packed):
         # rect word / rect_h / normalized depth word / record words arrive
         # prep-ready straight from the fused projection kernel.
-        mode = "mono" if exact_test is True else "stereo"
+        mode = ("mono" if exact_test is True
+                else "warped" if warped_bounds is not None else "stereo")
         tab = E.binning_prep_pallas(
             packed.rect_word, packed.rect_h, packed.dsw,
             packed.words, tile_w=tile_w, tile_h=tile_h,

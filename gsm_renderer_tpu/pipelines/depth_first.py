@@ -575,6 +575,7 @@ def _mono_render(self, gi, camera, width, height):
 def depth_first_stereo_frame(
     gi: GaussianInput,
     views: Array, projs: Array, centers: Array, scene_transform: Array,
+    comp: Array | None = None, harm: Array | None = None,
     *,
     width: int, height: int, capacity: int,
     sh_degree: int, alpha_threshold: float, total_ink_threshold: float,
@@ -601,34 +602,57 @@ def depth_first_stereo_frame(
     tiles_x, tiles_y = cfg.tiles_for(width, height, tile_w, tile_h)
     num_tiles = tiles_x * tiles_y
 
-    pr = stereo_project_and_cull(
-        gi, views, projs, centers,
-        width=width, height=height, tile_w=tile_w, tile_h=tile_h,
-        sh_degree=sh_degree, near_plane=near_plane, far_plane=far_plane,
-        alpha_threshold=alpha_threshold, total_ink_threshold=total_ink_threshold,
-        input_is_srgb=input_is_srgb, scene_transform=scene_transform,
-    )
-
     # Fused binning carrying BOTH eyes' records (8 words) through one sort.
     # Stereo instances cover the full union rect with a per-pixel r^2 <= 9
     # cutoff instead of an exact per-tile test (createInstancesStereoKernel
-    # writes all union-rect tiles — DepthFirstShaders.metal:790-864).
-    from .common import fused_binning_words
-    words_l = pack_record_words(pr.record_left)
-    words_r = pack_record_words(pr.record_right)
-    word_list = ([words_l[:, k] for k in range(4)]
-                 + [words_r[:, k] for k in range(4)])
-    # dual-eye r^2 <= 9 tile test at expansion: output-identical pruning of
-    # union-rect instances whose ellipses miss the tile entirely (the blend
-    # zeroes alpha past r^2 = 9; the reference skips those instances per
-    # pixel instead — DepthFirstShaders.metal:1915-1935)
-    key_plan = B.make_key_plan(num_tiles, pr.depth_key.shape[0],
+    # writes all union-rect tiles — DepthFirstShaders.metal:790-864); the
+    # dual-eye r^2 <= 9 tile test at expansion is output-identical pruning
+    # of union-rect instances whose ellipses miss the tile entirely (the
+    # blend zeroes alpha past r^2 = 9; the reference skips those instances
+    # per pixel instead — DepthFirstShaders.metal:1915-1935).
+    key_plan = B.make_key_plan(num_tiles, gi.count,
                                near_plane=near_plane, far_plane=far_plane)
-    sorted_tile, sw, slot_total, overflow = fused_binning_words(
-        pr.visible, pr.min_tx, pr.min_ty, pr.max_tx, pr.rect_count,
-        pr.depth_key, word_list, capacity=capacity, tiles_x=tiles_x,
-        fused_depth16=False, use_pallas=not use_xla_blend, interpret=interpret,
-        exact_test="stereo", tile_w=tile_w, tile_h=tile_h, key_plan=key_plan)
+    if key_plan is not None and not use_xla_blend:
+        # fused dual-eye Pallas projection (kernels/project.py)
+        sort_ops, slot_total, overflow, visible_count, total_live = \
+            _stereo_packed_ops(
+                gi, views, projs, centers, scene_transform, comp, harm,
+                key_plan, width=width, height=height, capacity=capacity,
+                tiles_x=tiles_x, sh_degree=sh_degree,
+                alpha_threshold=alpha_threshold,
+                total_ink_threshold=total_ink_threshold,
+                near_plane=near_plane, far_plane=far_plane,
+                input_is_srgb=input_is_srgb, tile_w=tile_w, tile_h=tile_h,
+                interpret=interpret)
+        ops = jax.lax.sort(sort_ops, num_keys=2, is_stable=False)
+        sorted_key, sw = ops[0], ops[2:]
+        sorted_tile = binning_sorted_tile(
+            sorted_key, fused_depth16=False,
+            plan_tuple=key_plan.kernel_tuple)
+    else:
+        from .common import fused_binning_words
+        pr = stereo_project_and_cull(
+            gi, views, projs, centers,
+            width=width, height=height, tile_w=tile_w, tile_h=tile_h,
+            sh_degree=sh_degree, near_plane=near_plane, far_plane=far_plane,
+            alpha_threshold=alpha_threshold,
+            total_ink_threshold=total_ink_threshold,
+            input_is_srgb=input_is_srgb, scene_transform=scene_transform,
+        )
+        words_l = pack_record_words(pr.record_left)
+        words_r = pack_record_words(pr.record_right)
+        word_list = ([words_l[:, k] for k in range(4)]
+                     + [words_r[:, k] for k in range(4)])
+        sorted_tile, sw, slot_total, overflow = fused_binning_words(
+            pr.visible, pr.min_tx, pr.min_ty, pr.max_tx, pr.rect_count,
+            pr.depth_key, word_list, capacity=capacity, tiles_x=tiles_x,
+            fused_depth16=False, use_pallas=not use_xla_blend,
+            interpret=interpret,
+            exact_test="stereo", tile_w=tile_w, tile_h=tile_h,
+            key_plan=key_plan)
+        visible_count = jnp.sum(pr.visible).astype(jnp.int32)
+        total_live = jnp.sum(
+            jnp.where(pr.visible, pr.rect_count, 0)).astype(jnp.int32)
     starts, counts = B.extract_tile_ranges(sorted_tile, num_tiles)
 
     if use_xla_blend:
@@ -664,18 +688,52 @@ def depth_first_stereo_frame(
     depth = jnp.concatenate([eyes[0][1], eyes[1][1]], axis=1)
 
     header = FrameHeader(
-        visible_count=jnp.sum(pr.visible).astype(jnp.int32),
-        total_instances=jnp.sum(
-            jnp.where(pr.visible, pr.rect_count, 0)).astype(jnp.int32),
+        visible_count=visible_count,
+        total_instances=total_live,
         overflow=overflow,
         slot_total=slot_total,
     )
     return RenderOutput(color=color, depth=depth, header=header)
 
 
+def _stereo_packed_ops(gi, views, projs, centers, scene_transform, comp,
+                       harm, key_plan, *, width, height, capacity, tiles_x,
+                       sh_degree, alpha_threshold, total_ink_threshold,
+                       near_plane, far_plane, input_is_srgb, tile_w, tile_h,
+                       interpret):
+    """Fused dual-eye Pallas projection + binning prep/expand up to the sort
+    operands.  Returns (sort_ops, slot_total, overflow, visible_count,
+    total_live)."""
+    from ..kernels.project import stereo_project_and_cull_packed
+    from ..ops.binning import unpack_rect_word
+
+    with jax.named_scope("project_cull"):
+        pp = stereo_project_and_cull_packed(
+            gi, views, projs, centers, scene_transform,
+            width=width, height=height, tile_w=tile_w, tile_h=tile_h,
+            sh_degree=sh_degree, near_plane=near_plane, far_plane=far_plane,
+            alpha_threshold=alpha_threshold,
+            total_ink_threshold=total_ink_threshold,
+            input_is_srgb=input_is_srgb, key_plan=key_plan,
+            interpret=interpret,
+            prepared=None if comp is None else (comp, harm))
+    with jax.named_scope("binning_prep"):
+        sort_ops, _spec, _plan, slot_total, overflow = binning_sort_operands(
+            None, None, None, None, None, None, None,
+            capacity=capacity, tiles_x=tiles_x, fused_depth16=False,
+            use_pallas=True, interpret=interpret, exact_test="stereo",
+            tile_w=tile_w, tile_h=tile_h, key_plan=key_plan, packed=pp)
+    visible_count = jnp.sum(pp.visible).astype(jnp.int32)
+    _mtx, _mty, rect_w = unpack_rect_word(pp.rect_word)
+    total_live = jnp.sum(jnp.where(pp.visible, rect_w * pp.rect_h,
+                                   0)).astype(jnp.int32)
+    return sort_ops, slot_total, overflow, visible_count, total_live
+
+
 def depth_first_stereo_pre_frame(
     gi: GaussianInput,
     views: Array, projs: Array, centers: Array, scene_transform: Array,
+    comp: Array | None = None, harm: Array | None = None,
     *,
     width: int, height: int, capacity: int,
     sh_degree: int, alpha_threshold: float, total_ink_threshold: float,
@@ -691,6 +749,22 @@ def depth_first_stereo_pre_frame(
 
     tiles_x, tiles_y = cfg.tiles_for(width, height, tile_w, tile_h)
     num_tiles = tiles_x * tiles_y
+    key_plan = B.make_key_plan(num_tiles, gi.count,
+                               near_plane=near_plane, far_plane=far_plane)
+    if key_plan is not None:
+        # fused dual-eye Pallas projection (kernels/project.py)
+        sort_ops, slot_total, overflow, visible_count, total_live = \
+            _stereo_packed_ops(
+                gi, views, projs, centers, scene_transform, comp, harm,
+                key_plan, width=width, height=height, capacity=capacity,
+                tiles_x=tiles_x, sh_degree=sh_degree,
+                alpha_threshold=alpha_threshold,
+                total_ink_threshold=total_ink_threshold,
+                near_plane=near_plane, far_plane=far_plane,
+                input_is_srgb=input_is_srgb, tile_w=tile_w, tile_h=tile_h,
+                interpret=interpret)
+        return (*sort_ops, slot_total, overflow, visible_count, total_live)
+
     pr = stereo_project_and_cull(
         gi, views, projs, centers,
         width=width, height=height, tile_w=tile_w, tile_h=tile_h,
@@ -703,8 +777,6 @@ def depth_first_stereo_pre_frame(
     words_r = pack_record_words(pr.record_right)
     word_list = ([words_l[:, k] for k in range(4)]
                  + [words_r[:, k] for k in range(4)])
-    key_plan = B.make_key_plan(num_tiles, pr.depth_key.shape[0],
-                               near_plane=near_plane, far_plane=far_plane)
     sort_ops, _spec, _plan, slot_total, overflow = binning_sort_operands(
         pr.visible, pr.min_tx, pr.min_ty, pr.max_tx, pr.rect_count,
         pr.depth_key, word_list, capacity=capacity, tiles_x=tiles_x,
@@ -785,23 +857,43 @@ def _stereo_render(self, gi, camera, width, height):
         use_xla_blend=self.use_xla_blend,
     )
     statics.update(self._stereo_statics())
+    prep_args = _stereo_prep_args(self, gi, statics["width"],
+                                  statics["height"], statics["near_plane"],
+                                  statics["far_plane"],
+                                  statics["sh_degree"], n)
     split = getattr(self, "split_frame", None)
     if split is None:
         split = jax.default_backend() == "tpu"
     if not self.use_xla_blend and split:
         out = _stereo_render_split(self, gi, views, projs, centers, st,
-                                   statics, n)
+                                   statics, n, prep_args)
     else:
         key = (self._stereo_key, n, gi.sh_n_coeffs, str(gi.scales.dtype),
-               tuple(sorted(statics.items())))
+               len(prep_args), tuple(sorted(statics.items())))
         prog = self._program(
             key, lambda: AotProgram(depth_first_stereo_frame, key, statics))
-        out = prog(gi, views, projs, centers, st)
+        out = prog(gi, views, projs, centers, st, *prep_args)
     self.note_frame(n, out.header, kind=self._stereo_key)
     return out
 
 
-def _stereo_render_split(self, gi, views, projs, centers, st, statics, n):
+def _stereo_prep_args(self, gi, width, height, near_plane, far_plane,
+                      sh_degree, n):
+    """Cached projection-input planes when the fused dual-eye Pallas
+    projection applies (kernels/project.prepare_projection_inputs)."""
+    if self.use_xla_blend:
+        return ()
+    tiles_x, tiles_y = cfg.tiles_for(width, height, 16, 16)
+    plan = B.make_key_plan(tiles_x * tiles_y, n,
+                           near_plane=near_plane, far_plane=far_plane)
+    if plan is None:
+        return ()
+    from ..kernels.project import cached_projection_inputs
+    return cached_projection_inputs(gi, sh_degree)
+
+
+def _stereo_render_split(self, gi, views, projs, centers, st, statics, n,
+                         prep_args=()):
     """Stereo 3-program dispatch (pre | bare 10-operand sort | post) — the
     stereo analogue of DepthFirstRenderer._render_split."""
     pre_keys = ("width", "height", "capacity", "sh_degree",
@@ -826,10 +918,10 @@ def _stereo_render_split(self, gi, views, projs, centers, st, statics, n):
         num_keys, is_stable, drop = 2, True, 1
 
     sig = (self._stereo_key, n, gi.sh_n_coeffs, str(gi.scales.dtype),
-           tuple(sorted(pre_statics.items())))
+           len(prep_args), tuple(sorted(pre_statics.items())))
     pre = self._program(("dfs_pre", sig), lambda: AotProgram(
         depth_first_stereo_pre_frame, ("dfs_pre", sig), pre_statics))
-    outs = pre(gi, views, projs, centers, st)
+    outs = pre(gi, views, projs, centers, st, *prep_args)
     sort_ops = outs[:-4]
     slot_total, overflow, visible_count, total_live = outs[-4:]
 
@@ -849,11 +941,85 @@ def _stereo_render_split(self, gi, views, projs, centers, st, statics, n):
                 total_live)
 
 
+def _foveated_packed_ops(gi, views, projs, centers, scene_transform,
+                         inv_fit, warp_bounds, comp, harm, key_plan, *,
+                         display_width, display_height, capacity, tiles_x,
+                         tiles_y, sh_degree, alpha_threshold,
+                         total_ink_threshold, near_plane, far_plane,
+                         input_is_srgb, tile_w, tile_h, foveated_lod,
+                         interpret):
+    """Fused dual-eye Pallas projection + warped re-binning up to the sort
+    operands for the foveated frame.  Returns (sort_ops, slot_total,
+    overflow, visible_count, total_live)."""
+    from ..kernels.project import (PackedProjection,
+                                   stereo_project_and_cull_packed)
+
+    with jax.named_scope("project_cull"):
+        pp = stereo_project_and_cull_packed(
+            gi, views, projs, centers, scene_transform,
+            width=display_width, height=display_height, tile_w=tile_w,
+            tile_h=tile_h, sh_degree=sh_degree, near_plane=near_plane,
+            far_plane=far_plane, alpha_threshold=alpha_threshold,
+            total_ink_threshold=total_ink_threshold,
+            input_is_srgb=input_is_srgb, key_plan=key_plan,
+            interpret=interpret,
+            prepared=None if comp is None else (comp, harm))
+
+    # display PIXEL bounds -> physical tile rect via the fitted inverse warp
+    def inv_map(v, axis):
+        row = inv_fit[axis]
+        lo, hi, margin = row[10], row[11], row[12]
+        t = (v - lo) / (hi - lo) * 2.0 - 1.0
+        acc = row[0]
+        for k in range(1, 10):
+            acc = acc * t + row[k]
+        return acc, margin
+
+    sx0, mx = inv_map(pp.px_min, 0)
+    sx1, _ = inv_map(pp.px_max, 0)
+    sy0, my = inv_map(pp.py_min, 1)
+    sy1, _ = inv_map(pp.py_max, 1)
+    inv_tw = 1.0 / float(tile_w)
+    inv_th = 1.0 / float(tile_h)
+    min_tx = jnp.clip(jnp.floor((sx0 - mx) * inv_tw).astype(jnp.int32),
+                      0, tiles_x - 1)
+    max_tx = jnp.clip(jnp.floor((sx1 + mx) * inv_tw).astype(jnp.int32),
+                      0, tiles_x - 1)
+    min_ty = jnp.clip(jnp.floor((sy0 - my) * inv_th).astype(jnp.int32),
+                      0, tiles_y - 1)
+    max_ty = jnp.clip(jnp.floor((sy1 + my) * inv_th).astype(jnp.int32),
+                      0, tiles_y - 1)
+    visible = pp.visible & (min_tx <= max_tx) & (min_ty <= max_ty)
+    rect_count = jnp.where(
+        visible, (max_tx - min_tx + 1) * (max_ty - min_ty + 1), 0
+    ).astype(jnp.int32)
+    # identical rect-word/rect-h construction to the XLA prep path
+    rect_w = max_tx - min_tx + 1
+    rect_word = B.pack_rect_word(min_tx, min_ty, rect_w)
+    from ..kernels import expand as E
+    rect_word = jnp.where(visible, rect_word,
+                          rect_word | jnp.uint32(E.CULLED_BIT))
+    rect_h = rect_count // jnp.maximum(rect_w, 1)
+    warped = PackedProjection(rect_word=rect_word, rect_h=rect_h,
+                              dsw=pp.dsw, words=pp.words, visible=visible)
+    with jax.named_scope("binning_prep"):
+        sort_ops, _spec, _plan, slot_total, overflow = binning_sort_operands(
+            None, None, None, None, None, None, None,
+            capacity=capacity, tiles_x=tiles_x, fused_depth16=False,
+            use_pallas=True, interpret=interpret, exact_test="stereo",
+            tile_w=tile_w, tile_h=tile_h, warped_bounds=warp_bounds,
+            lod_min=foveated_lod, key_plan=key_plan, packed=warped)
+    visible_count = jnp.sum(pp.visible).astype(jnp.int32)
+    total_live = jnp.sum(rect_count).astype(jnp.int32)
+    return sort_ops, slot_total, overflow, visible_count, total_live
+
+
 def depth_first_stereo_foveated_frame(
     gi: GaussianInput,
     views: Array, projs: Array, centers: Array, scene_transform: Array,
     inv_fit: Array,
     coord_x: Array, coord_y: Array, warp_bounds: Array,
+    comp: Array | None = None, harm: Array | None = None,
     *,
     display_width: int, display_height: int,
     render_width: int, render_height: int, capacity: int,
@@ -894,6 +1060,47 @@ def depth_first_stereo_foveated_frame(
 
     tiles_x, tiles_y = cfg.tiles_for(render_width, render_height, tile_w, tile_h)
     num_tiles = tiles_x * tiles_y
+
+    key_plan = B.make_key_plan(num_tiles, gi.count,
+                               near_plane=near_plane, far_plane=far_plane)
+    if key_plan is not None and not use_xla_blend:
+        # fused dual-eye Pallas projection + warped re-binning
+        sort_ops, slot_total, overflow, visible_count, total_live = \
+            _foveated_packed_ops(
+                gi, views, projs, centers, scene_transform, inv_fit,
+                warp_bounds, comp, harm, key_plan,
+                display_width=display_width, display_height=display_height,
+                capacity=capacity, tiles_x=tiles_x, tiles_y=tiles_y,
+                sh_degree=sh_degree, alpha_threshold=alpha_threshold,
+                total_ink_threshold=total_ink_threshold,
+                near_plane=near_plane, far_plane=far_plane,
+                input_is_srgb=input_is_srgb, tile_w=tile_w, tile_h=tile_h,
+                foveated_lod=foveated_lod, interpret=interpret)
+        ops = jax.lax.sort(sort_ops, num_keys=2, is_stable=False)
+        sorted_key, sw = ops[0], ops[2:]
+        sorted_tile = binning_sorted_tile(
+            sorted_key, fused_depth16=False,
+            plan_tuple=key_plan.kernel_tuple)
+        starts, counts = B.extract_tile_ranges(sorted_tile, num_tiles)
+        wtable = K.build_words_table(list(sw), capacity)
+        eye_raster = K.blend_tiles_pallas(
+            wtable, starts, counts, tiles_x=tiles_x, tiles_y=tiles_y,
+            tile_w=tile_w, tile_h=tile_h, depth_mode=depth_mode,
+            blocks_per_dma=blocks_per_dma, r2_cutoff=9.0,
+            interpret=interpret, pixel_coords=(coord_x, coord_y), n_eyes=2)
+        eyes = [K.assemble_image(tc, td, tiles_x=tiles_x, tiles_y=tiles_y,
+                                 width=render_width, height=render_height,
+                                 tile_w=tile_w, tile_h=tile_h)
+                for tc, td in eye_raster]
+        color = jnp.concatenate([eyes[0][0], eyes[1][0]], axis=1)
+        depth = jnp.concatenate([eyes[0][1], eyes[1][1]], axis=1)
+        header = FrameHeader(
+            visible_count=visible_count,
+            total_instances=total_live,
+            overflow=overflow,
+            slot_total=slot_total,
+        )
+        return RenderOutput(color=color, depth=depth, header=header)
 
     pr = stereo_project_and_cull(
         gi, views, projs, centers,
@@ -967,8 +1174,6 @@ def depth_first_stereo_foveated_frame(
     # boundary tables) — this kills the tile-granular inflation of the
     # conservative display->physical rect mapping, which otherwise makes the
     # foveated frame carry MORE instances than full-res stereo
-    key_plan = B.make_key_plan(num_tiles, pr.depth_key.shape[0],
-                               near_plane=near_plane, far_plane=far_plane)
     sorted_tile, sw, slot_total, overflow = fused_binning_words(
         visible, min_tx, min_ty, max_tx, rect_count,
         pr.depth_key, word_list, capacity=capacity, tiles_x=tiles_x,
@@ -1020,6 +1225,7 @@ def depth_first_stereo_foveated_pre_frame(
     gi: GaussianInput,
     views: Array, projs: Array, centers: Array, scene_transform: Array,
     inv_fit: Array, warp_bounds: Array,
+    comp: Array | None = None, harm: Array | None = None,
     *,
     display_width: int, display_height: int,
     render_width: int, render_height: int, capacity: int,
@@ -1036,6 +1242,24 @@ def depth_first_stereo_foveated_pre_frame(
     visible_count, total_live)."""
     from ..ops.project import stereo_project_and_cull
     from .common import binning_sort_operands
+
+    _tx, _ty = cfg.tiles_for(render_width, render_height, tile_w, tile_h)
+    _plan = B.make_key_plan(_tx * _ty, gi.count,
+                            near_plane=near_plane, far_plane=far_plane)
+    if _plan is not None:
+        # fused dual-eye Pallas projection + warped re-binning
+        sort_ops, slot_total, overflow, visible_count, total_live = \
+            _foveated_packed_ops(
+                gi, views, projs, centers, scene_transform, inv_fit,
+                warp_bounds, comp, harm, _plan,
+                display_width=display_width, display_height=display_height,
+                capacity=capacity, tiles_x=_tx, tiles_y=_ty,
+                sh_degree=sh_degree, alpha_threshold=alpha_threshold,
+                total_ink_threshold=total_ink_threshold,
+                near_plane=near_plane, far_plane=far_plane,
+                input_is_srgb=input_is_srgb, tile_w=tile_w, tile_h=tile_h,
+                foveated_lod=foveated_lod, interpret=interpret)
+        return (*sort_ops, slot_total, overflow, visible_count, total_live)
 
     tiles_x, tiles_y = cfg.tiles_for(render_width, render_height,
                                      tile_w, tile_h)
@@ -1144,7 +1368,7 @@ def depth_first_stereo_foveated_post_frame(
 
 
 def _stereo_foveated_render_split(self, gi, views, projs, centers, st,
-                                  tabs_dev, statics, n):
+                                  tabs_dev, statics, n, prep_args=()):
     """Foveated-stereo 3-program dispatch (pre | bare 10-operand sort |
     post): the warp tables thread through pre (inv_fit + boundary tables)
     AND post (per-pixel display coordinates)."""
@@ -1173,11 +1397,12 @@ def _stereo_foveated_render_split(self, gi, views, projs, centers, st,
         num_keys, is_stable, drop = 2, True, 1
 
     sig = (self._stereo_key, "fov", n, gi.sh_n_coeffs, str(gi.scales.dtype),
-           tuple(sorted(pre_statics.items())))
+           len(prep_args), tuple(sorted(pre_statics.items())))
     pre = self._program(("dff_pre", sig), lambda: AotProgram(
         depth_first_stereo_foveated_pre_frame, ("dff_pre", sig),
         pre_statics))
-    outs = pre(gi, views, projs, centers, st, inv_fit, warp_bounds)
+    outs = pre(gi, views, projs, centers, st, inv_fit, warp_bounds,
+               *prep_args)
     sort_ops = outs[:-4]
     slot_total, overflow, visible_count, total_live = outs[-4:]
 
@@ -1233,19 +1458,24 @@ def _stereo_foveated_render(self, gi, camera, target):
         foveated_lod=c.foveated_lod,
     )
     statics.update(self._stereo_statics())
+    prep_args = _stereo_prep_args(
+        self, gi, statics["render_width"], statics["render_height"],
+        statics["near_plane"], statics["far_plane"],
+        statics["sh_degree"], n)
     split = getattr(self, "split_frame", None)
     if split is None:
         split = jax.default_backend() == "tpu"
     if not self.use_xla_blend and split:
         out = _stereo_foveated_render_split(self, gi, views, projs, centers,
-                                            st, tabs_dev, statics, n)
+                                            st, tabs_dev, statics, n,
+                                            prep_args)
     else:
         key = (fov_kind, n, gi.sh_n_coeffs, str(gi.scales.dtype),
-               tuple(sorted(statics.items())))
+               len(prep_args), tuple(sorted(statics.items())))
         prog = self._program(
             key,
             lambda: AotProgram(depth_first_stereo_foveated_frame, key,
                                statics))
-        out = prog(gi, views, projs, centers, st, *tabs_dev)
+        out = prog(gi, views, projs, centers, st, *tabs_dev, *prep_args)
     self.note_frame(n, out.header, kind=fov_kind)
     return out
