@@ -136,7 +136,10 @@ def main():
         ov = int(out.header.overflow)
         stats = time_frames(lambda: r.render(gi, cam, w, h))
         frame_ms = max(stats["avg"], 0.01)
-        return frame_ms, stats, ov, int(out.header.total_instances)
+        locked = 0
+        for state in (r._cap_state or {}).values():
+            locked = max(locked, state["cap"])
+        return frame_ms, stats, ov, int(out.header.total_instances), locked
 
     results = {}
     if args.matrix:
@@ -153,8 +156,9 @@ def main():
             # model; size that row explicitly (reference behavior at 4x
             # would be overflow + instance drops)
             mi = 6_815_744 if "4k" in name else 0
-            ms, stats, ov, ti = run_one(n, w, h, sh, rend, precision=prec,
-                                        max_instances=mi)
+            ms, stats, ov, ti, _lk = run_one(n, w, h, sh, rend,
+                                             precision=prec,
+                                             max_instances=mi)
             results[name] = dict(ms=round(ms, 3), min=round(stats["min"], 3),
                                  max=round(stats["max"], 3), overflow=ov,
                                  instances=ti,
@@ -224,8 +228,15 @@ def main():
         print(f"# realistic ply: {results['depthfirst_1m_realistic_ply']}",
               file=sys.stderr)
 
+    ms, stats, ov, ti, locked_cap = run_one(args.gaussians, args.width,
+                                            args.height, args.sh,
+                                            args.renderer)
+
     stage_split = None
     if args.stages:
+        # profile at the ADAPTIVELY LOCKED capacity the headline frames ran
+        # with (the sort is element-count-bound; profiling at the unlocked
+        # 4x model would overstate it ~50%)
         import gsm_renderer_tpu as G
         from gsm_renderer_tpu.io.scene import generate_visible_gaussians
         from gsm_renderer_tpu.profiling import profile_depth_first_stages
@@ -234,11 +245,8 @@ def main():
         cam = G.make_camera(args.width, args.height, far=50.0)
         stage_split = {k: round(v, 2) for k, v in profile_depth_first_stages(
             ds.to_input(), cam, args.width, args.height, sh_degree=args.sh,
-            capacity=4 * args.gaussians).items()}
+            capacity=locked_cap or 4 * args.gaussians).items()}
         print(f"# stages: {stage_split}", file=sys.stderr)
-
-    ms, stats, ov, ti = run_one(args.gaussians, args.width, args.height,
-                                args.sh, args.renderer)
     fps = 1000.0 / ms
     line = {
         "metric": f"ms/frame DepthFirst {args.gaussians//1000}k gaussians "

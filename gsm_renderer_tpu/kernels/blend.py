@@ -611,6 +611,15 @@ def _row_blend_kernel(starts_ref, counts_ref, oyoff_ref, *refs,
                         -sth * i2,                      # 9: a2
                         cth * i2,                       # 10: b2
                     ], axis=0)
+                    if probe == "notrans":
+                        # knockout: fake the (11*r_dma, 128) -> (128, ...)
+                        # decode transpose with a cheap broadcast (WRONG
+                        # values, right shape) to price the lane<->sublane
+                        # crossing
+                        eyes.append(jnp.broadcast_to(
+                            stacked[0:1, 0:1],
+                            (LANES, 11 * r_dma)) + 0.0)
+                        continue
                     eyes.append(jnp.transpose(stacked))  # (128, 11 * r_dma)
 
                 def sub_block(rb, h, carry2):

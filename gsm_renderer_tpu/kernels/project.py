@@ -101,7 +101,7 @@ def _project_kernel(params_ref, *refs, n: int, width: int, height: int,
                     near_plane: float, far_plane: float,
                     alpha_threshold: float, total_ink_threshold: float,
                     input_is_srgb: bool, near_key: int, span: int,
-                    culled_dsw: int):
+                    culled_dsw: int, depth_key16: bool = False):
     (comp_r, harm_r,
      rw_o, rh_o, dsw_o, w0_o, w1_o, w2_o, w3_o, vx_o, vy_o) = refs
     f32 = jnp.float32
@@ -226,8 +226,19 @@ def _project_kernel(params_ref, *refs, n: int, width: int, height: int,
     rect_h = jnp.where(alive, max_ty - min_ty + 1, 1)
 
     # sortable depth key, KeyPlan-normalized (ops/binning.KeyPlan.normalize)
-    dkey = jnp.where(alive, _sortable_uint(depth), jnp.uint32(0xFFFFFFFF))
-    if near_key is not None:
+    if depth_key16:
+        # mathlib.half_depth_key16 over the already-quantized f16 depth bits
+        # (the Global/Local fused [tile:16 | depth16:16] configuration)
+        sign16 = depth16 & jnp.uint32(0x8000)
+        dk16 = jnp.where(sign16 != 0, (~depth16) & jnp.uint32(0xFFFF),
+                         depth16 ^ jnp.uint32(0x8000))
+        dsw = jnp.where(alive, dk16, jnp.uint32(0xFFFFFFFF))
+        dkey = dsw
+    else:
+        dkey = jnp.where(alive, _sortable_uint(depth), jnp.uint32(0xFFFFFFFF))
+    if depth_key16:
+        pass
+    elif near_key is not None:
         # KeyPlan.normalize via compare+select (Mosaic cannot legalize
         # unsigned max/min on this chip)
         nk = jnp.uint32(near_key)
@@ -327,12 +338,16 @@ def project_and_cull_packed(
     input_is_srgb: bool, key_plan=None,
     interpret: bool = False,
     prepared=None,
+    depth_key16: bool = False,
 ) -> PackedProjection:
     """Fused projection for the production mono path (see module docstring).
 
     ``key_plan``: ops/binning.KeyPlan or None; when given, ``dsw`` is the
     plan-normalized depth word (culled gaussians saturate at the span like
     KeyPlan.normalize of 0xFFFFFFFF).
+    ``depth_key16``: emit the fused 16-bit half-depth key
+    (mathlib.half_depth_key16 — the Global/Local [tile:16 | depth16:16]
+    configuration) instead of the 32-bit sortable key.
     ``prepared``: optional (comp, harm) from
     :func:`prepare_projection_inputs` — pass the per-input cached layout to
     keep the pad/slice prologue out of the frame program.
@@ -366,7 +381,7 @@ def project_and_cull_packed(
         far_plane=far_plane, alpha_threshold=alpha_threshold,
         total_ink_threshold=total_ink_threshold,
         input_is_srgb=input_is_srgb, near_key=near_key, span=span,
-        culled_dsw=culled_dsw)
+        culled_dsw=culled_dsw, depth_key16=depth_key16)
 
     blk = pl.BlockSpec((BLK_SUB, LANES), lambda i: (i, 0))
     out_i32 = jax.ShapeDtypeStruct((rows_pad, LANES), jnp.int32)

@@ -247,8 +247,12 @@ def binning_sort_operands(visible, min_tx, min_ty, max_tx, rect_count,
         key, d_slot = outs[0], outs[1]
         slot_words = outs[2:-2]
         total, overflow = outs[-2], outs[-1]
-        sort_ops = (key, d_slot, *slot_words)
-        num_keys, is_stable, drop = 2, (plan_tuple is None), 1
+        if fused_depth16:
+            sort_ops = (key, *slot_words)
+            num_keys, is_stable, drop = 1, True, 0
+        else:
+            sort_ops = (key, d_slot, *slot_words)
+            num_keys, is_stable, drop = 2, (plan_tuple is None), 1
         return (sort_ops, (num_keys, is_stable, drop), plan_tuple, total,
                 overflow)
 
@@ -398,12 +402,45 @@ def fused_binning(pr, depth_sort_word, *, capacity: int, tiles_x: int,
 # machinery); Global and Local share this one.
 # ---------------------------------------------------------------------------
 
-def d16_pre_frame(gi, view, proj, center, *,
+def d16_packed_sorted(gi, view, proj, center, comp=None, harm=None, *,
+                      width, height, capacity, tiles_x, sh_degree,
+                      alpha_threshold, total_ink_threshold, near_plane,
+                      far_plane, input_is_srgb, tile_w, tile_h,
+                      interpret=False):
+    """Fused Pallas projection (depth16 key) + prep/expand + single-key sort
+    for the Global/Local fused frames.  Returns (sorted_tile, sw,
+    slot_total, overflow, visible)."""
+    from ..kernels.project import project_and_cull_packed
+
+    packed = project_and_cull_packed(
+        gi, view, proj, center,
+        width=width, height=height, tile_w=tile_w, tile_h=tile_h,
+        sh_degree=sh_degree, near_plane=near_plane, far_plane=far_plane,
+        alpha_threshold=alpha_threshold,
+        total_ink_threshold=total_ink_threshold,
+        input_is_srgb=input_is_srgb, key_plan=None, depth_key16=True,
+        interpret=interpret,
+        prepared=None if comp is None else (comp, harm))
+    sort_ops, _spec, _plan, slot_total, overflow = binning_sort_operands(
+        None, None, None, None, None, None, None,
+        capacity=capacity, tiles_x=tiles_x, fused_depth16=True,
+        use_pallas=True, interpret=interpret, exact_test=True,
+        tile_w=tile_w, tile_h=tile_h, alpha_threshold=alpha_threshold,
+        packed=packed)
+    ops = jax.lax.sort(sort_ops, num_keys=1, is_stable=True)
+    sorted_key, sw = ops[0], ops[1:]
+    sorted_tile = binning_sorted_tile(sorted_key, fused_depth16=True,
+                                      plan_tuple=None)
+    return sorted_tile, sw, slot_total, overflow, packed.visible
+
+
+def d16_pre_frame(gi, view, proj, center, comp=None, harm=None, *,
                   width: int, height: int, capacity: int,
                   sh_degree: int, alpha_threshold: float,
                   total_ink_threshold: float,
                   near_plane: float, far_plane: float, input_is_srgb: bool,
-                  tile_w: int, tile_h: int, interpret: bool = False):
+                  tile_w: int, tile_h: int, interpret: bool = False,
+                  pallas_project: bool = True):
     """Program 1: project + fused Pallas prep + expand, stopping at the
     single-key [tile:16|depth16:16] sort operands.  Returns
     (key, w0..w3, slot_total, overflow, visible_count)."""
@@ -414,6 +451,28 @@ def d16_pre_frame(gi, view, proj, center, *,
     if tiles_x * tiles_y > 0xFFFF:
         raise ValueError("fused depth16 tile id must fit 16 bits "
                          f"({tiles_x * tiles_y} tiles)")
+    if pallas_project:
+        # fused Pallas projection emitting the half-depth key directly
+        # (kernels/project.py, depth_key16 mode)
+        from ..kernels.project import project_and_cull_packed
+        packed = project_and_cull_packed(
+            gi, view, proj, center,
+            width=width, height=height, tile_w=tile_w, tile_h=tile_h,
+            sh_degree=sh_degree, near_plane=near_plane,
+            far_plane=far_plane, alpha_threshold=alpha_threshold,
+            total_ink_threshold=total_ink_threshold,
+            input_is_srgb=input_is_srgb, key_plan=None, depth_key16=True,
+            interpret=interpret,
+            prepared=None if comp is None else (comp, harm))
+        sort_ops, _spec, _plan, slot_total, overflow = binning_sort_operands(
+            None, None, None, None, None, None, None,
+            capacity=capacity, tiles_x=tiles_x, fused_depth16=True,
+            use_pallas=True, interpret=interpret, exact_test=True,
+            tile_w=tile_w, tile_h=tile_h, alpha_threshold=alpha_threshold,
+            packed=packed)
+        visible_count = jnp.sum(packed.visible).astype(jnp.int32)
+        return (*sort_ops, slot_total, overflow, visible_count)
+
     pr = project_and_cull(
         gi, view, proj, center,
         width=width, height=height, tile_w=tile_w, tile_h=tile_h,
@@ -480,6 +539,7 @@ def render_split16(renderer, tag, gi, view, proj, center, statics, n, *,
                    depth_mode: str = "weighted", max_per_tile: int = 0):
     """Three-program dispatch for Global/Local (see d16_pre_frame)."""
     from .base import AotProgram
+    from ..kernels.project import cached_projection_inputs
 
     pre_keys = ("width", "height", "capacity", "sh_degree",
                 "alpha_threshold", "total_ink_threshold", "near_plane",
@@ -489,12 +549,13 @@ def render_split16(renderer, tag, gi, view, proj, center, statics, n, *,
                         capacity=statics["capacity"],
                         tile_w=statics["tile_w"], tile_h=statics["tile_h"],
                         depth_mode=depth_mode, max_per_tile=max_per_tile)
+    prep_args = cached_projection_inputs(gi, statics["sh_degree"])
 
-    sig = (tag, n, gi.sh_n_coeffs, str(gi.scales.dtype),
+    sig = (tag, n, gi.sh_n_coeffs, str(gi.scales.dtype), len(prep_args),
            tuple(sorted(pre_statics.items())))
     pre = renderer._program((tag + "_pre", sig), lambda: AotProgram(
         d16_pre_frame, (tag + "_pre", sig), pre_statics))
-    outs = pre(gi, view, proj, center)
+    outs = pre(gi, view, proj, center, *prep_args)
     sort_ops = outs[:-3]
     slot_total, overflow, visible_count = outs[-3:]
 

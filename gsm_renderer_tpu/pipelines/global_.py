@@ -49,24 +49,38 @@ def global_frame(
         raise ValueError("GlobalRenderer tile id must fit 16 bits "
                          f"({num_tiles} tiles)")
 
-    pr = project_and_cull(
-        gi, view, proj, center,
-        width=width, height=height, tile_w=tile_w, tile_h=tile_h,
-        sh_degree=sh_degree, near_plane=near_plane, far_plane=far_plane,
-        alpha_threshold=alpha_threshold, total_ink_threshold=total_ink_threshold,
-        input_is_srgb=input_is_srgb,
-    )
-
-    # 16-bit half depth key per gaussian (GlobalShaders.metal:266-300),
-    # fused into the sort key; emission in input order (no depth pre-sort).
-    depth16 = M.half_depth_key16(pr.record.depth.astype(jnp.float32))
     del back_to_front  # both blend orders yield identical radiance (hardware.py)
-
-    sorted_tile, sorted_words, total_live, overflow, sw, slot_total = fused_binning(
-        pr, depth16, capacity=capacity, tiles_x=tiles_x, fused_depth16=True,
-        use_pallas=not use_xla_blend, interpret=interpret,
-        exact_test=exact_tile_test, tile_w=tile_w, tile_h=tile_h,
-        alpha_threshold=alpha_threshold)
+    if not use_xla_blend and exact_tile_test is True:
+        # fused Pallas projection emitting the half-depth key directly —
+        # 16-bit sort key per gaussian (GlobalShaders.metal:266-300), fused
+        # into the sort key; emission in input order (no depth pre-sort)
+        from .common import d16_packed_sorted
+        sorted_tile, sw, slot_total, overflow, visible = d16_packed_sorted(
+            gi, view, proj, center,
+            width=width, height=height, capacity=capacity, tiles_x=tiles_x,
+            sh_degree=sh_degree, alpha_threshold=alpha_threshold,
+            total_ink_threshold=total_ink_threshold, near_plane=near_plane,
+            far_plane=far_plane, input_is_srgb=input_is_srgb,
+            tile_w=tile_w, tile_h=tile_h, interpret=interpret)
+    else:
+        pr = project_and_cull(
+            gi, view, proj, center,
+            width=width, height=height, tile_w=tile_w, tile_h=tile_h,
+            sh_degree=sh_degree, near_plane=near_plane,
+            far_plane=far_plane,
+            alpha_threshold=alpha_threshold,
+            total_ink_threshold=total_ink_threshold,
+            input_is_srgb=input_is_srgb,
+        )
+        depth16 = M.half_depth_key16(pr.record.depth.astype(jnp.float32))
+        sorted_tile, sorted_words, total_live, overflow, sw, slot_total = \
+            fused_binning(
+                pr, depth16, capacity=capacity, tiles_x=tiles_x,
+                fused_depth16=True,
+                use_pallas=not use_xla_blend, interpret=interpret,
+                exact_test=exact_tile_test, tile_w=tile_w, tile_h=tile_h,
+                alpha_threshold=alpha_threshold)
+        visible = pr.visible
 
     starts, counts = B.extract_tile_ranges(sorted_tile, num_tiles)
 
@@ -90,7 +104,7 @@ def global_frame(
                                     tile_w=tile_w, tile_h=tile_h)
 
     header = FrameHeader(
-        visible_count=jnp.sum(pr.visible).astype(jnp.int32),
+        visible_count=jnp.sum(visible).astype(jnp.int32),
         # post-exact-test instance count (reference totalInstances semantics)
         total_instances=jnp.sum(counts).astype(jnp.int32),
         overflow=overflow,

@@ -52,20 +52,35 @@ def local_frame(
     if num_tiles > 0xFFFF:
         raise ValueError(f"LocalRenderer tile id must fit 16 bits ({num_tiles})")
 
-    pr = project_and_cull(
-        gi, view, proj, center,
-        width=width, height=height, tile_w=tile_w, tile_h=tile_h,
-        sh_degree=sh_degree, near_plane=near_plane, far_plane=far_plane,
-        alpha_threshold=alpha_threshold, total_ink_threshold=total_ink_threshold,
-        input_is_srgb=input_is_srgb,
-    )
-
-    depth16 = M.half_depth_key16(pr.record.depth.astype(jnp.float32))
-    sorted_tile, sorted_words, total_live, overflow, sw, slot_total = fused_binning(
-        pr, depth16, capacity=capacity, tiles_x=tiles_x, fused_depth16=True,
-        use_pallas=not use_xla_blend, interpret=interpret,
-        exact_test=True, tile_w=tile_w, tile_h=tile_h,
-        alpha_threshold=alpha_threshold)
+    if not use_xla_blend:
+        # fused Pallas projection emitting the half-depth key directly
+        from .common import d16_packed_sorted
+        sorted_tile, sw, slot_total, overflow, visible = d16_packed_sorted(
+            gi, view, proj, center,
+            width=width, height=height, capacity=capacity, tiles_x=tiles_x,
+            sh_degree=sh_degree, alpha_threshold=alpha_threshold,
+            total_ink_threshold=total_ink_threshold, near_plane=near_plane,
+            far_plane=far_plane, input_is_srgb=input_is_srgb,
+            tile_w=tile_w, tile_h=tile_h, interpret=interpret)
+    else:
+        pr = project_and_cull(
+            gi, view, proj, center,
+            width=width, height=height, tile_w=tile_w, tile_h=tile_h,
+            sh_degree=sh_degree, near_plane=near_plane,
+            far_plane=far_plane,
+            alpha_threshold=alpha_threshold,
+            total_ink_threshold=total_ink_threshold,
+            input_is_srgb=input_is_srgb,
+        )
+        depth16 = M.half_depth_key16(pr.record.depth.astype(jnp.float32))
+        sorted_tile, sorted_words, total_live, overflow, sw, slot_total = \
+            fused_binning(
+                pr, depth16, capacity=capacity, tiles_x=tiles_x,
+                fused_depth16=True,
+                use_pallas=not use_xla_blend, interpret=interpret,
+                exact_test=True, tile_w=tile_w, tile_h=tile_h,
+                alpha_threshold=alpha_threshold)
+        visible = pr.visible
 
     starts, counts = B.extract_tile_ranges(sorted_tile, num_tiles)
     # fixed per-tile capacity: silent drop past max_per_tile
@@ -92,7 +107,7 @@ def local_frame(
                                     tile_w=tile_w, tile_h=tile_h)
 
     header = FrameHeader(
-        visible_count=jnp.sum(pr.visible).astype(jnp.int32),
+        visible_count=jnp.sum(visible).astype(jnp.int32),
         # post-exact-test instance count (reference totalInstances semantics)
         total_instances=jnp.sum(counts).astype(jnp.int32),
         overflow=overflow,
