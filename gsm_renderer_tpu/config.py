@@ -33,6 +33,21 @@ class GaussianColorSpace(enum.Enum):
     SRGB = "srgb"
 
 
+class ColorFormat(enum.Enum):
+    """Render-target texel format (GaussianRendererProtocol.swift:204-212;
+    the reference renders rgba16Float color + r16Float depth targets —
+    GlobalResources.swift:334-360).
+
+    ``RGBA16_FLOAT`` (the reference default) returns float16 color/depth
+    arrays — the blend still accumulates in float32 (better than the
+    reference's half accumulators), quantized once at assembly.
+    ``RGBA32_FLOAT`` returns the full-precision float32 arrays.
+    """
+
+    RGBA16_FLOAT = "rgba16Float"
+    RGBA32_FLOAT = "rgba32Float"
+
+
 class DepthSortKeyPrecision(enum.Enum):
     """Depth radix-sort key width (reference: DepthRadixSortEncoder.swift:13-25).
 
@@ -99,6 +114,9 @@ class RendererConfig:
     max_height: int = 1080
     precision: Precision = Precision.FLOAT16
     gaussian_color_space: GaussianColorSpace = GaussianColorSpace.LINEAR
+    #: output texel format; RGBA32_FLOAT (default) returns f32 arrays,
+    #: RGBA16_FLOAT returns f16 (the reference's rgba16Float targets)
+    color_format: ColorFormat = ColorFormat.RGBA32_FLOAT
     back_to_front: bool = False
 
     # Per-renderer tuning (function-constant equivalents).

@@ -611,15 +611,13 @@ def _row_blend_kernel(starts_ref, counts_ref, oyoff_ref, *refs,
                         -sth * i2,                      # 9: a2
                         cth * i2,                       # 10: b2
                     ], axis=0)
-                    if probe == "notrans":
-                        # knockout: fake the (11*r_dma, 128) -> (128, ...)
-                        # decode transpose with a cheap broadcast (WRONG
-                        # values, right shape) to price the lane<->sublane
-                        # crossing
-                        eyes.append(jnp.broadcast_to(
-                            stacked[0:1, 0:1],
-                            (LANES, 11 * r_dma)) + 0.0)
-                        continue
+                    # (a "notrans" knockout probe was attempted to price this
+                    # transpose: both a (1,1)->(128,22) broadcast and a
+                    # reduce-splat fake crash Mosaic/the lowering emitter, so
+                    # the crossing cannot be knocked out in isolation; the
+                    # bound from the other probes caps the WHOLE non-DMA
+                    # non-exp non-scan residue — transpose + weights + alpha
+                    # mults — at ~1.4 ms of the 6.4-6.8 isolated stage)
                     eyes.append(jnp.transpose(stacked))  # (128, 11 * r_dma)
 
                 def sub_block(rb, h, carry2):

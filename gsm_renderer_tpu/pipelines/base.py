@@ -245,6 +245,19 @@ class GaussianRenderer:
                 f"render size {width}x{height} exceeds configured maximum "
                 f"{c.max_width}x{c.max_height}")
 
+    def finalize_output(self, out: RenderOutput) -> RenderOutput:
+        """Apply the configured output texel format (RendererConfig.
+        color_format — the reference's rgba16Float/r16Float render targets,
+        GaussianRendererProtocol.swift:204-212, GlobalResources.swift:
+        334-360).  The blend accumulates in float32 either way; RGBA16_FLOAT
+        quantizes once here."""
+        from ..config import ColorFormat
+        if self.config.color_format == ColorFormat.RGBA16_FLOAT:
+            return RenderOutput(color=out.color.astype(jnp.float16),
+                                depth=out.depth.astype(jnp.float16),
+                                header=out.header)
+        return out
+
     def render(self, gi: GaussianInput, camera: CameraParams,
                width: int, height: int) -> RenderOutput:
         raise NotImplementedError

@@ -569,7 +569,7 @@ def _mono_render(self, gi, camera, width, height):
             key, lambda: AotProgram(depth_first_frame, key, statics))
         out = prog(gi, view, proj, center, *prep_args)
     self.note_frame(n, out.header, kind=self._mono_key)
-    return out
+    return self.finalize_output(out)
 
 
 def depth_first_stereo_frame(
@@ -874,7 +874,7 @@ def _stereo_render(self, gi, camera, width, height):
             key, lambda: AotProgram(depth_first_stereo_frame, key, statics))
         out = prog(gi, views, projs, centers, st, *prep_args)
     self.note_frame(n, out.header, kind=self._stereo_key)
-    return out
+    return self.finalize_output(out)
 
 
 def _stereo_prep_args(self, gi, width, height, near_plane, far_plane,
@@ -1478,4 +1478,4 @@ def _stereo_foveated_render(self, gi, camera, target):
                                statics))
         out = prog(gi, views, projs, centers, st, *tabs_dev, *prep_args)
     self.note_frame(n, out.header, kind=fov_kind)
-    return out
+    return self.finalize_output(out)

@@ -148,4 +148,4 @@ class GlobalRenderer(GaussianRenderer):
                 key, lambda: AotProgram(global_frame, key, statics))
             out = prog(gi, view, proj, center)
         self.note_frame(n, out.header)
-        return out
+        return self.finalize_output(out)

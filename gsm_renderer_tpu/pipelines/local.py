@@ -151,4 +151,4 @@ class LocalRenderer(GaussianRenderer):
                 key, lambda: AotProgram(local_frame, key, statics))
             out = prog(gi, view, proj, center)
         self.note_frame(n, out.header)
-        return out
+        return self.finalize_output(out)

@@ -95,7 +95,7 @@ def main():
         t2, t6 = chain(2), chain(6)
         return (t6 - t2) / 4 * 1000
 
-    probes = ["", "notrans", "floor", "nocond", "noexp", "noscan"]
+    probes = ["", "floor", "nocond", "noexp", "noscan"]
     fns = {p: mk(p) for p in probes}
     # two interleaved passes: session drift shows up as pass-to-pass delta
     for rep in range(2):

@@ -68,3 +68,26 @@ def test_fused_16bit_key_matches_two_key_sort():
     np.testing.assert_array_equal(np.asarray(out_a.depth),
                                   np.asarray(out_b.depth))
     assert int(out_b.header.visible_count) > 0
+
+
+def test_color_format_rgba16():
+    """RendererConfig.color_format (GaussianRendererProtocol.swift:204-212):
+    RGBA16_FLOAT returns float16 color/depth (the reference's rgba16Float /
+    r16Float render targets) quantized once at assembly from the f32
+    accumulators; RGBA32_FLOAT (default) returns float32."""
+    import jax.numpy as jnp
+    from gsm_renderer_tpu.config import ColorFormat
+
+    gi, cam = scene(200, seed=5)
+    out32 = G.DepthFirstRenderer(
+        RendererConfig(sh_degree=1), use_xla_blend=True).render(gi, cam, 64, 64)
+    out16 = G.DepthFirstRenderer(
+        RendererConfig(sh_degree=1, color_format=ColorFormat.RGBA16_FLOAT),
+        use_xla_blend=True).render(gi, cam, 64, 64)
+    assert out32.color.dtype == jnp.float32
+    assert out16.color.dtype == jnp.float16
+    assert out16.depth.dtype == jnp.float16
+    np.testing.assert_array_equal(
+        np.asarray(out16.color),
+        np.asarray(out32.color.astype(jnp.float16)))
+    assert int(out16.header.visible_count) > 0
