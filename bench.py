@@ -56,13 +56,21 @@ def _build(n, w, h, sh_degree, scale_range, renderer="depth_first", seed=7,
     return r, ds.to_input(precision), cam
 
 
-def time_frames(render_fn, warmup=3, iters=10):
+def time_frames(render_fn, warmup=3, iters=10, reps=3):
     """Reference protocol: warmup then measure; returns per-frame ms stats.
 
     Per-sync dispatch+fetch overhead through the tunnel varies 25-45 ms
     BETWEEN sessions, so estimating it separately injects +-1.5 ms of jitter
     into the reported value.  Instead, time chains of two lengths with one
     sync each and take the SLOPE — the sync cost cancels exactly.
+
+    Stats honesty (the reference protocol reports avg/min/max of 10 measured
+    frames, TestUtils.swift:352-401; a slope estimator has no per-frame
+    samples): ``avg`` is the slope of the BEST chain times (the headline
+    value, robust to one-off stalls), ``min``/``max`` are the min/max of the
+    per-repetition slope samples — the honest spread of the estimator itself
+    — and ``chain_mean`` is the best long-chain mean (includes the one
+    dispatch+fetch sync, so it upper-bounds a single-frame wall time).
     """
     import jax
 
@@ -71,21 +79,24 @@ def time_frames(render_fn, warmup=3, iters=10):
     np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[0])  # sync
 
     def chain(k):
-        best = 1e9
-        for _ in range(3):
-            t0 = time.perf_counter()
-            for _ in range(k):
-                out = render_fn()
-            np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[0])
-            best = min(best, time.perf_counter() - t0)
-        return best
+        t0 = time.perf_counter()
+        for _ in range(k):
+            out = render_fn()
+        np.asarray(jax.tree_util.tree_leaves(out)[0].ravel()[0])
+        return time.perf_counter() - t0
 
     short, long_ = max(iters // 3, 2), max(2 * (iters // 3), 4)
-    t_s = chain(short)
-    t_l = chain(long_)
-    per = (t_l - t_s) / (long_ - short) * 1000
-    return dict(avg=float(per), min=float(per),
-                max=float(t_l / long_ * 1000))
+    slopes, t_s_all, t_l_all = [], [], []
+    for _ in range(reps):
+        t_s = chain(short)
+        t_l = chain(long_)
+        t_s_all.append(t_s)
+        t_l_all.append(t_l)
+        slopes.append((t_l - t_s) / (long_ - short) * 1000)
+    best = (min(t_l_all) - min(t_s_all)) / (long_ - short) * 1000
+    return dict(avg=float(best), min=float(min(slopes)),
+                max=float(max(slopes)),
+                chain_mean=float(min(t_l_all) / long_ * 1000))
 
 
 def measure_overhead():

@@ -178,8 +178,16 @@ def profile_depth_first_stages(gi, camera, width: int, height: int, *,
     prev = 0.0
     for stage in stages:
         cum = _time_program(build(stage), args)
-        out[names.get(stage, stage)] = max(cum - prev, 0.0)
+        # RAW delta — may be slightly negative when two cut programs differ
+        # by less than the slope-timing noise (~0.3 ms); clamping/rounding
+        # silently would hide exactly the noise the reader needs to see to
+        # judge the split (round-4 MATRIX reported project=0.0 while the
+        # true value was ~0.4 with ~3 ms of frame time unattributed).
+        out[names.get(stage, stage)] = cum - prev
         prev = cum
+    # total == the "full" cut's cumulative slope == the FUSED single-program
+    # frame time on this backend; the bench headline adds one per-dispatch
+    # service overhead (~1.5-3 ms through the tunnel) on top of this.
     out["total"] = prev
     return out
 
