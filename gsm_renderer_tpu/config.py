@@ -131,6 +131,25 @@ class RendererConfig:
     # at trace time when 0 — see pipelines).
     max_instances: int = 0
 
+    #: Per-row exact-span instance counting for oversized rects (DepthFirst
+    #: mono Pallas path).  The reference exact-counts EVERY gaussian's touched
+    #: tiles at projection (DepthFirstShaders.metal:181-219); the TPU's 8x4
+    #: mask window covers small rects only, and the heavy tail's full-rect
+    #: fallback slots dominate realistic scenes (2.29M of 7.07M slots dead at
+    #: the BASELINE realistic-PLY row).  This decomposes each oversized rect
+    #: into per-tile-row virtual rows with closed-form ellipse column spans
+    #: (kernels/expand.row_expand_pallas) — bitwise-identical output, much
+    #: smaller sort/blend volume.  Disable to fall back to full-rect
+    #: expansion with the in-kernel exact test.
+    row_expand: bool = True
+
+    #: Optional depth output (DepthFirst family).  The reference skips the
+    #: depth texture entirely when the caller passes none or a .depth32Float
+    #: target (DepthFirstRenderEncoder.swift:36-38, 60-80); False here drops
+    #: the blend kernel's depth accumulator column, the depth output plane
+    #: and the (H, W) depth assembly, and ``RenderOutput.depth`` is None.
+    depth_output: bool = True
+
     # Periphery LOD for foveated rendering (BEYOND reference parity; the
     # rate map only changes where the reference shades, not what it draws).
     # 0.0 = off (exact foveated output).  > 0: toward the periphery,

@@ -195,6 +195,11 @@ def blend_tiles_xla(table, starts, counts, *, tiles_x: int, tiles_y: int,
             # Hardware postprocess: alpha-normalized depth
             # (HardwareGaussianShaders.metal:483-526)
             depth = jnp.sum(w * d[:, None], 0) / jnp.maximum(a_out, 1e-6)
+        elif depth_mode == "none":
+            # color-only output (DepthFirstRenderEncoder.swift:36-38); a
+            # zero row keeps the lax.map output structure — the wrapper
+            # returns None for depth
+            depth = jnp.zeros((pix,), jnp.float32)
         else:
             depth = jnp.sum(w * d[:, None], 0)
         return col, depth
@@ -209,6 +214,8 @@ def blend_tiles_xla(table, starts, counts, *, tiles_x: int, tiles_y: int,
             jnp.pad(coord_x, ((0, pad), (0, 0))).reshape(-1, tile_chunk, pix),
             jnp.pad(coord_y, ((0, pad), (0, 0))).reshape(-1, tile_chunk, pix))
     col, depth = jax.lax.map(chunk_fn, args)
+    if depth_mode == "none":
+        return col.reshape(-1, pix, 4)[:n_t], None
     return col.reshape(-1, pix, 4)[:n_t], depth.reshape(-1, pix)[:n_t]
 
 
@@ -221,6 +228,8 @@ def assemble_image(tile_color, tile_depth, *, tiles_x: int, tiles_y: int,
         return x.reshape(tiles_y * tile_h, tiles_x * tile_w, ch)[:height, :width]
 
     color = unpack(tile_color, 4)
+    if tile_depth is None:
+        return color, None
     depth = unpack(tile_depth[..., None], 1)[..., 0]
     return color, depth
 
@@ -363,6 +372,12 @@ def _row_blend_kernel(starts_ref, counts_ref, oyoff_ref, *refs,
     r_dma = blocks_per_dma
     pix = tile_w * tile_h
     first_hit = depth_mode == "first_hit"
+    # "none": color-only output — the reference skips the depth texture when
+    # the caller passes none or a .depth32Float target
+    # (DepthFirstRenderEncoder.swift:36-38, 60-80).  Drops the depth column
+    # from the accumulator/contraction and the depth output plane.
+    no_depth = depth_mode == "none"
+    n_c = 3 if no_depth else 4
     ty = pl.program_id(0)
     # bf16 mode: the (128, P) inner arithmetic runs in bfloat16 — the VPU's
     # packed 2x-throughput dtype — mirroring the reference's half-precision
@@ -679,7 +694,8 @@ def _row_blend_kernel(starts_ref, counts_ref, oyoff_ref, *refs,
                                         e_mat < slr(4) - 0.5 * r2_cutoff,
                                         cdt(0.0), alpha)
                                 cols = jnp.concatenate(
-                                    [slr(1), slr(2), slr(3), gdepth],
+                                    [slr(1), slr(2), slr(3)]
+                                    + ([] if no_depth else [gdepth]),
                                     axis=1).astype(cdt)
                             else:
                                 ey = eyes[e]
@@ -721,8 +737,9 @@ def _row_blend_kernel(starts_ref, counts_ref, oyoff_ref, *refs,
                                     alpha = jnp.where(q > cdt(r2_cutoff),
                                                       cdt(0.0), alpha)
                                 cols = jnp.concatenate(
-                                    [sl(ey, 3), sl(ey, 4), sl(ey, 5),
-                                     gdepth], axis=1).astype(cdt)
+                                    [sl(ey, 3), sl(ey, 4), sl(ey, 5)]
+                                    + ([] if no_depth else [gdepth]),
+                                    axis=1).astype(cdt)
 
                             om = cdt(1.0) - alpha
                             if scan_mode == "reduce" and not first_hit:
@@ -738,7 +755,7 @@ def _row_blend_kernel(starts_ref, counts_ref, oyoff_ref, *refs,
                                 # row-major (g, P) -> (g/2, 2P) reshape
                                 # (lane-merge of sublane pairs).
                                 states = [om] + [alpha * cols[:, k:k + 1]
-                                                 for k in range(4)]
+                                                 for k in range(n_c)]
                                 g_cur = sub_g
                                 while g_cur > 1:
                                     half = g_cur // 2
@@ -748,7 +765,7 @@ def _row_blend_kernel(starts_ref, counts_ref, oyoff_ref, *refs,
                                     states = ([a0 * m[0][:, pix:]]
                                               + [m[k][:, :pix]
                                                  + a0 * m[k][:, pix:]
-                                                 for k in range(1, 5)])
+                                                 for k in range(1, n_c + 1)])
                                     g_cur = half
                                 ttot = states[0].astype(jnp.float32)  # (1, P)
                                 contrib = jnp.transpose(
@@ -844,13 +861,13 @@ def _row_blend_kernel(starts_ref, counts_ref, oyoff_ref, *refs,
             def _():
                 zero = jnp.zeros((1, pix), jnp.float32)
                 for e in range(n_eyes):
-                    for ch in range(5):
+                    for ch in range(4 if no_depth else 5):
                         out_ref[0, 8 * e + ch, tx, :] = zero[0]
 
             @pl.when(count > 0)
             def _():
                 carry0 = (
-                    tuple(jnp.zeros((pix, 4), jnp.float32)
+                    tuple(jnp.zeros((pix, n_c), jnp.float32)
                           for _ in range(n_eyes)),
                     tuple(jnp.ones((1, pix), jnp.float32)
                           for _ in range(n_eyes)),
@@ -941,18 +958,20 @@ def _row_blend_kernel(starts_ref, counts_ref, oyoff_ref, *refs,
 
                 accs, transs, fhs = carry
                 for e in range(n_eyes):
-                    acc_t = jnp.transpose(accs[e])        # (4, P)
+                    acc_t = jnp.transpose(accs[e])        # (n_c, P)
                     a_out = 1.0 - transs[e][0]
+                    out_ref[0, 8 * e + 0, tx, :] = acc_t[0]
+                    out_ref[0, 8 * e + 1, tx, :] = acc_t[1]
+                    out_ref[0, 8 * e + 2, tx, :] = acc_t[2]
+                    out_ref[0, 8 * e + 3, tx, :] = a_out
+                    if no_depth:
+                        continue
                     if first_hit:
                         depth_out = fhs[e][1]
                     elif depth_mode == "normalized":
                         depth_out = acc_t[3] / jnp.maximum(a_out, 1e-6)
                     else:
                         depth_out = acc_t[3]
-                    out_ref[0, 8 * e + 0, tx, :] = acc_t[0]
-                    out_ref[0, 8 * e + 1, tx, :] = acc_t[1]
-                    out_ref[0, 8 * e + 2, tx, :] = acc_t[2]
-                    out_ref[0, 8 * e + 3, tx, :] = a_out
                     out_ref[0, 8 * e + 4, tx, :] = depth_out
 
             return 0
@@ -1088,7 +1107,9 @@ def blend_tiles_pallas(table, starts, counts, *, tiles_x: int, tiles_y: int,
     out = out[:, :, :tiles_x, :]                      # (TY, chans, TX, P)
     out = jnp.transpose(out, (0, 2, 3, 1))            # (TY, TX, P, chans)
     out = out.reshape(n_t, pix, chans)
+    no_depth = depth_mode == "none"
     if n_eyes == 1:
-        return out[..., 0:4], out[..., 4]
-    return [(out[..., 8 * e:8 * e + 4], out[..., 8 * e + 4])
+        return out[..., 0:4], (None if no_depth else out[..., 4])
+    return [(out[..., 8 * e:8 * e + 4],
+             None if no_depth else out[..., 8 * e + 4])
             for e in range(n_eyes)]

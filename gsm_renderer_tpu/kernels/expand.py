@@ -366,6 +366,79 @@ def _record_d2min(w0, w1, w2, tile_x0, tile_x1, tile_y0, tile_y1):
     return d2min
 
 
+def _row_tile_span(w0, w1, w2, w3, ty, min_tx, rect_w, tile_w: float,
+                   tile_h: float, alpha_threshold: float):
+    """Exact (conservatively widened) tile-column span of the quantized
+    record's ellipse within tile row ``ty``.
+
+    The passing set of ``_exact_tile_test`` along one tile row is contiguous:
+    a tile rect spans the row's full pixel band, so it intersects the convex
+    ellipse {q <= d2Cutoff} iff its x-range meets the ellipse's x-extent over
+    that band.  The extent is closed-form: for f(y) = -cb*y + sqrt(ca*k -
+    det*y^2) (concave) the max over the clipped band is f at the clamped
+    critical point, and symmetrically for the min.  Spans are widened by a
+    small absolute+relative pad so float disagreement with the kernel's
+    clamp-form ``_record_d2min`` can only ADD boundary tiles — which the
+    in-kernel exact test then kills, keeping output bitwise identical to
+    full-rect expansion (TPU shape of the reference's exact-count discipline,
+    DepthFirstShaders.metal:181-219, extended to arbitrarily large rects).
+
+    Returns (t_lo (i32), span (i32)); span == 0 when the ellipse misses the
+    row (or opacity < tau).
+    """
+    mx = _f16_bits_to_f32(w0)
+    my = _f16_bits_to_f32(w0 >> 16)
+    theta = (w1 & jnp.uint32(0xFFFF)).astype(jnp.int32).astype(jnp.float32) * (
+        3.14159265358979 / 65535.0)
+    s1 = jnp.maximum(_f16_bits_to_f32(w1 >> 16), 1e-4)
+    s2 = jnp.maximum(_f16_bits_to_f32(w2), 1e-4)
+    c = jnp.cos(theta)
+    s = jnp.sin(theta)
+    iv1 = 1.0 / (s1 * s1)
+    iv2 = 1.0 / (s2 * s2)
+    ca = c * c * iv1 + s * s * iv2
+    cb = c * s * (iv1 - iv2)
+    # det = ca*cc - cb^2 == iv1*iv2 algebraically; the product form is exact
+    # (the subtraction cancels catastrophically for anisotropic records)
+    det = iv1 * iv2
+
+    op = ((w3 >> 24) & jnp.uint32(0xFF)).astype(jnp.int32).astype(
+        jnp.float32) * (1.0 / 255.0)
+    tau = max(alpha_threshold, 1e-12)
+    k = jnp.where(op < tau, -1.0,
+                  -2.0 * jnp.log(tau / jnp.maximum(op, 1e-30)))
+
+    y0 = ty.astype(jnp.float32) * tile_h - my
+    y1 = y0 + tile_h
+    cak = ca * k
+    ylim = jnp.sqrt(jnp.maximum(cak / det, 0.0))
+    yc0 = jnp.maximum(y0, -ylim)
+    yc1 = jnp.minimum(y1, ylim)
+    empty = (k < 0.0) | (yc0 > yc1)
+
+    inv_ca = 1.0 / jnp.maximum(ca, 1e-20)
+    # |y*| of the critical points of x+-(y) = (-cb*y -+ sqrt(ca*k - det*y^2))/ca
+    t_mag = jnp.sqrt(jnp.maximum(cak / (det * (det + cb * cb)), 0.0))
+    yb = jnp.clip(-cb * t_mag, yc0, yc1)
+    ya = jnp.clip(cb * t_mag, yc0, yc1)
+
+    def sq_disc(y):
+        return jnp.sqrt(jnp.maximum(cak - det * y * y, 0.0))
+
+    xb = (-cb * yb + sq_disc(yb)) * inv_ca
+    xa = (-cb * ya - sq_disc(ya)) * inv_ca
+    pad = 1e-5 * (jnp.abs(xa) + jnp.abs(xb)) + 0.125
+    xs0 = xa + mx - pad
+    xs1 = xb + mx + pad
+    inv_tw = 1.0 / tile_w
+    t_lo = jnp.floor(xs0 * inv_tw).astype(jnp.int32)
+    t_hi = jnp.floor(xs1 * inv_tw).astype(jnp.int32)
+    t_lo = jnp.maximum(t_lo, min_tx)
+    t_hi = jnp.minimum(t_hi, min_tx + rect_w - 1)
+    span = jnp.where(empty, 0, jnp.maximum(t_hi - t_lo + 1, 0))
+    return t_lo, span
+
+
 def _exact_tile_test(w0, w1, w2, w3, tx, ty, tile_w, tile_h, alpha_threshold):
     """FlashGS-style exact min-quadratic-over-rect test from the quantized
     record (DepthFirstShaders.metal:181-205, GaussianShared.h:525-593).
@@ -396,6 +469,82 @@ def _stereo_tile_test(aux_vals, x0, x1, y0, y1):
     d2_l = _record_d2min(aux_vals[1], aux_vals[2], aux_vals[3], x0, x1, y0, y1)
     d2_r = _record_d2min(aux_vals[5], aux_vals[6], aux_vals[7], x0, x1, y0, y1)
     return jnp.minimum(d2_l, d2_r) <= STEREO_R2_CUTOFF
+
+
+def _window_slot_search(wblk, first_slot):
+    """Resolve a block's BLK slots (``first_slot`` + [0, BLK)) to their owning
+    table rows via the offsets plane ``wblk[0]`` (strictly increasing over
+    live rows, OFFSET_PAD tail).
+
+    Window-local base rank per sublane row (rank of the row's first slot) is
+    counted from the offsets plane: window prefix below the block's first rank
+    is entirely <= any row target and padding is OFFSET_PAD > any slot, so
+    base(r) = #{k in window : off[k] <= first slot of row r} - 1.  A row of
+    128 slots spans at most 128 rows from its base (offsets strictly
+    increasing), so each lookup touches exactly TWO window rows selected once
+    per block, and a 7-step binary ascent resolves the rank.
+
+    Returns (slot (BLK_SUB, LANES) i32, jj = slot - offsets[row] i32,
+    gather_plane(p) reading plane p at each slot's owning row, lo = the
+    window-local owning row index).
+    """
+    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (BLK_SUB, LANES), 0)
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (BLK_SUB, LANES), 1)
+    slot = first_slot + sub_iota * LANES + lane_iota
+
+    tgt = first_slot + sub_iota * LANES       # row-constant targets
+    acc = jnp.zeros((BLK_SUB, LANES), jnp.int32)
+    for k in range(WIN_ROWS):
+        acc += (wblk[0, k:k + 1, :] <= tgt).astype(jnp.int32)
+    cnt = jnp.sum(acc, axis=1, keepdims=True)  # (BLK_SUB, 1)
+    b = jnp.broadcast_to(jnp.minimum(cnt - 1, (WIN_ROWS - 1) * LANES - 1),
+                         (BLK_SUB, LANES))
+    w_r = b >> 7                              # constant within each row
+
+    def two_rows(plane):
+        """The two window rows every lookup of this block's row can touch."""
+        rowA = jnp.zeros((BLK_SUB, LANES), jnp.int32)
+        rowB = jnp.zeros((BLK_SUB, LANES), jnp.int32)
+        for k in range(WIN_ROWS - 1):
+            sel = w_r == k
+            rowA = jnp.where(sel, wblk[plane, k:k + 1, :], rowA)
+            rowB = jnp.where(sel, wblk[plane, k + 1:k + 2, :], rowB)
+        return rowA, rowB
+
+    offA, offB = two_rows(0)
+
+    def off_at(idx):
+        """offsets[idx] for window-local idx in [b, b+127]."""
+        lane = idx & 127
+        hi = (idx >> 7) != w_r
+        va = jnp.take_along_axis(offA, lane, axis=1)
+        vb = jnp.take_along_axis(offB, lane, axis=1)
+        return jnp.where(hi, vb, va)
+
+    # Per-row binary search: rank(slot) - b <= lane < 128 (offsets strictly
+    # increasing), so a 7-step ascent suffices; track offsets[lo] alongside.
+    lo = b
+    lo_val = off_at(b)
+    step = 64
+    while step >= 1:
+        cand = lo + step
+        val = off_at(cand)
+        ok = val <= slot
+        lo = jnp.where(ok, cand, lo)
+        lo_val = jnp.where(ok, val, lo_val)
+        step //= 2
+
+    jj = slot - lo_val
+    lane_lo = lo & 127
+    hi_lo = (lo >> 7) != w_r
+
+    def gather_plane(plane):
+        rowA, rowB = two_rows(plane)
+        va = jnp.take_along_axis(rowA, lane_lo, axis=1)
+        vb = jnp.take_along_axis(rowB, lane_lo, axis=1)
+        return jnp.where(hi_lo, vb, va)
+
+    return slot, jj, gather_plane, lo
 
 
 def _expand_kernel(r0_ref, total_ref, rowoff_ref, tab_hbm,
@@ -455,66 +604,8 @@ def _expand_kernel(r0_ref, total_ref, rowoff_ref, tab_hbm,
 
     wblk = win[slot_buf]                      # (planes, WIN_ROWS, LANES)
 
-    # slot ids for this block
-    sub_iota = jax.lax.broadcasted_iota(jnp.int32, (BLK_SUB, LANES), 0)
-    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (BLK_SUB, LANES), 1)
-    slot = i * BLK + sub_iota * LANES + lane_iota
-
-    # Window-local base rank per sublane row (rank of the row's first slot),
-    # counted from the offsets plane (see docstring).  The clamp only acts on
-    # rows whose first slot is past ``total`` (their slots are dead anyway);
-    # it keeps w_r addressing real window rows.
-    tgt = i * BLK + sub_iota * LANES          # row-constant targets
-    acc = jnp.zeros((BLK_SUB, LANES), jnp.int32)
-    for k in range(WIN_ROWS):
-        acc += (wblk[0, k:k + 1, :] <= tgt).astype(jnp.int32)
-    cnt = jnp.sum(acc, axis=1, keepdims=True)  # (BLK_SUB, 1)
-    b = jnp.broadcast_to(jnp.minimum(cnt - 1, (WIN_ROWS - 1) * LANES - 1),
-                         (BLK_SUB, LANES))
-    w_r = b >> 7                              # constant within each row
-
-    def two_rows(plane):
-        """The two window rows every lookup of this block's row can touch."""
-        rowA = jnp.zeros((BLK_SUB, LANES), jnp.int32)
-        rowB = jnp.zeros((BLK_SUB, LANES), jnp.int32)
-        for k in range(WIN_ROWS - 1):
-            sel = w_r == k
-            rowA = jnp.where(sel, wblk[plane, k:k + 1, :], rowA)
-            rowB = jnp.where(sel, wblk[plane, k + 1:k + 2, :], rowB)
-        return rowA, rowB
-
-    offA, offB = two_rows(0)
-
-    def off_at(idx):
-        """offsets[idx] for window-local idx in [b, b+127]."""
-        lane = idx & 127
-        hi = (idx >> 7) != w_r
-        va = jnp.take_along_axis(offA, lane, axis=1)
-        vb = jnp.take_along_axis(offB, lane, axis=1)
-        return jnp.where(hi, vb, va)
-
-    # Per-row binary search: rank(slot) - b <= lane < 128 (offsets strictly
-    # increasing), so a 7-step ascent suffices; track offsets[lo] alongside.
-    lo = b
-    lo_val = off_at(b)
-    step = 64
-    while step >= 1:
-        cand = lo + step
-        val = off_at(cand)
-        ok = val <= slot
-        lo = jnp.where(ok, cand, lo)
-        lo_val = jnp.where(ok, val, lo_val)
-        step //= 2
-
-    jj = slot - lo_val
-    lane_lo = lo & 127
-    hi_lo = (lo >> 7) != w_r
-
-    def gather_plane(plane):
-        rowA, rowB = two_rows(plane)
-        va = jnp.take_along_axis(rowA, lane_lo, axis=1)
-        vb = jnp.take_along_axis(rowB, lane_lo, axis=1)
-        return jnp.where(hi_lo, vb, va)
+    # slot -> owning gaussian via the offsets plane (see _window_slot_search)
+    slot, jj, gather_plane, lo = _window_slot_search(wblk, i * BLK)
 
     rect_u = pltpu.bitcast(gather_plane(1), jnp.uint32)
     min_tx = (rect_u & jnp.uint32(0x3FF)).astype(jnp.int32)
@@ -643,7 +734,7 @@ def _pad_rows(x, n):
 
 def _prep_kernel(rw_ref, rh_ref, dk_ref, *rest, n: int, tile_w: int,
                  tile_h: int, alpha_threshold: float, mode: str = "mono",
-                 lod_min: float = 0.0):
+                 lod_min: float = 0.0, count_rows: bool = False):
     """One grid step preps BLK_SUB rows (4096 gaussians) of the combined
     expand table: exact 8x4 tile masks + pre-counts + the global exclusive
     instance-offset scan (carried across the sequential grid in SMEM) — the
@@ -708,8 +799,15 @@ def _prep_kernel(rw_ref, rh_ref, dk_ref, *rest, n: int, tile_w: int,
 
     visible = jnp.logical_not(culled0)
     eligible = visible & (rect_w <= MASK_W) & (rect_h <= MASK_H)
-    counts = jnp.where(visible,
-                       jnp.where(eligible, cnt, rect_w * rect_h), 0)
+    if count_rows:
+        # row-expansion prep (see row_expand_pallas): counts are VIRTUAL TILE
+        # ROWS, not instances — mask-eligible and culled gaussians occupy one
+        # row; oversized rects get one row per tile row, each of which the
+        # row-expand kernel narrows to its exact ellipse column span
+        counts = jnp.where(visible & jnp.logical_not(eligible), rect_h, 1)
+    else:
+        counts = jnp.where(visible,
+                           jnp.where(eligible, cnt, rect_w * rect_h), 0)
     culled = jnp.logical_or(culled0, eligible & (cnt == 0))
     rect_out = (rword
                 | jnp.where(eligible, jnp.uint32(MASKED_BIT), jnp.uint32(0))
@@ -760,12 +858,13 @@ def _prep_kernel(rw_ref, rh_ref, dk_ref, *rest, n: int, tile_w: int,
 
 @functools.partial(jax.jit, static_argnames=("tile_w", "tile_h",
                                              "alpha_threshold", "interpret",
-                                             "mode", "lod_min"))
+                                             "mode", "lod_min", "count_rows"))
 def binning_prep_pallas(rect_word, rect_h, depth_word, word_list, *,
                         tile_w: int = 16, tile_h: int = 16,
                         alpha_threshold: float = 0.005,
                         interpret: bool = False, mode: str = "mono",
-                        warped_bounds=None, lod_min: float = 0.0):
+                        warped_bounds=None, lod_min: float = 0.0,
+                        count_rows: bool = False):
     """Fused binning prep: builds the complete combined plane-major expand
     table [offsets, rect, mask, depth, w0..w{K-1}] (3 + 1 + K, rows, 128) in
     one Pallas pass (see :func:`_prep_kernel`).  ``mode`` "mono" (K = 4),
@@ -800,7 +899,7 @@ def binning_prep_pallas(rect_word, rect_h, depth_word, word_list, *,
     kernel = functools.partial(_prep_kernel, n=n, tile_w=tile_w,
                                tile_h=tile_h,
                                alpha_threshold=alpha_threshold, mode=mode,
-                               lod_min=lod_min)
+                               lod_min=lod_min, count_rows=count_rows)
     tab = pl.pallas_call(
         kernel,
         grid=(grid,),
@@ -811,6 +910,247 @@ def binning_prep_pallas(rect_word, rect_h, depth_word, word_list, *,
         interpret=interpret,
     )(*ins)
     return tab
+
+
+def _row_expand_kernel(r0_ref, total_ref, tab_hbm, out_ref, win, sem,
+                       carry_ref, *, n_planes: int, r_cap: int, tile_w: int,
+                       tile_h: int, alpha_threshold: float):
+    """One grid step narrows BLK virtual tile rows to their exact column
+    spans (see :func:`row_expand_pallas`): the same windowed-DMA +
+    offsets-search machinery as ``_expand_kernel`` resolves each row slot to
+    its owning gaussian and its tile-row index jj, then ``_row_tile_span``
+    replaces the full-rect width with the ellipse's closed-form span.  The
+    per-row instance counts are scanned into global exclusive offsets
+    in-pass (the same transposed Hillis-Steele + SMEM carry as
+    ``_prep_kernel``), so the output IS a complete expand table."""
+    i = pl.program_id(0)
+    nb = pl.num_programs(0)
+
+    def dma(buf, blk):
+        row = r0_ref[blk] // LANES
+        return pltpu.make_async_copy(tab_hbm.at[:, pl.ds(row, WIN_ROWS)],
+                                     win.at[buf], sem.at[buf])
+
+    slot_buf = jax.lax.rem(i, DMA_DEPTH)
+
+    @pl.when(i == 0)
+    def _():
+        for j in range(min(DMA_DEPTH - 1, nb)):
+            dma(j % DMA_DEPTH, j).start()
+
+    dma(slot_buf, i).wait()
+
+    @pl.when(i + DMA_DEPTH - 1 < nb)
+    def _():
+        dma(jax.lax.rem(i + DMA_DEPTH - 1, DMA_DEPTH),
+            i + DMA_DEPTH - 1).start()
+
+    carry = carry_ref[0]
+
+    @pl.when(i == 0)
+    def _():
+        carry_ref[0] = 0
+
+    carry = jnp.where(i == 0, 0, carry)
+
+    wblk = win[slot_buf]                      # (planes, WIN_ROWS, LANES)
+    slot, jj, gather_plane, _lo = _window_slot_search(wblk, i * BLK)
+
+    plane_vals = [gather_plane(p) for p in range(1, n_planes)]
+    rect_u = pltpu.bitcast(plane_vals[0], jnp.uint32)
+    mask_u = pltpu.bitcast(plane_vals[1], jnp.uint32)
+    w0 = pltpu.bitcast(plane_vals[3], jnp.uint32)
+    w1 = pltpu.bitcast(plane_vals[4], jnp.uint32)
+    w2 = pltpu.bitcast(plane_vals[5], jnp.uint32)
+    w3 = pltpu.bitcast(plane_vals[6], jnp.uint32)
+
+    culled = (rect_u & jnp.uint32(CULLED_BIT)) != 0
+    masked = (rect_u & jnp.uint32(MASKED_BIT)) != 0
+    min_tx = (rect_u & jnp.uint32(0x3FF)).astype(jnp.int32)
+    min_ty = ((rect_u >> 10) & jnp.uint32(0x3FF)).astype(jnp.int32)
+    rect_w = ((rect_u >> 20) & jnp.uint32(0x3FF)).astype(jnp.int32)
+
+    ty = min_ty + jj
+    t_lo, span = _row_tile_span(w0, w1, w2, w3, ty, min_tx, rect_w,
+                                float(tile_w), float(tile_h),
+                                alpha_threshold)
+
+    passthrough = jnp.logical_or(masked, culled)
+    empty = jnp.logical_and(jnp.logical_not(passthrough), span == 0)
+    rect2 = jnp.where(passthrough, rect_u,
+                      t_lo.astype(jnp.uint32)
+                      | (ty.astype(jnp.uint32) << 10)
+                      | (span.astype(jnp.uint32) << 20))
+    rect2 = jnp.where(empty, rect2 | jnp.uint32(CULLED_BIT), rect2)
+    cnt2 = jnp.where(jnp.logical_or(culled, empty), 1,
+                     jnp.where(masked, _popcount(mask_u), span))
+    # rows past the true row total (or the static row capacity: row-overflow
+    # drop) contribute no slots and zero planes (prep-construction parity)
+    dead = jnp.logical_or(slot >= total_ref[0], slot >= r_cap)
+    cnt2 = jnp.where(dead, 0, cnt2)
+
+    # exclusive prefix over the block in flat position order + SMEM carry
+    # (same transposed Hillis-Steele as _prep_kernel)
+    ct = jnp.transpose(cnt2)                      # (LANES, BLK_SUB)
+    y = ct
+    k = 1
+    while k < LANES:
+        y = y + jnp.pad(y, ((k, 0), (0, 0)))[:LANES, :]
+        k *= 2
+    row_tot = jnp.transpose(y[LANES - 1:LANES, :])  # (BLK_SUB, 1)
+    z = row_tot
+    k = 1
+    while k < BLK_SUB:
+        z = z + jnp.pad(z, ((k, 0), (0, 0)))[:BLK_SUB, :]
+        k *= 2
+    block_sum = jnp.max(z)
+    row_base = jnp.transpose(z - row_tot)         # (1, BLK_SUB)
+    excl = jnp.transpose(y - ct + row_base)       # (BLK_SUB, LANES)
+
+    off = carry + excl
+    off = jnp.where(slot > r_cap, OFFSET_PAD, off)
+    carry_ref[0] = carry + block_sum
+
+    zero = jnp.uint32(0)
+    out_ref[0] = off
+    out_ref[1] = pltpu.bitcast(jnp.where(dead, zero, rect2), jnp.int32)
+    for p in range(2, n_planes):
+        out_ref[p] = jnp.where(dead, 0, plane_vals[p - 1])
+
+
+@functools.partial(jax.jit, static_argnames=("n", "row_capacity", "tile_w",
+                                             "tile_h", "alpha_threshold",
+                                             "interpret"))
+def row_expand_pallas(tab1, *, n: int, row_capacity: int, tile_w: int = 16,
+                      tile_h: int = 16, alpha_threshold: float = 0.005,
+                      interpret: bool = False):
+    """Narrow the heavy tail's full-rect expansion to exact per-row spans.
+
+    ``tab1``: a mono expand table built by :func:`binning_prep_pallas` with
+    ``count_rows=True`` — its offsets count VIRTUAL TILE ROWS (one per
+    mask-eligible/culled gaussian, ``rect_h`` for oversized rects).  This pass
+    expands gaussians into those rows and replaces each oversized row's rect
+    with ``pack(span_lo, ty, span_w)`` from the closed-form ellipse column
+    span, producing a second expand table over ``row_capacity`` entries whose
+    instance counts are near-exact for EVERY rect size.
+
+    Rationale: full-rect fallback slots are the realistic heavy-tailed
+    scene's dominant waste — 2.29M of 7.07M slots dead at the BASELINE PLY
+    row (scratch/realprobe.py), each priced by the volume-bound composed
+    instance sort AND walked by the blend as zero-alpha work.  The reference
+    exact-counts every gaussian at projection (DepthFirstShaders.metal:
+    181-219); the 8x4 mask window is the TPU shape of that discipline for
+    small rects, and this pass extends it to the tail without widening the
+    mask planes (a 16x16 mask tier = 8 extra table planes was the rejected
+    alternative: ~+70% expand DMA).
+
+    Returns (tab2, row_overflow) — tab2 plane layout identical to ``tab1``
+    ([offsets, rect, mask, depth, w0..w3]), ready for
+    :func:`expand_slots_pallas` via ``prebuilt_tab`` with
+    ``n_gaussians=row_capacity``.
+    """
+    planes = tab1.shape[0]
+    off1 = tab1[0].reshape(-1)
+    total1 = off1[n]
+    row_overflow = (total1 > row_capacity).astype(jnp.int32)
+    r = row_capacity
+    np_rows = -(-(r + 2) // LANES) + WIN_ROWS
+    rows2 = -(-np_rows // BLK_SUB) * BLK_SUB
+    n_blocks = rows2 // BLK_SUB
+    block_starts = jnp.arange(n_blocks, dtype=jnp.int32) * BLK
+    block_r0 = (jnp.searchsorted(off1[:n + 1], block_starts, side="right",
+                                 method="scan_unrolled").astype(jnp.int32)
+                - 1)
+    block_r0 = jnp.clip(block_r0, 0, n - 1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_blocks,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec((planes, BLK_SUB, LANES),
+                               lambda i, *_: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((DMA_DEPTH, planes, WIN_ROWS, LANES), jnp.int32),
+            pltpu.SemaphoreType.DMA((DMA_DEPTH,)),
+            pltpu.SMEM((1,), jnp.int32),
+        ],
+    )
+    kernel = functools.partial(_row_expand_kernel, n_planes=planes, r_cap=r,
+                               tile_w=tile_w, tile_h=tile_h,
+                               alpha_threshold=alpha_threshold)
+    tab2 = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((planes, rows2, LANES), jnp.int32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(block_r0, total1.reshape(1), tab1)
+    return tab2, row_overflow
+
+
+def row_expand_xla(tab1, *, n: int, row_capacity: int, tile_w: int = 16,
+                   tile_h: int = 16, alpha_threshold: float = 0.005):
+    """Pure-XLA mirror of :func:`row_expand_pallas` (oracle + CPU tests):
+    identical table layout and bitwise-identical span arithmetic (the span
+    helper is shared)."""
+    from ..ops.binning import build_slot_map
+
+    planes = tab1.shape[0]
+    off1 = tab1[0].reshape(-1)
+    total1 = off1[n]
+    row_overflow = (total1 > row_capacity).astype(jnp.int32)
+    counts1 = off1[1:n + 1] - off1[:n]
+    sm = build_slot_map(counts1, row_capacity)
+    rank = jnp.clip(sm.rank, 0, n - 1)
+
+    def bc(x):
+        return jax.lax.bitcast_convert_type(x, jnp.uint32)
+
+    flat = [tab1[p].reshape(-1)[:n] for p in range(planes)]
+    rect_u = bc(flat[1][rank])
+    w0, w1, w2, w3 = (bc(flat[p][rank]) for p in range(4, 8))
+    culled = (rect_u & jnp.uint32(CULLED_BIT)) != 0
+    masked = (rect_u & jnp.uint32(MASKED_BIT)) != 0
+    min_tx = (rect_u & jnp.uint32(0x3FF)).astype(jnp.int32)
+    min_ty = ((rect_u >> 10) & jnp.uint32(0x3FF)).astype(jnp.int32)
+    rect_w = ((rect_u >> 20) & jnp.uint32(0x3FF)).astype(jnp.int32)
+    mask_u = bc(flat[2][rank])
+
+    ty = min_ty + sm.j
+    t_lo, span = _row_tile_span(w0, w1, w2, w3, ty, min_tx, rect_w,
+                                float(tile_w), float(tile_h),
+                                alpha_threshold)
+    passthrough = masked | culled
+    empty = ~passthrough & (span == 0)
+    rect2 = jnp.where(passthrough, rect_u,
+                      t_lo.astype(jnp.uint32)
+                      | (ty.astype(jnp.uint32) << 10)
+                      | (span.astype(jnp.uint32) << 20))
+    rect2 = jnp.where(empty, rect2 | jnp.uint32(CULLED_BIT), rect2)
+    cnt2 = jnp.where(culled | empty, 1,
+                     jnp.where(masked, _popcount(mask_u), span))
+    dead = ~sm.slot_valid
+    cnt2 = jnp.where(dead, 0, cnt2)
+
+    off2 = jnp.cumsum(cnt2) - cnt2
+    total2 = off2[-1] + cnt2[-1]
+    r = row_capacity
+    np_rows = -(-(r + 2) // LANES) + WIN_ROWS
+    rows2 = -(-np_rows // BLK_SUB) * BLK_SUB
+    off_full = jnp.concatenate([off2.astype(jnp.int32),
+                                total2.reshape(1).astype(jnp.int32)])
+    off_plane = jnp.pad(off_full, (0, rows2 * LANES - (r + 1)),
+                        constant_values=OFFSET_PAD).reshape(rows2, LANES)
+
+    def pad_plane(x):
+        x = jnp.where(dead, 0, x)
+        if x.dtype != jnp.int32:
+            x = jax.lax.bitcast_convert_type(x, jnp.int32)
+        return jnp.pad(x, (0, rows2 * LANES - r)).reshape(rows2, LANES)
+
+    out_planes = [off_plane, pad_plane(rect2), pad_plane(flat[2][rank])]
+    for p in range(3, planes):
+        out_planes.append(pad_plane(flat[p][rank]))
+    return jnp.stack(out_planes, axis=0), row_overflow
 
 
 @functools.partial(jax.jit, static_argnames=("capacity", "tiles_x",

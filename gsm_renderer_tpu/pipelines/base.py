@@ -203,6 +203,52 @@ class GaussianRenderer:
         self._cap_state[(kind, n)] = {"cap": cap, "age": 0}
         return cap
 
+    #: full-model factor for the virtual-row capacity of the per-row
+    #: exact-span decomposition (kernels/expand.row_expand_pallas): every
+    #: gaussian owns >= 1 row and oversized rects own rect_h rows, so 2 x n
+    #: covers a mean oversized-rect height of ~n/(n_oversized) extra rows
+    #: (the realistic BASELINE PLY row demands ~1.6M rows at 1M gaussians).
+    ROW_CAPACITY_FACTOR = 2
+
+    def pick_row_capacity(self, n: int, kind: str = "mono") -> int:
+        """Adaptive virtual-row capacity, same margin/bucket discipline as
+        :meth:`pick_capacity` but sized from ``header.row_total``.
+
+        Returns 0 — "run full-rect expansion instead" — when the measured
+        row demand exceeds the 4x-of-model growth ceiling: unlike instance
+        overflow (which the reference also clamps), row overflow has a
+        lossless fallback, so pathological tails degrade for at most one
+        refresh interval.  ``row_total`` is measured every frame even when
+        the row path is off (it is ~5 cheap 1M-element ops), so the decision
+        self-corrects in both directions."""
+        full = -(-self.ROW_CAPACITY_FACTOR * n // 4096) * 4096
+        if not self.adaptive_capacity:
+            return full
+        key = ("rows", kind, n)
+        state = (self._cap_state or {}).get(key)
+        if state is not None and state["age"] < ADAPTIVE_REFRESH:
+            state["age"] += 1
+            return state["cap"]
+        fb = (self._cap_feedback or {}).get((kind, n))
+        if fb is None or getattr(fb, "row_total", None) is None:
+            return full
+        try:
+            total = int(fb.row_total)
+        except Exception:
+            return full
+        if total < 0:  # demand unknown (frame predates the row machinery)
+            return full
+        if total > 4 * full:
+            cap = 0  # tail too heavy for the ceiling: full-rect fallback
+        else:
+            cap = int(total * ADAPTIVE_MARGIN) + 4096
+            bucket = max(4096, 1 << max(cap.bit_length() - 5, 0))
+            cap = max(min(-(-cap // bucket) * bucket, 4 * full), 4096)
+        if self._cap_state is None:
+            self._cap_state = {}
+        self._cap_state[key] = {"cap": cap, "age": 0}
+        return cap
+
     def note_frame(self, n: int, header, kind: str = "mono") -> None:
         """Record workload feedback for :meth:`pick_capacity`, starting an
         ASYNC device->host fetch of the header scalars (completed by the time
@@ -216,6 +262,8 @@ class GaussianRenderer:
         leaves = [header.overflow]
         if header.slot_total is not None:
             leaves.append(header.slot_total)
+        if getattr(header, "row_total", None) is not None:
+            leaves.append(header.row_total)
         for leaf in leaves:
             try:
                 leaf.copy_to_host_async()
@@ -254,7 +302,8 @@ class GaussianRenderer:
         from ..config import ColorFormat
         if self.config.color_format == ColorFormat.RGBA16_FLOAT:
             return RenderOutput(color=out.color.astype(jnp.float16),
-                                depth=out.depth.astype(jnp.float16),
+                                depth=(None if out.depth is None
+                                       else out.depth.astype(jnp.float16)),
                                 header=out.header)
         return out
 

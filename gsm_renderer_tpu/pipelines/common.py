@@ -192,7 +192,7 @@ def binning_sort_operands(visible, min_tx, min_ty, max_tx, rect_count,
                           tile_row_offset=None, warped_bounds=None,
                           precount: bool = True, mask_override=None,
                           use_prep: bool | None = None, lod_min: float = 0.0,
-                          key_plan=None, packed=None):
+                          key_plan=None, packed=None, row_capacity: int = 0):
     """Core fused binning UP TO the instance sort, over arbitrary carried
     word lists (mono carries the 4-word record; stereo carries 8 words =
     both eyes' records).
@@ -209,6 +209,15 @@ def binning_sort_operands(visible, min_tx, min_ty, max_tx, rect_count,
     the tie-free fused key pair and the tile sort runs UNSTABLE with
     bit-identical reference tie order (stable-sort machinery measured ~7% of
     the headline frame; scratch/stabframe.py + BACKLOG receipts).
+
+    ``row_capacity``: static virtual-row capacity > 0 enables the per-row
+    exact-span decomposition of oversized rects (kernels/expand.
+    row_expand_pallas — near-exact instance counts for the heavy tail whose
+    full-rect fallback slots dominate realistic scenes).  Mono Pallas path
+    with a key plan only; the KeyPlan's index bits must then address
+    ``row_capacity`` rows (callers build it with n = row_capacity).  Output
+    is bitwise identical (the in-kernel exact test still prunes span
+    boundary slop); only slot-space occupancy changes.
 
     Returns (sort_ops, (num_keys, is_stable, drop), plan_tuple, total,
     overflow): pass ``sort_ops`` through ``jax.lax.sort(num_keys=...,
@@ -232,21 +241,33 @@ def binning_sort_operands(visible, min_tx, min_ty, max_tx, rect_count,
         # prep-ready straight from the fused projection kernel.
         mode = ("mono" if exact_test is True
                 else "warped" if warped_bounds is not None else "stereo")
+        use_rows = row_capacity > 0 and mode == "mono" and plan_tuple is not None
         tab = E.binning_prep_pallas(
             packed.rect_word, packed.rect_h, packed.dsw,
             packed.words, tile_w=tile_w, tile_h=tile_h,
             alpha_threshold=alpha_threshold, interpret=interpret, mode=mode,
-            warped_bounds=warped_bounds, lod_min=lod_min)
+            warped_bounds=warped_bounds, lod_min=lod_min,
+            count_rows=use_rows)
+        n_tab = packed.visible.shape[0]
+        row_overflow = None
+        if use_rows:
+            tab, row_overflow = E.row_expand_pallas(
+                tab, n=n_tab, row_capacity=row_capacity, tile_w=tile_w,
+                tile_h=tile_h, alpha_threshold=alpha_threshold,
+                interpret=interpret)
+            n_tab = row_capacity
         outs = E.expand_slots_pallas(
             None, None, None, capacity=capacity, tiles_x=tiles_x,
             fused_depth16=fused_depth16, exact_test=exact_test,
             tile_w=tile_w, tile_h=tile_h, alpha_threshold=alpha_threshold,
-            prebuilt_tab=tab, n_gaussians=packed.visible.shape[0],
+            prebuilt_tab=tab, n_gaussians=n_tab,
             warped_bounds=warped_bounds, interpret=interpret,
             key_plan=plan_tuple)
         key, d_slot = outs[0], outs[1]
         slot_words = outs[2:-2]
         total, overflow = outs[-2], outs[-1]
+        if row_overflow is not None:
+            overflow = jnp.maximum(overflow, row_overflow)
         if fused_depth16:
             sort_ops = (key, *slot_words)
             num_keys, is_stable, drop = 1, True, 0
@@ -273,19 +294,30 @@ def binning_sort_operands(visible, min_tx, min_ty, max_tx, rect_count,
         rect_h = rect_count // jnp.maximum(rect_w, 1)
         mode = ("mono" if exact_test is True
                 else "warped" if warped_bounds is not None else "stereo")
+        use_rows = (row_capacity > 0 and mode == "mono"
+                    and plan_tuple is not None)
         tab = E.binning_prep_pallas(
             rect_word0, rect_h, depth_sort_word.astype(jnp.uint32),
             [w.astype(jnp.uint32) for w in word_list],
             tile_w=tile_w, tile_h=tile_h, alpha_threshold=alpha_threshold,
             interpret=interpret, mode=mode, warped_bounds=warped_bounds,
-            lod_min=lod_min)
+            lod_min=lod_min, count_rows=use_rows)
+        n_tab = visible.shape[0]
+        if use_rows:
+            tab, row_overflow = E.row_expand_pallas(
+                tab, n=n_tab, row_capacity=row_capacity, tile_w=tile_w,
+                tile_h=tile_h, alpha_threshold=alpha_threshold,
+                interpret=interpret)
+            n_tab = row_capacity
         outs = E.expand_slots_pallas(
             None, None, None, capacity=capacity, tiles_x=tiles_x,
             fused_depth16=fused_depth16, exact_test=exact_test,
             tile_w=tile_w, tile_h=tile_h, alpha_threshold=alpha_threshold,
-            prebuilt_tab=tab, n_gaussians=visible.shape[0],
+            prebuilt_tab=tab, n_gaussians=n_tab,
             warped_bounds=warped_bounds, interpret=interpret,
             key_plan=plan_tuple)
+        if use_rows:
+            outs = outs[:-1] + (jnp.maximum(outs[-1], row_overflow),)
     else:
         counts, rect_word, tile_mask, aux = binning_inputs(
             visible, min_tx, min_ty, max_tx, rect_count, depth_sort_word,
@@ -369,7 +401,8 @@ def fused_binning(pr, depth_sort_word, *, capacity: int, tiles_x: int,
                   fused_depth16: bool, use_pallas: bool,
                   interpret: bool = False, exact_test: bool = False,
                   tile_w: int = 16, tile_h: int = 16,
-                  alpha_threshold: float = 0.005, key_plan=None):
+                  alpha_threshold: float = 0.005, key_plan=None,
+                  row_capacity: int = 0):
     """Mono fused binning: one radix sort carrying the 4-word quantized record.
 
     ``fused_depth16``: True -> single fused key [tile:16 | depth_word:16]
@@ -388,7 +421,8 @@ def fused_binning(pr, depth_sort_word, *, capacity: int, tiles_x: int,
         depth_sort_word, word_list, capacity=capacity, tiles_x=tiles_x,
         fused_depth16=fused_depth16, use_pallas=use_pallas,
         interpret=interpret, exact_test=exact_test, tile_w=tile_w,
-        tile_h=tile_h, alpha_threshold=alpha_threshold, key_plan=key_plan)
+        tile_h=tile_h, alpha_threshold=alpha_threshold, key_plan=key_plan,
+        row_capacity=row_capacity)
     sorted_words = jnp.stack(sw, axis=-1)  # (C, 4)
     total_live = jnp.sum(jnp.where(pr.visible, pr.rect_count, 0)).astype(jnp.int32)
     return sorted_tile, sorted_words, total_live, overflow, sw, slot_total

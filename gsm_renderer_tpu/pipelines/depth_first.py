@@ -33,12 +33,26 @@ from ..kernels import blend as K
 from ..ops import binning as B
 from ..ops.project import project_and_cull
 from ..types import FrameHeader, GaussianInput, RenderOutput
+from ..kernels.expand import CULLED_BIT as E_CULLED_BIT
+from ..kernels.expand import MASK_H as E_MASK_H
+from ..kernels.expand import MASK_W as E_MASK_W
 from .base import AotProgram, GaussianRenderer, instance_capacity
 from .common import (binning_sort_operands, binning_sorted_tile,
                      fused_binning, pack_record_words,
                      sorted_instance_attrs)
 
 Array = Any
+
+
+def _row_demand(rect_word, rect_h):
+    """Virtual-row demand of the per-row exact-span decomposition — the same
+    formula as the prep kernel's ``count_rows`` mode (one row per
+    mask-eligible or culled gaussian, ``rect_h`` per oversized rect); feeds
+    ``FrameHeader.row_total`` for adaptive row-capacity sizing."""
+    visible = (rect_word & jnp.uint32(E_CULLED_BIT)) == 0
+    rect_w = ((rect_word >> 20) & jnp.uint32(0x3FF)).astype(jnp.int32)
+    oversized = visible & ((rect_w > E_MASK_W) | (rect_h > E_MASK_H))
+    return jnp.sum(jnp.where(oversized, rect_h, 1)).astype(jnp.int32)
 
 
 def depth_first_frame(
@@ -61,12 +75,19 @@ def depth_first_frame(
     use_xla_blend: bool = False,
     interpret: bool = False,
     pallas_project: bool = True,
+    row_capacity: int = 0,
 ):
     """The complete DepthFirst frame program (jit-compatible; all kwargs static).
 
     ``exact_tile_test=False`` + ``depth_mode="normalized"`` + ``r2_cutoff=9``
     is the HardwareRenderer configuration (quads cover their OBB rect with a
     per-pixel r^2 cutoff and alpha-normalized depth — see pipelines/hardware.py).
+
+    ``row_capacity > 0`` enables the per-row exact-span decomposition of
+    oversized rects (kernels/expand.row_expand_pallas): near-exact instance
+    counts for the heavy tail, bitwise-identical output, much smaller slot
+    space on realistic scenes.  Requires the mono Pallas path with 32-bit
+    depth keys; silently off otherwise.
     """
     tiles_x, tiles_y = cfg.tiles_for(width, height, tile_w, tile_h)
     num_tiles = tiles_x * tiles_y
@@ -86,16 +107,30 @@ def depth_first_frame(
     fuse_key = (tile_id_bits == 16 and depth_key_bits == 16)
 
     # Tie-free fused keys -> unstable instance sort with exact reference tie
-    # order (ops/binning.KeyPlan; None falls back to the stable sort).
+    # order (ops/binning.KeyPlan; None falls back to the stable sort).  With
+    # the row decomposition the plan's index bits address VIRTUAL ROWS (row
+    # order == gaussian order for ties: rows are emitted in gaussian order
+    # and two rows of one gaussian never share a tile).
     key_plan = None
+    use_rows = False
     if not fuse_key:
         if depth_key_bits == 16:
             key_plan = B.make_key_plan(num_tiles, gi.count,
                                        depth_span_bits=16)
         else:
-            key_plan = B.make_key_plan(num_tiles, gi.count,
-                                       near_plane=near_plane,
-                                       far_plane=far_plane)
+            if (row_capacity > 0 and not use_xla_blend
+                    and exact_tile_test is True and max_per_tile <= 0):
+                kp = B.make_key_plan(num_tiles, row_capacity,
+                                     near_plane=near_plane,
+                                     far_plane=far_plane)
+                if kp is not None:
+                    key_plan, use_rows = kp, True
+            if key_plan is None:
+                key_plan = B.make_key_plan(num_tiles, gi.count,
+                                           near_plane=near_plane,
+                                           far_plane=far_plane)
+    if not use_rows:
+        row_capacity = 0
 
     # back_to_front maps to the same front-to-back transmittance program (the
     # two blend orders produce identical radiance; see pipelines/hardware.py).
@@ -128,7 +163,7 @@ def depth_first_frame(
                     use_pallas=True, interpret=interpret, exact_test=True,
                     tile_w=tile_w, tile_h=tile_h,
                     alpha_threshold=alpha_threshold, key_plan=key_plan,
-                    packed=packed)
+                    packed=packed, row_capacity=row_capacity)
             ops = jax.lax.sort(sort_ops, num_keys=num_keys,
                                is_stable=is_stable)
             sorted_key, sw = ops[0], ops[1 + drop:]
@@ -136,6 +171,9 @@ def depth_first_frame(
                                               plan_tuple=plan_tuple)
         visible = packed.visible
         total_live = None
+        # measured every frame (row path on or off) so pick_row_capacity can
+        # re-enable the decomposition when the tail lightens
+        row_total = _row_demand(packed.rect_word, packed.rect_h)
     else:
         with jax.named_scope("project_cull"):
             pr = project_and_cull(
@@ -163,8 +201,17 @@ def depth_first_frame(
                     fused_depth16=fuse_key,
                     use_pallas=not use_xla_blend, interpret=interpret,
                     exact_test=exact_tile_test, tile_w=tile_w, tile_h=tile_h,
-                    alpha_threshold=alpha_threshold, key_plan=key_plan)
+                    alpha_threshold=alpha_threshold, key_plan=key_plan,
+                    row_capacity=row_capacity)
         visible = pr.visible
+        if exact_tile_test is True:
+            rect_w = pr.max_tx - pr.min_tx + 1
+            rect_h = pr.rect_count // jnp.maximum(rect_w, 1)
+            row_total = jnp.sum(jnp.where(
+                pr.visible & ((rect_w > E_MASK_W) | (rect_h > E_MASK_H)),
+                rect_h, 1)).astype(jnp.int32)
+        else:
+            row_total = None
 
     with jax.named_scope("tile_ranges"):
         starts, counts = B.extract_tile_ranges(sorted_tile, num_tiles)
@@ -212,24 +259,32 @@ def depth_first_frame(
         if max_per_tile <= 0 else total_live,
         overflow=overflow,
         slot_total=slot_total,
+        row_total=row_total,
     )
     return RenderOutput(color=color, depth=depth, header=header)
 
 
 def _mono_key_statics(n_gaussians: int, *, width, height, tile_w, tile_h,
-                      depth_key_bits, tile_id_bits, near_plane, far_plane):
+                      depth_key_bits, tile_id_bits, near_plane, far_plane,
+                      row_capacity: int = 0):
     """(fuse_key, key_plan) for the mono frame — shared by the fused and the
-    split (three-program) paths so both derive identical sort semantics."""
+    split (three-program) paths so both derive identical sort semantics.
+
+    ``row_capacity > 0``: the plan's index bits address virtual rows (the
+    per-row exact-span decomposition); returns key_plan=None if the widened
+    index field no longer fits — callers must then run with
+    ``row_capacity=0``."""
     tiles_x, tiles_y = cfg.tiles_for(width, height, tile_w, tile_h)
     num_tiles = tiles_x * tiles_y
     fuse_key = (tile_id_bits == 16 and depth_key_bits == 16)
     key_plan = None
     if not fuse_key:
+        key_n = row_capacity if row_capacity > 0 else n_gaussians
         if depth_key_bits == 16:
-            key_plan = B.make_key_plan(num_tiles, n_gaussians,
+            key_plan = B.make_key_plan(num_tiles, key_n,
                                        depth_span_bits=16)
         else:
-            key_plan = B.make_key_plan(num_tiles, n_gaussians,
+            key_plan = B.make_key_plan(num_tiles, key_n,
                                        near_plane=near_plane,
                                        far_plane=far_plane)
     return fuse_key, key_plan
@@ -249,6 +304,7 @@ def depth_first_pre_frame(
     depth_key_bits: int = 32,
     tile_id_bits: int = 16,
     interpret: bool = False,
+    row_capacity: int = 0,
 ):
     """Program 1 of the production 3-program frame: project + fused Pallas
     binning prep + expand, STOPPING at the instance-sort operands.
@@ -258,15 +314,27 @@ def depth_first_pre_frame(
     the sort emitter's scratch collapses: the 3.0M 2-key unstable sort is
     ~10.3 ms composed vs ~4.5 ms as its own program (BACKLOG receipts;
     scratch/sortreal.py, sortchain.py, vmemflag.py).  Returns
-    (*sort_ops, slot_total, overflow, visible_count).
+    (*sort_ops, slot_total, overflow, visible_count, row_total) —
+    row_total is -1 when the row decomposition is off.
     """
     tiles_x, tiles_y = cfg.tiles_for(width, height, tile_w, tile_h)
     del back_to_front
+    use_rows = (row_capacity > 0 and exact_tile_test is True
+                and depth_key_bits == 32)
     fuse_key, key_plan = _mono_key_statics(
         gi.count, width=width, height=height, tile_w=tile_w,
         tile_h=tile_h, depth_key_bits=depth_key_bits,
         tile_id_bits=tile_id_bits, near_plane=near_plane,
-        far_plane=far_plane)
+        far_plane=far_plane, row_capacity=row_capacity if use_rows else 0)
+    if use_rows and key_plan is None:
+        use_rows = False
+        fuse_key, key_plan = _mono_key_statics(
+            gi.count, width=width, height=height, tile_w=tile_w,
+            tile_h=tile_h, depth_key_bits=depth_key_bits,
+            tile_id_bits=tile_id_bits, near_plane=near_plane,
+            far_plane=far_plane)
+    if not use_rows:
+        row_capacity = 0
 
     # fused Pallas projection (see depth_first_frame)
     if (exact_tile_test is True and depth_key_bits == 32
@@ -290,9 +358,10 @@ def depth_first_pre_frame(
                     use_pallas=True, interpret=interpret, exact_test=True,
                     tile_w=tile_w, tile_h=tile_h,
                     alpha_threshold=alpha_threshold, key_plan=key_plan,
-                    packed=packed)
+                    packed=packed, row_capacity=row_capacity)
         visible_count = jnp.sum(packed.visible).astype(jnp.int32)
-        return (*sort_ops, slot_total, overflow, visible_count)
+        row_total = _row_demand(packed.rect_word, packed.rect_h)
+        return (*sort_ops, slot_total, overflow, visible_count, row_total)
 
     with jax.named_scope("project_cull"):
         pr = project_and_cull(
@@ -319,7 +388,8 @@ def depth_first_pre_frame(
             exact_test=exact_tile_test, tile_w=tile_w, tile_h=tile_h,
             alpha_threshold=alpha_threshold, key_plan=key_plan)
     visible_count = jnp.sum(pr.visible).astype(jnp.int32)
-    return (*sort_ops, slot_total, overflow, visible_count)
+    return (*sort_ops, slot_total, overflow, visible_count,
+            jnp.full((), -1, jnp.int32))
 
 
 def sort_frame(*ops, num_keys: int, is_stable: bool):
@@ -331,6 +401,7 @@ def sort_frame(*ops, num_keys: int, is_stable: bool):
 def depth_first_post_frame(
     sorted_key: Array, w0: Array, w1: Array, w2: Array, w3: Array,
     slot_total: Array, overflow: Array, visible_count: Array,
+    row_total: Array,
     *,
     width: int, height: int, capacity: int, n_gaussians: int,
     alpha_threshold: float,
@@ -342,12 +413,14 @@ def depth_first_post_frame(
     blocks_per_dma: int = 2,
     r2_cutoff: float = 0.0,
     interpret: bool = False,
+    row_capacity: int = 0,
 ):
     """Program 3 of the production frame: sorted keys -> tile ranges ->
     blend table -> Pallas blend -> image + header.
 
-    ``n_gaussians`` must match program 1's input count: the KeyPlan (and
-    with it the key1 shift and the plan-vs-fallback choice) depends on it.
+    ``n_gaussians`` (and ``row_capacity``, when the row decomposition is on)
+    must match program 1's statics: the KeyPlan (and with it the key1 shift
+    and the plan-vs-fallback choice) depends on them.
     """
     tiles_x, tiles_y = cfg.tiles_for(width, height, tile_w, tile_h)
     num_tiles = tiles_x * tiles_y
@@ -355,7 +428,8 @@ def depth_first_post_frame(
         n_gaussians, width=width, height=height, tile_w=tile_w,
         tile_h=tile_h,
         depth_key_bits=depth_key_bits, tile_id_bits=tile_id_bits,
-        near_plane=near_plane, far_plane=far_plane)
+        near_plane=near_plane, far_plane=far_plane,
+        row_capacity=row_capacity)
     plan_tuple = None
     if key_plan is not None:
         plan_tuple = key_plan.kernel_tuple
@@ -383,6 +457,7 @@ def depth_first_post_frame(
         total_instances=jnp.sum(counts).astype(jnp.int32),
         overflow=overflow,
         slot_total=slot_total,
+        row_total=row_total,
     )
     return RenderOutput(color=color, depth=depth, header=header)
 
@@ -472,7 +547,8 @@ class DepthFirstRenderer(GaussianRenderer):
                      "near_plane", "far_plane", "tile_w", "tile_h",
                      "depth_key_bits", "tile_id_bits")
         post_statics = {k: statics[k] for k in post_keys}
-        for k in ("depth_mode", "blocks_per_dma", "r2_cutoff"):
+        for k in ("depth_mode", "blocks_per_dma", "r2_cutoff",
+                  "row_capacity"):
             if k in statics:
                 post_statics[k] = statics[k]
         post_statics["n_gaussians"] = n
@@ -483,7 +559,8 @@ class DepthFirstRenderer(GaussianRenderer):
             depth_key_bits=statics["depth_key_bits"],
             tile_id_bits=statics["tile_id_bits"],
             near_plane=statics["near_plane"],
-            far_plane=statics["far_plane"])
+            far_plane=statics["far_plane"],
+            row_capacity=statics.get("row_capacity", 0))
         if fuse_key:
             num_keys, is_stable, drop = 1, True, 0
         elif key_plan is not None:
@@ -496,8 +573,8 @@ class DepthFirstRenderer(GaussianRenderer):
         pre = self._program(("df_pre", sig), lambda: AotProgram(
             depth_first_pre_frame, ("df_pre", sig), pre_statics))
         outs = pre(gi, view, proj, center, *prep_args)
-        sort_ops = outs[:-3]
-        slot_total, overflow, visible_count = outs[-3:]
+        sort_ops = outs[:-4]
+        slot_total, overflow, visible_count, row_total = outs[-4:]
 
         sort_statics = dict(num_keys=num_keys, is_stable=is_stable)
         sort_sig = ("df_sort", statics["capacity"], len(sort_ops), num_keys,
@@ -511,7 +588,8 @@ class DepthFirstRenderer(GaussianRenderer):
         post_sig = ("df_post", tuple(sorted(post_statics.items())))
         post = self._program(post_sig, lambda: AotProgram(
             depth_first_post_frame, post_sig, post_statics))
-        return post(sorted_key, *sw, slot_total, overflow, visible_count)
+        return post(sorted_key, *sw, slot_total, overflow, visible_count,
+                    row_total)
 
 
 def _mono_render(self, gi, camera, width, height):
@@ -539,6 +617,29 @@ def _mono_render(self, gi, camera, width, height):
         use_xla_blend=self.use_xla_blend,
     )
     statics.update(self._mono_statics())
+    if not c.depth_output:
+        # color-only frame: skip the depth accumulator/plane/assembly, the
+        # reference's nil/.depth32Float depth-target skip
+        # (DepthFirstRenderEncoder.swift:36-38)
+        statics["depth_mode"] = "none"
+    # per-row exact-span decomposition of oversized rects (RendererConfig.
+    # row_expand; kernels/expand.row_expand_pallas): mono Pallas path with
+    # 32-bit depth keys only, and only when the row-widened KeyPlan fits
+    row_cap = 0
+    if (c.row_expand and not self.use_xla_blend
+            and statics.get("exact_tile_test", True) is True
+            and statics["depth_key_bits"] == 32):
+        row_cap = self.pick_row_capacity(n, kind=self._mono_key)
+        _fk, kp_rows = _mono_key_statics(
+            n, width=width, height=height,
+            tile_w=statics["tile_w"], tile_h=statics["tile_h"],
+            depth_key_bits=statics["depth_key_bits"],
+            tile_id_bits=statics["tile_id_bits"],
+            near_plane=statics["near_plane"],
+            far_plane=statics["far_plane"], row_capacity=row_cap)
+        if kp_rows is None:
+            row_cap = 0
+    statics["row_capacity"] = row_cap
     # per-input cached projection layout when the fused Pallas projection
     # kernel applies (kernels/project.prepare_projection_inputs: keeps the
     # ~0.7 ms pad/slice prologue out of the frame program)

@@ -231,6 +231,10 @@ class FrameHeader:
     #: The reference keeps the analogous padded counts in its GPU-side header
     #: (prepareDepthFirstDispatchKernel, DepthFirstShaders.metal:2174-2308).
     slot_total: Array | None = None
+    #: virtual-row demand of the per-row exact-span decomposition
+    #: (kernels/expand.row_expand_pallas) — feeds the adaptive row capacity;
+    #: None (or -1 in split-frame plumbing) when the row path is off.
+    row_total: Array | None = None
 
 
 @jax.tree_util.register_dataclass

@@ -77,3 +77,38 @@ def test_adaptive_capacity_off_switch():
     r.render(ds.to_input(), cam, w, h)
     r.render(ds.to_input(), cam, w, h)
     assert r.pick_capacity(n) == instance_capacity(r.config, n)
+
+
+def test_pick_row_capacity_policy():
+    """Row-capacity sizing (per-row exact-span decomposition): full 2x model
+    without feedback, margin-bucketed from header.row_total, and 0 (full-rect
+    fallback) when demand exceeds the 4x-of-model growth ceiling."""
+    import types
+
+    import numpy as np
+
+    r = G.DepthFirstRenderer(G.RendererConfig())
+    n = 10_000
+    full = -(-r.ROW_CAPACITY_FACTOR * n // 4096) * 4096
+    assert r.pick_row_capacity(n, kind=r._mono_key) == full
+
+    def fb(total):
+        return types.SimpleNamespace(row_total=np.int32(total))
+
+    r._cap_feedback = {(r._mono_key, n): fb(30_000)}
+    r._cap_state = None
+    cap = r.pick_row_capacity(n, kind=r._mono_key)
+    assert 30_000 <= cap <= 4 * full
+
+    # demand unknown (-1): keep trying the full model
+    r._cap_feedback = {(r._mono_key, n): fb(-1)}
+    r._cap_state = None
+    assert r.pick_row_capacity(n, kind=r._mono_key) == full
+
+    # demand beyond the ceiling: disable (0), and re-enable when it lightens
+    r._cap_feedback = {(r._mono_key, n): fb(4 * full + 1)}
+    r._cap_state = None
+    assert r.pick_row_capacity(n, kind=r._mono_key) == 0
+    r._cap_feedback = {(r._mono_key, n): fb(12_000)}
+    r._cap_state = None
+    assert r.pick_row_capacity(n, kind=r._mono_key) >= 12_000

@@ -346,6 +346,34 @@ def test_blend_mxu_exponent_32x16_tiles(rng):
         np.testing.assert_allclose(np.asarray(td), np.asarray(od), atol=5e-2)
 
 
+@pytest.mark.parametrize("emode,smode", [
+    ("vpu", "split16"), ("mxu", "split16"), ("vpu", "reduce"),
+])
+def test_blend_no_depth_color_bitexact(rng, emode, smode):
+    """depth_mode='none' (RendererConfig.depth_output=False — the reference's
+    nil/.depth32Float depth-target skip, DepthFirstRenderEncoder.swift:36-38)
+    must return bitwise-identical COLOR with depth=None across the scan and
+    exponent modes whose accumulator width it changes."""
+    from gsm_renderer_tpu.kernels import blend as K
+    tiles_x, tiles_y = 6, 4
+    table, _attr_table, starts, counts, per = _synth_blend_inputs(
+        rng, tiles_x, tiles_y, cap=1024, n_live=900)
+    tc, td = K.blend_tiles_pallas(table, starts, counts, tiles_x=tiles_x,
+                                  tiles_y=tiles_y, interpret=True,
+                                  exponent_mode=emode, scan_mode=smode)
+    nc, nd = K.blend_tiles_pallas(table, starts, counts, tiles_x=tiles_x,
+                                  tiles_y=tiles_y, interpret=True,
+                                  depth_mode="none",
+                                  exponent_mode=emode, scan_mode=smode)
+    assert nd is None and td is not None
+    # CPU interpret: the (128, 3) contraction vectorizes with a different
+    # summation order than (128, 4) — up to 1 ULP on one channel.  On chip
+    # the MXU's systolic accumulation order over the contracting dim is
+    # column-count-independent and the frames are bitwise identical
+    # (scratch/nodepthab.py receipt).
+    np.testing.assert_allclose(np.asarray(nc), np.asarray(tc), atol=1e-6)
+
+
 @pytest.mark.slow
 def test_stereo_frame_pallas_interpret_matches_xla():
     """Stereo frame (8 carried words + r^2 cutoff blend) interpret parity."""

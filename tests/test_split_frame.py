@@ -16,11 +16,13 @@ from gsm_renderer_tpu.io.scene import generate_visible_gaussians
 from gsm_renderer_tpu.pipelines import depth_first as DF
 
 
-@pytest.mark.parametrize("depth_key_bits,tile_id_bits", [
-    (32, 16),   # production: tie-free KeyPlan, 2-key unstable sort
-    (16, 16),   # fused [tile16|depth16] single-key sort
+@pytest.mark.parametrize("depth_key_bits,tile_id_bits,row_capacity", [
+    (32, 16, 0),      # production: tie-free KeyPlan, 2-key unstable sort
+    (16, 16, 0),      # fused [tile16|depth16] single-key sort
+    (32, 16, 8192),   # production + per-row exact-span decomposition
 ])
-def test_split_frame_matches_fused(depth_key_bits, tile_id_bits):
+def test_split_frame_matches_fused(depth_key_bits, tile_id_bits,
+                                   row_capacity):
     import jax
 
     n = 4000
@@ -35,7 +37,8 @@ def test_split_frame_matches_fused(depth_key_bits, tile_id_bits):
     statics = dict(width=w, height=h, capacity=capacity, sh_degree=1,
                    alpha_threshold=0.005, total_ink_threshold=2.0,
                    near_plane=0.1, far_plane=20.0, input_is_srgb=False,
-                   depth_key_bits=depth_key_bits, tile_id_bits=tile_id_bits)
+                   depth_key_bits=depth_key_bits, tile_id_bits=tile_id_bits,
+                   row_capacity=row_capacity)
 
     fused = DF.depth_first_frame(gi, view, proj, center, interpret=True,
                                  **statics)
@@ -43,7 +46,7 @@ def test_split_frame_matches_fused(depth_key_bits, tile_id_bits):
     fuse_key, key_plan = DF._mono_key_statics(
         n, width=w, height=h, tile_w=16, tile_h=16,
         depth_key_bits=depth_key_bits, tile_id_bits=tile_id_bits,
-        near_plane=0.1, far_plane=20.0)
+        near_plane=0.1, far_plane=20.0, row_capacity=row_capacity)
     if fuse_key:
         num_keys, is_stable, drop = 1, True, 0
     elif key_plan is not None:
@@ -53,8 +56,8 @@ def test_split_frame_matches_fused(depth_key_bits, tile_id_bits):
 
     outs = DF.depth_first_pre_frame(gi, view, proj, center, interpret=True,
                                     **statics)
-    sort_ops = outs[:-3]
-    slot_total, overflow, visible_count = outs[-3:]
+    sort_ops = outs[:-4]
+    slot_total, overflow, visible_count, row_total = outs[-4:]
     sorted_ops = DF.sort_frame(*sort_ops, num_keys=num_keys,
                                is_stable=is_stable)
     sorted_key = sorted_ops[0]
@@ -63,10 +66,11 @@ def test_split_frame_matches_fused(depth_key_bits, tile_id_bits):
                         n_gaussians=n, alpha_threshold=0.005,
                         near_plane=0.1, far_plane=20.0,
                         depth_key_bits=depth_key_bits,
-                        tile_id_bits=tile_id_bits)
+                        tile_id_bits=tile_id_bits,
+                        row_capacity=row_capacity)
     split = DF.depth_first_post_frame(sorted_key, *sw, slot_total, overflow,
-                                      visible_count, interpret=True,
-                                      **post_statics)
+                                      visible_count, row_total,
+                                      interpret=True, **post_statics)
 
     assert np.array_equal(np.asarray(fused.color), np.asarray(split.color))
     assert np.array_equal(np.asarray(fused.depth), np.asarray(split.depth))
@@ -151,11 +155,12 @@ def test_hardware_split_frame_matches_fused():
     outs = DF.depth_first_pre_frame(
         gi, view, proj, center, interpret=True,
         exact_tile_test=False, **statics)
-    sort_ops = outs[:-3]
-    slot_total, overflow, visible_count = outs[-3:]
+    sort_ops = outs[:-4]
+    slot_total, overflow, visible_count, row_total = outs[-4:]
     sorted_ops = DF.sort_frame(*sort_ops, num_keys=2, is_stable=False)
     split = DF.depth_first_post_frame(
         sorted_ops[0], *sorted_ops[2:], slot_total, overflow, visible_count,
+        row_total,
         interpret=True, width=w, height=h, capacity=capacity, n_gaussians=n,
         alpha_threshold=0.005, near_plane=0.1, far_plane=20.0,
         depth_mode="normalized", r2_cutoff=9.0, blocks_per_dma=4)
