@@ -200,17 +200,24 @@ def main():
         # 105 ms vs 104 ms full-res at this gentle map; aggressive maps
         # render less and win).
         from gsm_renderer_tpu.stereo import make_rate_maps
-        tgt = make_rate_maps(1920, 1080, min_rate=0.4, radius=0.3)
-        rf = G.DepthFirstRenderer(G.RendererConfig(sh_degree=3))
-        fo = rf.render_stereo_foveated(gi, stereo, tgt)
-        fo = rf.render_stereo_foveated(gi, stereo, tgt)  # capacity lock-in
-        stf = time_frames(lambda: rf.render_stereo_foveated(gi, stereo, tgt))
-        results["depthfirst_foveated_1m_sh3"] = dict(
-            ms=round(stf["avg"], 3),
-            physical=f"{tgt.render_width}x{tgt.render_height}x2",
-            overflow=int(fo.header.overflow))
-        print(f"# foveated: {results['depthfirst_foveated_1m_sh3']}",
-              file=sys.stderr)
+        # min_rate sweep: 0.4 is the gentle map (85% of full-res pixels);
+        # 0.25/0.15 are the aggressive maps where the rate-map design is
+        # supposed to win (fewer pixels AND fewer instances) — the claim in
+        # pipelines/depth_first.py:1044-1057, now driver-visible.
+        for min_rate in (0.4, 0.25, 0.15):
+            tgt = make_rate_maps(1920, 1080, min_rate=min_rate, radius=0.3)
+            rf = G.DepthFirstRenderer(G.RendererConfig(sh_degree=3))
+            fo = rf.render_stereo_foveated(gi, stereo, tgt)
+            fo = rf.render_stereo_foveated(gi, stereo, tgt)  # capacity lock-in
+            stf = time_frames(
+                lambda: rf.render_stereo_foveated(gi, stereo, tgt))
+            key = ("depthfirst_foveated_1m_sh3" if min_rate == 0.4 else
+                   f"depthfirst_foveated_1m_sh3_r{int(min_rate * 100):02d}")
+            results[key] = dict(
+                ms=round(stf["avg"], 3), min_rate=min_rate,
+                physical=f"{tgt.render_width}x{tgt.render_height}x2",
+                overflow=int(fo.header.overflow))
+            print(f"# foveated: {results[key]}", file=sys.stderr)
 
         # realistic heavy-tailed scene THROUGH the PLY loader (the reference
         # harness benches a real ~1M garden PLY — PLYBenchmarkTests.swift:
