@@ -20,8 +20,9 @@ def _scene(n=4000, sh_degree=2, seed=11):
     return ds.to_input(), cam
 
 
-@pytest.mark.parametrize("renderer_cls", [G.DepthFirstRenderer,
-                                          G.HardwareRenderer])
+@pytest.mark.parametrize("renderer_cls", [
+    G.DepthFirstRenderer,
+    pytest.param(G.HardwareRenderer, marks=pytest.mark.slow)])
 def test_color_only_matches_default(renderer_cls):
     gi, cam = _scene()
     r_full = renderer_cls(G.RendererConfig(sh_degree=2))

@@ -294,6 +294,7 @@ def test_foveated_warped_masks_exact():
         f"{mismatch} mask/predicate disagreements of {n_elig} eligible"
 
 
+@pytest.mark.slow
 def test_foveated_warped_prep_path_matches_mask_override():
     """The fused warped prep (in-kernel boundary gathers + dual-eye masks +
     offset scan + table) must reproduce the explicit mask_override path

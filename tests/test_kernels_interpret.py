@@ -128,7 +128,7 @@ def test_binning_prep_interpret_matches_xla_table(rng):
 
 @pytest.mark.parametrize("fused_depth16,stereo", [
     pytest.param(False, False, marks=pytest.mark.slow),
-    (True, False),
+    pytest.param(True, False, marks=pytest.mark.slow),
     (False, True)])
 def test_fused_binning_prep_path_matches_nonprep(rng, fused_depth16, stereo):
     """fused_binning_words' use_prep fast path (binning_prep_pallas +

@@ -240,6 +240,7 @@ print("PRODUCTION_OK diff=%%.2e" %% diff)
 """
 
 
+@pytest.mark.slow
 def test_multichip_production_paths_match():
     """Round-5 production parity (VERDICT item 4): the sharded frame runs the
     mono production machinery — KeyPlan unstable sort (bitwise == stable),

@@ -128,7 +128,8 @@ def test_row_span_superset_of_exact_test():
     assert passes.sum() > 50
 
 
-@pytest.mark.parametrize("use_xla_project", [False, True])
+@pytest.mark.parametrize("use_xla_project", [
+    False, pytest.param(True, marks=pytest.mark.slow)])
 def test_row_frame_bitwise_identical(use_xla_project):
     """Full frame with the row decomposition vs without: bitwise-identical
     color/depth, strictly smaller slot space on a heavy-tailed scene."""

@@ -18,7 +18,7 @@ from gsm_renderer_tpu.pipelines import depth_first as DF
 
 @pytest.mark.parametrize("depth_key_bits,tile_id_bits,row_capacity", [
     (32, 16, 0),      # production: tie-free KeyPlan, 2-key unstable sort
-    (16, 16, 0),      # fused [tile16|depth16] single-key sort
+    pytest.param(16, 16, 0, marks=pytest.mark.slow),  # fused [tile16|depth16] 1-key sort
     (32, 16, 8192),   # production + per-row exact-span decomposition
 ])
 def test_split_frame_matches_fused(depth_key_bits, tile_id_bits,
@@ -80,7 +80,8 @@ def test_split_frame_matches_fused(depth_key_bits, tile_id_bits,
             int(getattr(split.header, field)), field
 
 
-@pytest.mark.parametrize("pipeline", ["global", "local"])
+@pytest.mark.parametrize("pipeline", [
+    pytest.param("global", marks=pytest.mark.slow), "local"])
 def test_d16_split_frame_matches_fused(pipeline):
     from gsm_renderer_tpu.pipelines import common as C
     from gsm_renderer_tpu.pipelines import global_ as GP
@@ -128,6 +129,7 @@ def test_d16_split_frame_matches_fused(pipeline):
             int(getattr(split.header, field)), field
 
 
+@pytest.mark.slow
 def test_hardware_split_frame_matches_fused():
     """HardwareRenderer's mono frame (no exact test, normalized depth,
     r^2 <= 9 cutoff, full-rect capacity) through the same 3-program split:

@@ -26,6 +26,7 @@ def test_stereo_side_by_side_basics():
     assert np.abs(left.mean() - right.mean()) < 0.05
 
 
+@pytest.mark.slow
 def test_stereo_matches_mono_at_zero_ipd():
     """With ipd=0 both eyes equal the mono camera; each half must match a mono
     render of the same scene (modulo the stereo path's full-union-rect binning
@@ -116,6 +117,7 @@ def test_stereo_invisible_eye_unbounded_screen_no_nan():
     assert color[:, :w, :3].max() > 0.05  # left eye still renders the scene
 
 
+@pytest.mark.slow
 def test_stereo_dual_eye_pallas_matches_xla():
     """The production single-pass dual-eye Pallas blend (n_eyes=2, both eyes'
     accumulators in one kernel over the shared tile list —
@@ -150,6 +152,7 @@ def test_stereo_dual_eye_pallas_matches_xla():
     assert int(o_p.header.overflow) == 0
 
 
+@pytest.mark.slow
 def test_hardware_foveated_parity_with_depth_first():
     """HardwareRenderer foveated stereo (the reference attaches the
     rasterization rate map to its stereo path too — HardwareRenderer.swift:
